@@ -1,0 +1,159 @@
+"""Exact and approximate top-k vector similarity search.
+
+Reference semantics (core/utils.py:194-254 `search_similar_chunks`):
+  1. normalize corpus vectors at index-build time (embed_pdfs.py:207,227-228)
+  2. normalize the query vector
+  3. FAISS IndexFlatIP top-k  (inner product == cosine after normalize)
+  4. THEN filter score >= threshold — rank-then-filter, so results may be
+     fewer than k (utils.py:221-232). Never filter-then-rank.
+
+Spark-first design
+------------------
+The corpus is the big side (100 TB of vectors); the query set is small.
+So: broadcast the normalized queries, compute the dot product JVM-side via
+zip_with/aggregate (a map-only stage over the corpus — no shuffle), then
+take top-k per query with a rank window. Spark ≥3.5 inserts a
+WindowGroupLimit below the shuffle for `row_number() <= k` filters, i.e.
+each map task pre-truncates to its local top-k before exchanging data —
+the classic two-phase TakeOrdered, done by the optimizer. The only shuffle
+is k·|queries| rows.
+
+Ties broken by vec_id ascending so results are deterministic across engines
+(FIXTURES.md determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.vectors import dot, l2_normalize
+
+
+def normalized_corpus(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """T3: the write-time normalize pass (utils.py:126-135). Materialize
+    this once (parquet/cache); every query then uses plain dot products."""
+    return embeddings.withColumn(vec_col, l2_normalize(vec_col))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    threshold: float = 0.3,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+    pre_normalized: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Q1: exact top-k cosine per query, threshold applied AFTER ranking.
+
+    corpus:  (corpus_id, vec_col, ...)   — the big side, arbitrary size
+    queries: (query_id, query_vec_col)   — small; broadcast
+    Returns (query_id, corpus_id, sim, rank), rank ∈ 1..k, sim >= threshold.
+    """
+    c = corpus if pre_normalized else corpus.withColumn(vec_col, l2_normalize(vec_col))
+    q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
+
+    scored = c.join(F.broadcast(q)).withColumn("sim", dot(vec_col, query_vec_col))
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("sim") >= threshold)  # rank-then-filter: utils.py:228
+    )
+    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    return ranked.select(query_id, corpus_id, sim.alias("sim"), "rank")
+
+
+def knn_self_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    queries: DataFrame | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All-pairs k-NN (each vector's top-k neighbours, self excluded
+    *before* ranking). `queries` optionally restricts the query side.
+
+    At fixture scale this is a broadcast O(N²) scan. At 100 TB you don't
+    run exact all-pairs — use minhash/LSH blocking (operators/dedup.py) or
+    ivf_topk below to cut the candidate space first; this exact variant is
+    the correctness oracle for those.
+    """
+    c = embeddings.withColumn(vec_col, l2_normalize(vec_col))
+    q = queries if queries is not None else embeddings
+    q = q.select(F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("query_vec"))
+
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("sim", dot(vec_col, "query_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, sim.alias("sim"), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe_labels: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Q2-shaped ANN: IVF-style probing, mirroring pgvector ivfflat
+    (supabase_schema.sql:137-139,144-171 — lists=100, probe a subset).
+
+    The fixture's `label` column stands in for a k-means cell id. Centroids
+    are computed as per-label mean vectors (one small aggregate), queries
+    probe their n nearest centroids, and the exact search runs only inside
+    probed cells — at scale the corpus is *partitioned by* label so a probe
+    is a partition-pruned scan, not a full pass. Recall < 1.0 by design;
+    tests measure it against topk_cosine.
+    """
+    c = corpus.withColumn(vec_col, l2_normalize(vec_col))
+    q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
+
+    dim = 64  # fixture dim; cheap to infer but constant here
+    centroids = (
+        c.select(label_col, F.posexplode(vec_col).alias("i", "x"))
+        .groupBy(label_col, "i")
+        .agg(F.avg("x").alias("x"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("pairs"))
+        .select(label_col, F.transform("pairs", lambda p: p["x"]).alias("centroid"))
+    )
+
+    probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc(label_col))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("csim", dot(query_vec_col, "centroid"))
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= n_probe_labels)
+        .select(query_id, query_vec_col, label_col)
+    )
+
+    scored = c.join(F.broadcast(probes), on=label_col).withColumn(
+        "sim", dot(vec_col, query_vec_col)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim.alias("sim"), "rank")
+    )

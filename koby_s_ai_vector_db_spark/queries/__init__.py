@@ -1,0 +1,3 @@
+"""Side-effect imports: every submodule registers its queries on import."""
+
+from koby_s_ai_vector_db_spark.queries import vector_q  # noqa: F401

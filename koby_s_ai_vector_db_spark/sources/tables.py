@@ -1,0 +1,92 @@
+"""Table sources over the driver fixtures + derived views.
+
+The reference's storage layer is a FAISS file + JSON sidecar + two SQL
+databases (SQLite, Supabase Postgres: supabase_schema.sql:41-128,
+core/utils.py:137-192). Here everything is a Parquet-backed DataFrame:
+columnar scans, predicate pushdown and column pruning come from Catalyst
+for free — the sidecar-join-by-position anti-pattern disappears because
+vectors and metadata live in the same table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixed "now" so every now-relative window (30-min live users, today counts,
+# last-N-days, 24h GC — core/session_utils.py:200,226-230,254,281) is
+# deterministic for the DuckDB oracle. Fixture events span 2024-01.
+NOW_TS = "2024-01-25 12:00:00"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet → pushdown/pruning-capable scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+# ---------------------------------------------------------------------------
+# Derived `feedback` view (the reference's Supabase `feedback` table,
+# supabase_schema.sql:64-75). The fixtures don't ship it, so both engines
+# derive it deterministically from `documents`: every expression below is
+# ANSI SQL that Spark and DuckDB evaluate identically.
+#   id            — doc_id
+#   question      — first 120 chars of text
+#   answer        — next 400 chars
+#   question_type — lang
+#   user_id       — doc_id % 97
+#   rating        — (doc_id * 7 % 11) / 2.0              ∈ {0.0 .. 5.0}
+#   usage_count   — doc_id * 13 % 50
+#   status        — approved/approved/approved/pending/rejected by doc_id % 5
+#   created_at    — 2024-01-01 + doc_id minutes
+# ---------------------------------------------------------------------------
+FEEDBACK_SQL = """
+SELECT
+    doc_id                                   AS id,
+    substr(text, 1, 120)                     AS question,
+    substr(text, 121, 400)                   AS answer,
+    lang                                     AS question_type,
+    doc_id % 97                              AS user_id,
+    CAST((doc_id * 7) % 11 AS DOUBLE) / 2.0  AS rating,
+    CAST((doc_id * 13) % 50 AS BIGINT)       AS usage_count,
+    CASE CAST(doc_id % 5 AS INT)
+        WHEN 3 THEN 'pending'
+        WHEN 4 THEN 'rejected'
+        ELSE 'approved'
+    END                                      AS status,
+    TIMESTAMP '2024-01-01 00:00:00'
+        + CAST(doc_id AS INT) * INTERVAL '1' MINUTE AS created_at
+FROM documents
+"""
+
+# DuckDB spells interval multiplication differently; keep one canonical
+# oracle-side rendering so oracle_sql() strings can embed it as a CTE.
+FEEDBACK_SQL_DUCKDB = FEEDBACK_SQL.replace(
+    "CAST(doc_id AS INT) * INTERVAL '1' MINUTE", "CAST(doc_id AS INT) * INTERVAL 1 MINUTE"
+)
+
+
+def feedback_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the derived feedback table as a DataFrame."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(FEEDBACK_SQL)
+
+
+def feedback_cte(inner_sql: str) -> str:
+    """Wrap oracle SQL with the feedback CTE (DuckDB dialect)."""
+    return f"WITH feedback AS ({FEEDBACK_SQL_DUCKDB})\n{inner_sql}"

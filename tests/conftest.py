@@ -1,0 +1,68 @@
+"""Shared test fixtures: one SparkSession per test run + a DuckDB mini-oracle
+that mirrors the driver's comparison (row-count, schema width, and an
+order-insensitive value comparison with columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from koby_s_ai_vector_db_spark.session import get_spark
+from koby_s_ai_vector_db_spark.sources.tables import TABLES
+
+SF_DIRS = {
+    "t1": "/root/testdata/sf0.001",
+    "t2": "/root/testdata/sf0.01",
+}
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("koby-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def assert_matches_oracle(spark_df, con, sql, check_rows=True):
+    """Driver-style comparison: sorted column names, multiset of rows."""
+    sdf = spark_df.toPandas()
+    odf = con.execute(sql).df()
+
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    assert s_cols == o_cols, f"schema mismatch: {s_cols} vs {o_cols}"
+    assert len(sdf) == len(odf), f"row count mismatch: {len(sdf)} vs {len(odf)}"
+    if not check_rows:
+        return
+
+    def rows(df):
+        return sorted(
+            tuple(_normalize_cell(v) for v in row)
+            for row in df[sorted(df.columns)].itertuples(index=False, name=None)
+        )
+
+    s_rows, o_rows = rows(sdf), rows(odf)
+    mismatches = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"

@@ -1,0 +1,32 @@
+"""Driver-mirror test: every registered query with an oracle must match
+DuckDB at sf0.01 (the driver's correctness gate) — auto-covers new queries
+as they are registered."""
+
+from __future__ import annotations
+
+import pytest
+
+from koby_s_ai_vector_db_spark import registry
+from tests.conftest import SF_DIRS, assert_matches_oracle, register_views
+
+SF_DIR = SF_DIRS["t2"]
+
+
+def _names():
+    return sorted(registry.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    register_views(duck, SF_DIR)
+    assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
+
+
+def test_all_queries_return_rows(spark):
+    """Queries without an oracle still must run and be non-degenerate."""
+    for name, fn in registry.queries().items():
+        df = fn(spark, SF_DIRS["t1"])
+        assert df.columns, name
+        df.limit(1).collect()  # must at least execute
