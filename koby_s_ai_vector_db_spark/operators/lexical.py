@@ -1,0 +1,120 @@
+"""Lexical search operators (SURVEY §2.3 Q3–Q6).
+
+Reference semantics (core/supabase_utils.py):
+
+Q3 `search_similar_contributions` (:280-312):
+    candidates = feedback WHERE status='approved' AND rating >= min_rating
+                 ORDER BY rating DESC LIMIT 100          -- cap is semantics
+    score = 1.0 if lower(q) is a substring of question or answer
+            else |tokens(q) ∩ tokens(question+' '+answer)| / max(|tokens(q)|,1)
+    keep score > 0; sort (score, rating) DESC; LIMIT n
+
+Q4 `search_qa_by_keyword` (:362-365): approved, recent-200, then
+    substring containment filter.
+
+Q5 `list_contributions` (:383-397): optional status eq + ILIKE on
+    question/answer, ORDER BY created_at DESC, offset/limit pagination,
+    exact total count.
+
+The reference's candidate caps rely on DB-unspecified tie order; we pin
+every ORDER BY with `id` so results are deterministic (FIXTURES.md
+determinism contract — a deliberate, documented divergence).
+
+Scale notes: the rating-ordered LIMIT-100 compiles to TakeOrderedAndProject
+(per-partition top-100, then merge — no global sort). The scoring pass is
+pure string expressions over ≤100 rows. Pagination uses row_number over a
+window; for deep pagination at scale prefer keyset (created_at < cursor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    """lower().split() — whitespace tokens, empties dropped (Python split)."""
+    return F.array_remove(F.split(F.lower(col), r"\s+"), "")
+
+
+def contribution_search(
+    feedback: DataFrame,
+    query: str,
+    limit: int = 5,
+    min_rating: float = 0.0,
+    candidate_cap: int = 100,
+) -> DataFrame:
+    """Q3: token-overlap scoring with substring short-circuit."""
+    q = query.lower()
+    q_tokens = [t for t in q.split() if t]
+    n_q = max(len(set(q_tokens)), 1)
+
+    cap_w = Window.orderBy(F.desc("rating"), F.asc("id"))
+    candidates = (
+        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating))
+        .withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= candidate_cap)
+        .drop("_rn")
+    )
+
+    ql, al = F.lower("question"), F.lower("answer")
+    contained = (F.instr(ql, q) > 0) | (F.instr(al, q) > 0)
+    overlap = F.size(
+        F.array_intersect(
+            F.lit(sorted(set(q_tokens))).cast("array<string>"),
+            F.concat(_tokens(F.col("question")), _tokens(F.col("answer"))),
+        )
+    )
+    score = F.when(contained, F.lit(1.0)).otherwise(overlap.cast("double") / F.lit(float(n_q)))
+
+    out_w = Window.orderBy(F.desc("similarity_score"), F.desc("rating"), F.asc("id"))
+    return (
+        candidates.withColumn("similarity_score", score)
+        .filter(F.col("similarity_score") > 0)
+        .withColumn("_rn", F.row_number().over(out_w))
+        .filter(F.col("_rn") <= limit)
+        .select("id", "question", "answer", "rating", "usage_count", "similarity_score")
+    )
+
+
+def keyword_search(
+    feedback: DataFrame,
+    keyword: str,
+    question_type: str | None = None,
+    recency_cap: int = 200,
+) -> DataFrame:
+    """Q4: containment filter over the 200 most recent approved rows."""
+    cand = feedback.filter(F.col("status") == "approved")
+    if question_type:
+        cand = cand.filter(F.col("question_type") == question_type)
+    w = Window.orderBy(F.desc("created_at"), F.asc("id"))
+    cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= recency_cap)
+    needle = keyword.lower()
+    hay = F.concat(F.lower("question"), F.lit(" "), F.lower("answer"))
+    return cand.filter(F.instr(hay, needle) > 0).select(
+        "id", "question", "answer", "question_type", "rating", "created_at"
+    )
+
+
+def list_contributions(
+    feedback: DataFrame,
+    status_filter: str = "all",
+    page: int = 1,
+    per_page: int = 20,
+    search_query: str = "",
+) -> DataFrame:
+    """Q5: ILIKE search + offset pagination + exact total count column."""
+    df = feedback
+    if status_filter != "all":
+        df = df.filter(F.col("status") == status_filter)
+    if search_query:
+        pat = f"%{search_query.lower()}%"
+        df = df.filter(F.lower("question").like(pat) | F.lower("answer").like(pat))
+    w = Window.orderBy(F.desc("created_at"), F.asc("id"))
+    lo, hi = (page - 1) * per_page + 1, page * per_page
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("total_count", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("_rn").between(lo, hi))
+        .select("id", "question", "answer", "status", "rating", "created_at", "total_count")
+    )

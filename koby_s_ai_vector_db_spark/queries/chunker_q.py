@@ -1,0 +1,79 @@
+"""T1/T4 chunker queries over `documents` (fixture docs are a few hundred
+chars, so windows are size=100/overlap=20 — same code path as the
+reference's 1000/200 defaults, pdf_qa/settings.py:58-59)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.chunker import chunk_documents
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+SIZE, OVERLAP = 100, 20
+STEP = SIZE - OVERLAP
+
+_T1_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS len
+    FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CASE WHEN len <= {SIZE} THEN 0
+                    ELSE CAST(floor((len - {SIZE} - 1) / {STEP}) AS BIGINT) + 1 END)) AS i
+    FROM d
+),
+chunks AS (
+    SELECT doc_id, i, trim(substr(text, i * {STEP} + 1, {SIZE})) AS chunk
+    FROM starts
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index,
+       chunk AS text,
+       length(chunk) AS char_count
+FROM chunks WHERE length(chunk) > 0
+"""
+
+
+@register("t1_chunker", _T1_ORACLE)
+def t1_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (utils.py:71-103) + T4 metadata projection (embed_pdfs.py:151-158)."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=SIZE, overlap=OVERLAP
+    )
+
+
+_A13_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS len
+    FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CASE WHEN len <= {SIZE} THEN 0
+                    ELSE CAST(floor((len - {SIZE} - 1) / {STEP}) AS BIGINT) + 1 END)) AS i
+    FROM d
+),
+kept AS (
+    SELECT doc_id FROM starts
+    WHERE length(trim(substr(text, i * {STEP} + 1, {SIZE}))) > 0
+)
+SELECT count(DISTINCT doc_id) AS unique_files, count(*) AS total_chunks
+FROM kept
+"""
+
+
+@register("a13_corpus_summary", _A13_ORACLE)
+def a13_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (core/apps.py:144-151): distinct-file + chunk-count summary."""
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=SIZE, overlap=OVERLAP
+    )
+    return chunks.agg(
+        F.countDistinct("doc_id").alias("unique_files"),
+        F.count("*").alias("total_chunks"),
+    )

@@ -11,6 +11,7 @@ vectors and metadata live in the same table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,7 +33,18 @@ NOW_TS = "2024-01-25 12:00:00"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet → pushdown/pruning-capable scan."""
+    """Read one fixture table. Parquet → pushdown/pruning-capable scan.
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and truncate to microseconds — exactly what
+    DuckDB does when it coerces ns → its µs TIMESTAMP, so both engines see
+    identical values. The conf is runtime-settable, so this works under the
+    driver's own SparkSession too.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
