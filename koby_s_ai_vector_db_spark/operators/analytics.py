@@ -12,12 +12,16 @@ recomputes wall-clock windows per request (core/session_utils.py:193-246).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.sources.tables import NOW_TS
 
-NOW = F.to_timestamp(F.lit(NOW_TS))
+
+def _now() -> Column:
+    """The pinned `now` as a Column — built lazily because creating literal
+    Columns requires an active SparkContext (breaks import-time eval)."""
+    return F.to_timestamp(F.lit(NOW_TS))
 
 
 def doc_summary(documents: DataFrame, chunks: DataFrame) -> DataFrame:
@@ -76,8 +80,8 @@ def recent_qa(feedback: DataFrame, question_type: str | None = None, limit: int 
 def live_users(events: DataFrame, window_minutes: int = 30) -> DataFrame:
     """A5 (session_utils.py:193-211): distinct users active in the last
     30 minutes. Filter → pushdown; count-distinct is one partial-agg pass."""
-    lo = NOW - F.expr(f"INTERVAL {window_minutes} MINUTES")
-    return events.filter((F.col("ts") >= lo) & (F.col("ts") <= NOW)).agg(
+    lo = _now() - F.expr(f"INTERVAL {window_minutes} MINUTES")
+    return events.filter((F.col("ts") >= lo) & (F.col("ts") <= _now())).agg(
         F.countDistinct("user_id").alias("live_users")
     )
 
@@ -86,10 +90,9 @@ def session_stats(events: DataFrame) -> DataFrame:
     """A6+A8+A12 (session_utils.py:213-246, views.py:1600-1612,874-876):
     one pass of conditional aggregates — total events, distinct users,
     today's events, live users, today's signups."""
-    today = F.date_trunc("DAY", NOW)
-    lo30 = NOW - F.expr("INTERVAL 30 MINUTES")
-    in_horizon = F.col("ts") <= NOW
-    return events.filter(F.col("ts") <= NOW).agg(
+    today = F.date_trunc("DAY", _now())
+    lo30 = _now() - F.expr("INTERVAL 30 MINUTES")
+    return events.filter(F.col("ts") <= _now()).agg(
         F.count("*").alias("total_events"),
         F.countDistinct("user_id").alias("total_users"),
         F.count(F.when(F.col("ts") >= today, 1)).alias("events_today"),
@@ -102,9 +105,9 @@ def session_stats(events: DataFrame) -> DataFrame:
 
 def activity_breakdown(events: DataFrame, days: int = 7) -> DataFrame:
     """A7 (session_utils.py:271-308): last-N-days per-type counts."""
-    lo = NOW - F.expr(f"INTERVAL {days} DAYS")
+    lo = _now() - F.expr(f"INTERVAL {days} DAYS")
     return (
-        events.filter((F.col("ts") >= lo) & (F.col("ts") <= NOW))
+        events.filter((F.col("ts") >= lo) & (F.col("ts") <= _now()))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -116,10 +119,10 @@ def activity_breakdown(events: DataFrame, days: int = 7) -> DataFrame:
 
 def user_activity(events: DataFrame, user_id: int, days: int = 7) -> DataFrame:
     """A7 per-user variant: one user's breakdown + total."""
-    lo = NOW - F.expr(f"INTERVAL {days} DAYS")
+    lo = _now() - F.expr(f"INTERVAL {days} DAYS")
     per_type = (
         events.filter(
-            (F.col("user_id") == user_id) & (F.col("ts") >= lo) & (F.col("ts") <= NOW)
+            (F.col("user_id") == user_id) & (F.col("ts") >= lo) & (F.col("ts") <= _now())
         )
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
@@ -133,7 +136,7 @@ def recent_users(events: DataFrame, limit: int = 10) -> DataFrame:
     """A10 (views.py:1620-1635): most recently first-seen users."""
     w = Window.orderBy(F.desc("first_seen"), F.asc("user_id"))
     return (
-        events.filter(F.col("ts") <= NOW)
+        events.filter(F.col("ts") <= _now())
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_seen"), F.count("*").alias("n_events"))
         .withColumn("rank", F.row_number().over(w))
@@ -144,10 +147,10 @@ def recent_users(events: DataFrame, limit: int = 10) -> DataFrame:
 def active_sessions(events: DataFrame, limit: int = 10) -> DataFrame:
     """A11 (views.py:1637-1654): top-N live sessions by last activity.
     'active' = last event within 30 minutes of now (session_utils.py:200)."""
-    lo30 = NOW - F.expr("INTERVAL 30 MINUTES")
+    lo30 = _now() - F.expr("INTERVAL 30 MINUTES")
     w = Window.orderBy(F.desc("last_activity"), F.asc("user_id"))
     return (
-        events.filter(F.col("ts") <= NOW)
+        events.filter(F.col("ts") <= _now())
         .groupBy("user_id")
         .agg(F.max("ts").alias("last_activity"), F.count("*").alias("n_events"))
         .filter(F.col("last_activity") >= lo30)

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.sources.tables import NOW_TS
 
-NOW = F.to_timestamp(F.lit(NOW_TS))
+def _now():
+    """Pinned `now` Column — lazy because literal Columns need a live
+    SparkContext (import-time eval breaks pytest collection)."""
+    return F.to_timestamp(F.lit(NOW_TS))
 
 
 def update_status(feedback: DataFrame, contribution_id: int, action: str) -> DataFrame:
@@ -59,9 +62,9 @@ def sessions_from_events(events: DataFrame) -> DataFrame:
     """Derive the reference's user_sessions shape (session_models.py:4-30)
     from the events log: one row per user with login/last-activity times and
     the 30-minute liveness rule (session_utils.py:200)."""
-    lo30 = NOW - F.expr("INTERVAL 30 MINUTES")
+    lo30 = _now() - F.expr("INTERVAL 30 MINUTES")
     return (
-        events.filter(F.col("ts") <= NOW)
+        events.filter(F.col("ts") <= _now())
         .groupBy("user_id")
         .agg(F.min("ts").alias("login_time"), F.max("ts").alias("last_activity"))
         .withColumn(
@@ -81,7 +84,7 @@ def terminate_session(sessions: DataFrame, user_id: int) -> DataFrame:
     """M4 (views.py:1775-1821): keyed terminate — set inactive + logout=now."""
     hit = F.col("user_id") == user_id
     return sessions.withColumn(
-        "logout_time", F.when(hit, NOW).otherwise(F.col("logout_time"))
+        "logout_time", F.when(hit, _now()).otherwise(F.col("logout_time"))
     ).withColumn(
         "is_active", F.when(hit, F.lit("inactive")).otherwise(F.col("is_active"))
     )
@@ -90,7 +93,7 @@ def terminate_session(sessions: DataFrame, user_id: int) -> DataFrame:
 def gc_sessions(sessions: DataFrame, hours: int = 24) -> DataFrame:
     """M5 (session_utils.py:248-269): DELETE inactive sessions whose logout
     is older than the horizon — expressed as the surviving anti-filter."""
-    horizon = NOW - F.expr(f"INTERVAL {hours} HOURS")
+    horizon = _now() - F.expr(f"INTERVAL {hours} HOURS")
     doomed = (F.col("is_active") == "inactive") & (F.col("logout_time") < horizon)
     return sessions.filter(~doomed)
 
@@ -107,17 +110,22 @@ def flip_catalog_status(documents: DataFrame, chunks: DataFrame) -> DataFrame:
             "status",
             F.when(F.col("chunk_count") > 0, F.lit("indexed")).otherwise(F.lit("uploaded")),
         )
-        .withColumn("indexed_at", F.when(F.col("status") == "indexed", NOW))
+        .withColumn("indexed_at", F.when(F.col("status") == "indexed", _now()))
     )
 
 
 def upsert_users(existing: DataFrame, updates: DataFrame, key: str = "user_id") -> DataFrame:
     """S9's upsert (supabase_utils.py:63-88, on_conflict=django_user_id):
-    union + keep-latest-per-key. At scale: MERGE INTO on a keyed table."""
-    w = Window.partitionBy(key).orderBy(F.desc("updated_at"))
+    union + keep-latest-per-key. At scale: MERGE INTO on a keyed table.
+
+    Ties on updated_at resolve to the `updates` side (MERGE "WHEN MATCHED
+    THEN UPDATE" semantics) — a deterministic secondary sort key per the
+    FIXTURES.md determinism contract."""
+    w = Window.partitionBy(key).orderBy(F.desc("updated_at"), F.desc("_src"))
     return (
-        existing.unionByName(updates)
+        existing.withColumn("_src", F.lit(0))
+        .unionByName(updates.withColumn("_src", F.lit(1)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_src")
     )

@@ -1,7 +1,9 @@
 """Side-effect imports: every submodule registers its queries on import."""
 
 from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
+    analytics_q,
     chunker_q,
     lexical_q,
+    mutations_q,
     vector_q,
 )

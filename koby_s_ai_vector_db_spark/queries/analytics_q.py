@@ -1,0 +1,244 @@
+"""Analytics queries (SURVEY §2.4 A1–A12) wired to fixtures + DuckDB oracles.
+
+Covers the reference's admin-dashboard surface: per-file doc summaries
+(core/views.py:459-477), contribution analytics (core/supabase_utils.py:
+315-359), live-user / session stats (core/session_utils.py:193-246),
+activity breakdowns (core/session_utils.py:271-308) and the top-N
+projections (core/views.py:1600-1654).
+
+Every now-relative window is pinned to NOW_TS (sources/tables.py) so both
+engines see identical cutoffs. All ORDER BYs carry an id tiebreaker per the
+FIXTURES.md determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from koby_s_ai_vector_db_spark.operators.analytics import (
+    active_sessions,
+    activity_breakdown,
+    contribution_analytics,
+    doc_summary,
+    live_users,
+    pending_count,
+    recent_qa,
+    recent_users,
+    session_stats,
+    top_rated,
+    user_activity,
+)
+from koby_s_ai_vector_db_spark.operators.chunker import chunk_documents
+from koby_s_ai_vector_db_spark.queries.chunker_q import OVERLAP, SIZE, chunks_cte
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import (
+    NOW_TS,
+    feedback_cte,
+    feedback_view,
+    load_table,
+)
+
+NOW = f"TIMESTAMP '{NOW_TS}'"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feedback_view(spark, sf_dir)
+
+
+_A1_ORACLE = (
+    chunks_cte()
+    + f"""
+, per_doc AS (
+    SELECT doc_id, count(*) AS chunk_count, sum(char_count) AS total_chars
+    FROM chunk_rows GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(p.chunk_count), 0) AS BIGINT) AS chunk_count,
+       CAST(coalesce(sum(p.total_chars), 0) AS BIGINT) AS total_chars
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+"""
+)
+
+
+@register("a1_doc_summary", _A1_ORACLE)
+def a1_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (views.py:459-477): per-source doc/chunk/char rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=SIZE, overlap=OVERLAP)
+    return doc_summary(docs, chunks)
+
+
+_A2_ORACLE = feedback_cte(
+    """
+SELECT question_type,
+       count(*) AS total_contributions,
+       round(coalesce(avg(rating), 0.0), 6) AS average_rating,
+       count(CASE WHEN status = 'approved' THEN 1 END) AS approved_count
+FROM feedback GROUP BY question_type
+"""
+)
+
+
+@register("a2_contribution_analytics", _A2_ORACLE)
+def a2_contribution_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (supabase_utils.py:315-330): per-type totals + avg rating."""
+    return contribution_analytics(_feedback(spark, sf_dir))
+
+
+_A3_ORACLE = feedback_cte(
+    """
+, ranked AS (
+    SELECT id, question, rating,
+           row_number() OVER (ORDER BY rating DESC, id ASC) AS rank
+    FROM feedback WHERE status = 'approved'
+)
+SELECT id, question, rating, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
+@register("a3_top_rated", _A3_ORACLE)
+def a3_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (supabase_utils.py:333-335): top-10 approved by rating."""
+    return top_rated(_feedback(spark, sf_dir), limit=10)
+
+
+_A4_ORACLE = feedback_cte(
+    """
+, ranked AS (
+    SELECT id, question, question_type, created_at,
+           row_number() OVER (ORDER BY created_at DESC, id ASC) AS rank
+    FROM feedback WHERE status = 'approved'
+)
+SELECT id, question, question_type, created_at, rank FROM ranked WHERE rank <= 20
+"""
+)
+
+
+@register("a4_recent_qa", _A4_ORACLE)
+def a4_recent_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (supabase_utils.py:338-359): recent-20 approved."""
+    return recent_qa(_feedback(spark, sf_dir), limit=20)
+
+
+_A5_ORACLE = f"""
+SELECT count(DISTINCT user_id) AS live_users
+FROM events
+WHERE ts >= {NOW} - INTERVAL 30 MINUTE AND ts <= {NOW}
+"""
+
+
+@register("a5_live_users", _A5_ORACLE)
+def a5_live_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (session_utils.py:193-211): distinct users in the last 30 min."""
+    return live_users(_events(spark, sf_dir))
+
+
+_A6_ORACLE = f"""
+SELECT count(*) AS total_events,
+       count(DISTINCT user_id) AS total_users,
+       count(CASE WHEN ts >= date_trunc('day', {NOW}) THEN 1 END) AS events_today,
+       count(DISTINCT CASE WHEN ts >= {NOW} - INTERVAL 30 MINUTE
+                           THEN user_id END) AS live_users,
+       count(CASE WHEN ts >= date_trunc('day', {NOW})
+                   AND event_type = 'signup' THEN 1 END) AS signups_today
+FROM events WHERE ts <= {NOW}
+"""
+
+
+@register("a6_session_stats", _A6_ORACLE)
+def a6_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A8+A12 (session_utils.py:213-246, views.py:1600-1612,874-876):
+    one conditional-aggregate pass."""
+    return session_stats(_events(spark, sf_dir))
+
+
+_A7_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE ts >= {NOW} - INTERVAL 7 DAY AND ts <= {NOW}
+GROUP BY event_type
+"""
+
+
+@register("a7_activity_breakdown", _A7_ORACLE)
+def a7_activity_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (session_utils.py:271-308): last-7-days per-type counts."""
+    return activity_breakdown(_events(spark, sf_dir), days=7)
+
+
+_A7U_ORACLE = f"""
+WITH per_type AS (
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    WHERE user_id = 7 AND ts >= {NOW} - INTERVAL 7 DAY AND ts <= {NOW}
+    GROUP BY event_type
+)
+SELECT event_type, n_events, CAST(sum(n_events) OVER () AS BIGINT) AS total_events
+FROM per_type
+"""
+
+
+@register("a7_user_activity", _A7U_ORACLE)
+def a7_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-user variant (session_utils.py:271-308, user_id=7)."""
+    return user_activity(_events(spark, sf_dir), user_id=7, days=7)
+
+
+_A9_ORACLE = feedback_cte(
+    "SELECT count(*) AS pending_count FROM feedback WHERE status = 'pending'"
+)
+
+
+@register("a9_pending_count", _A9_ORACLE)
+def a9_pending_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (views.py:1614-1618): pending contribution count."""
+    return pending_count(_feedback(spark, sf_dir))
+
+
+_A10_ORACLE = f"""
+WITH users AS (
+    SELECT user_id, min(ts) AS first_seen, count(*) AS n_events
+    FROM events WHERE ts <= {NOW} GROUP BY user_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY first_seen DESC, user_id ASC) AS rank
+    FROM users
+)
+SELECT user_id, first_seen, n_events, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("a10_recent_users", _A10_ORACLE)
+def a10_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (views.py:1620-1635): 10 most recently first-seen users."""
+    return recent_users(_events(spark, sf_dir), limit=10)
+
+
+_A11_ORACLE = f"""
+WITH sessions AS (
+    SELECT user_id, max(ts) AS last_activity, count(*) AS n_events
+    FROM events WHERE ts <= {NOW} GROUP BY user_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY last_activity DESC, user_id ASC) AS rank
+    FROM sessions
+    WHERE last_activity >= {NOW} - INTERVAL 30 MINUTE
+)
+SELECT user_id, last_activity, n_events, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("a11_active_sessions", _A11_ORACLE)
+def a11_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (views.py:1637-1654): top-10 live sessions by last activity."""
+    return active_sessions(_events(spark, sf_dir), limit=10)

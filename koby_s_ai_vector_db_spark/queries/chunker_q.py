@@ -14,7 +14,13 @@ from koby_s_ai_vector_db_spark.sources.tables import load_table
 SIZE, OVERLAP = 100, 20
 STEP = SIZE - OVERLAP
 
-_T1_ORACLE = f"""
+
+def chunks_cte(size: int = SIZE, overlap: int = OVERLAP) -> str:
+    """DuckDB CTE text yielding `chunk_rows(doc_id, chunk_index, text,
+    char_count)` — the oracle twin of operators.chunker.chunk_documents.
+    Reused by every oracle that consumes the derived chunks table."""
+    step = size - overlap
+    return f"""
 WITH d AS (
     SELECT doc_id, text, length(text) AS len
     FROM documents WHERE length(trim(text)) > 0
@@ -22,20 +28,24 @@ WITH d AS (
 starts AS (
     SELECT doc_id, text,
            unnest(generate_series(0,
-               CASE WHEN len <= {SIZE} THEN 0
-                    ELSE CAST(floor((len - {SIZE} - 1) / {STEP}) AS BIGINT) + 1 END)) AS i
+               CASE WHEN len <= {size} THEN 0
+                    ELSE CAST(floor((len - {size} - 1) / {step}) AS BIGINT) + 1 END)) AS i
     FROM d
 ),
-chunks AS (
-    SELECT doc_id, i, trim(substr(text, i * {STEP} + 1, {SIZE})) AS chunk
+raw_chunks AS (
+    SELECT doc_id, i, trim(substr(text, i * {step} + 1, {size})) AS chunk
     FROM starts
-)
-SELECT doc_id,
-       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index,
-       chunk AS text,
-       length(chunk) AS char_count
-FROM chunks WHERE length(chunk) > 0
-"""
+),
+chunk_rows AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index,
+           chunk AS text,
+           length(chunk) AS char_count
+    FROM raw_chunks WHERE length(chunk) > 0
+)"""
+
+
+_T1_ORACLE = chunks_cte() + "\nSELECT doc_id, chunk_index, text, char_count FROM chunk_rows"
 
 
 @register("t1_chunker", _T1_ORACLE)
@@ -46,25 +56,10 @@ def t1_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_A13_ORACLE = f"""
-WITH d AS (
-    SELECT doc_id, text, length(text) AS len
-    FROM documents WHERE length(trim(text)) > 0
-),
-starts AS (
-    SELECT doc_id, text,
-           unnest(generate_series(0,
-               CASE WHEN len <= {SIZE} THEN 0
-                    ELSE CAST(floor((len - {SIZE} - 1) / {STEP}) AS BIGINT) + 1 END)) AS i
-    FROM d
-),
-kept AS (
-    SELECT doc_id FROM starts
-    WHERE length(trim(substr(text, i * {STEP} + 1, {SIZE}))) > 0
+_A13_ORACLE = (
+    chunks_cte()
+    + "\nSELECT count(DISTINCT doc_id) AS unique_files, count(*) AS total_chunks FROM chunk_rows"
 )
-SELECT count(DISTINCT doc_id) AS unique_files, count(*) AS total_chunks
-FROM kept
-"""
 
 
 @register("a13_corpus_summary", _A13_ORACLE)

@@ -1,0 +1,213 @@
+"""Mutation queries (SURVEY §2.5 M1–M7, S9) wired to fixtures + oracles.
+
+The reference mutates rows in place (Postgres UPDATE/DELETE/upsert —
+supabase_utils.py:368-406, views.py:1162-1821, session_utils.py:248-269).
+Here each mutation is a pure conditional rewrite whose *result table* is
+checked against the oracle: proving the rewrite is exactly the reference's
+UPDATE is the correctness claim. The write side is a plain
+`df.write` / MERGE and is exercised separately in tests.
+
+Sessions are derived from the events log (M7) and feed M4/M5; feedback
+feeds M1–M3; documents+chunks feed M6; S9 upserts two per-user rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.chunker import chunk_documents
+from koby_s_ai_vector_db_spark.operators.mutations import (
+    approve_all_pending,
+    bulk_update_status,
+    flip_catalog_status,
+    gc_sessions,
+    sessions_from_events,
+    terminate_session,
+    update_status,
+    upsert_users,
+)
+from koby_s_ai_vector_db_spark.queries.chunker_q import OVERLAP, SIZE, chunks_cte
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import (
+    NOW_TS,
+    feedback_cte,
+    feedback_view,
+    load_table,
+)
+
+NOW = f"TIMESTAMP '{NOW_TS}'"
+
+M1_ID = 42
+M2_IDS = (5, 10, 15, 20, 25, 30)
+
+# Shared oracle CTE: the M7 session derivation (sessions_from_events).
+_SESSIONS_CTE = f"""
+WITH grouped AS (
+    SELECT user_id, min(ts) AS login_time, max(ts) AS last_activity
+    FROM events WHERE ts <= {NOW} GROUP BY user_id
+),
+sessions AS (
+    SELECT user_id, login_time, last_activity,
+           CASE WHEN last_activity >= {NOW} - INTERVAL 30 MINUTE
+                THEN 'active' ELSE 'inactive' END AS is_active,
+           CASE WHEN last_activity >= {NOW} - INTERVAL 30 MINUTE
+                THEN NULL ELSE last_activity END AS logout_time
+    FROM grouped
+)"""
+
+
+@register(
+    "m1_update_status",
+    feedback_cte(
+        f"""
+SELECT id, CASE WHEN id = {M1_ID} THEN 'approved' ELSE status END AS status
+FROM feedback
+"""
+    ),
+)
+def m1_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (supabase_utils.py:400-406): single-row status flip, full table out."""
+    return update_status(feedback_view(spark, sf_dir), M1_ID, "approve").select("id", "status")
+
+
+@register(
+    "m2_bulk_update_status",
+    feedback_cte(
+        f"""
+SELECT id, CASE WHEN id IN {M2_IDS} THEN 'rejected' ELSE status END AS status
+FROM feedback
+"""
+    ),
+)
+def m2_bulk_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (views.py:1162-1202): one conditional rewrite for the id list."""
+    return bulk_update_status(feedback_view(spark, sf_dir), M2_IDS, "reject").select(
+        "id", "status"
+    )
+
+
+@register(
+    "m3_approve_all_pending",
+    feedback_cte(
+        """
+SELECT status, count(*) AS n
+FROM (SELECT CASE WHEN status = 'pending' THEN 'approved' ELSE status END AS status
+      FROM feedback)
+GROUP BY status
+"""
+    ),
+)
+def m3_approve_all_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 (supabase_utils.py:368-380): pending→approved; post-state counts."""
+    return approve_all_pending(feedback_view(spark, sf_dir)).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+_M7_ORACLE = _SESSIONS_CTE + "\nSELECT * FROM sessions"
+
+
+@register("m7_sessions_from_events", _M7_ORACLE)
+def m7_sessions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (session_utils.py:66-191): events → user_sessions derivation with
+    the 30-minute liveness rule."""
+    return sessions_from_events(load_table(spark, sf_dir, "events"))
+
+
+_M4_ORACLE = (
+    _SESSIONS_CTE
+    + f"""
+SELECT user_id, login_time, last_activity,
+       CASE WHEN user_id = 7 THEN 'inactive' ELSE is_active END AS is_active,
+       CASE WHEN user_id = 7 THEN {NOW} ELSE logout_time END AS logout_time
+FROM sessions
+"""
+)
+
+
+@register("m4_terminate_session", _M4_ORACLE)
+def m4_terminate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (views.py:1775-1821): keyed terminate of user 7's session."""
+    return terminate_session(sessions_from_events(load_table(spark, sf_dir, "events")), 7)
+
+
+_M5_ORACLE = (
+    _SESSIONS_CTE
+    + f"""
+SELECT * FROM sessions
+WHERE NOT (is_active = 'inactive' AND logout_time < {NOW} - INTERVAL 24 HOUR)
+"""
+)
+
+
+@register("m5_gc_sessions", _M5_ORACLE)
+def m5_gc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (session_utils.py:248-269): 24h GC as the surviving anti-filter."""
+    return gc_sessions(sessions_from_events(load_table(spark, sf_dir, "events")), hours=24)
+
+
+_M6_ORACLE = (
+    chunks_cte()
+    + f"""
+, counts AS (
+    SELECT doc_id, count(*) AS chunk_count FROM chunk_rows GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.chunk_count, 0) AS BIGINT) AS chunk_count,
+       CASE WHEN coalesce(c.chunk_count, 0) > 0 THEN 'indexed' ELSE 'uploaded' END AS status,
+       CASE WHEN coalesce(c.chunk_count, 0) > 0 THEN {NOW} END AS indexed_at
+FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+)
+
+
+@register("m6_flip_catalog_status", _M6_ORACLE)
+def m6_flip_catalog_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (supabase_utils.py:244-246): post-ingest catalog flip."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=SIZE, overlap=OVERLAP)
+    return flip_catalog_status(docs, chunks).select(
+        "doc_id", "chunk_count", "status", "indexed_at"
+    )
+
+
+_S9_ORACLE = f"""
+WITH e AS (SELECT * FROM events WHERE ts <= {NOW}),
+existing AS (
+    SELECT user_id, max(ts) AS updated_at, count(*) AS n_events,
+           'browse' AS src, 0 AS _src
+    FROM e WHERE event_type IN ('view', 'click') GROUP BY user_id
+),
+updates AS (
+    SELECT user_id, max(ts) AS updated_at, count(*) AS n_events,
+           'txn' AS src, 1 AS _src
+    FROM e WHERE event_type IN ('purchase', 'signup', 'error') GROUP BY user_id
+),
+unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY updated_at DESC, _src DESC) AS rn
+    FROM unioned
+)
+SELECT user_id, updated_at, n_events, src FROM ranked WHERE rn = 1
+"""
+
+
+@register("s9_upsert_users", _S9_ORACLE)
+def s9_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (supabase_utils.py:63-88): keep-latest upsert of two per-user
+    rollups; updated_at ties resolve to the updates side (MERGE semantics)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") <= F.to_timestamp(F.lit(NOW_TS)))
+
+    def rollup(types: list[str], src: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type").isin(types))
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("updated_at"), F.count("*").alias("n_events"))
+            .withColumn("src", F.lit(src))
+        )
+
+    existing = rollup(["view", "click"], "browse")
+    updates = rollup(["purchase", "signup", "error"], "txn")
+    return upsert_users(existing, updates, key="user_id")
