@@ -77,6 +77,60 @@ def contribution_search(
     )
 
 
+def contribution_search_multi(
+    feedback: DataFrame,
+    queries: DataFrame,
+    limit: int = 5,
+    min_rating: float = 0.0,
+    candidate_cap: int = 100,
+) -> DataFrame:
+    """Q3 batched over a query table (query_id, query_text).
+
+    Same semantics as contribution_search (supabase_utils.py:280-312) but
+    the query side is a DataFrame: the candidate cap is computed once
+    (query-independent), then a broadcast join scores |queries|·cap rows —
+    the scoring stage stays map-only regardless of corpus size because the
+    cap bounds the candidate set by construction.
+
+    Returns (query_id, id, question, answer, rating, usage_count,
+    similarity_score, crank), crank ∈ 1..limit per query.
+    """
+    cap_w = Window.orderBy(F.desc("rating"), F.asc("id"))
+    candidates = (
+        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating))
+        .withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= candidate_cap)
+        .drop("_rn")
+    )
+
+    j = candidates.join(F.broadcast(queries.select("query_id", "query_text")))
+    q_tokens = F.array_distinct(_tokens(F.col("query_text")))
+    contained = F.expr(
+        "instr(lower(question), lower(query_text)) > 0"
+        " OR instr(lower(answer), lower(query_text)) > 0"
+    )
+    overlap = F.size(
+        F.array_intersect(q_tokens, F.concat(_tokens(F.col("question")), _tokens(F.col("answer"))))
+    )
+    score = F.when(contained, F.lit(1.0)).otherwise(
+        overlap.cast("double") / F.size(q_tokens).cast("double")
+    )
+
+    out_w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity_score"), F.desc("rating"), F.asc("id")
+    )
+    return (
+        j.withColumn("similarity_score", score)
+        .filter(F.col("similarity_score") > 0)
+        .withColumn("crank", F.row_number().over(out_w))
+        .filter(F.col("crank") <= limit)
+        .select(
+            "query_id", "id", "question", "answer", "rating", "usage_count",
+            "similarity_score", "crank",
+        )
+    )
+
+
 def keyword_search(
     feedback: DataFrame,
     keyword: str,
@@ -103,7 +157,14 @@ def list_contributions(
     per_page: int = 20,
     search_query: str = "",
 ) -> DataFrame:
-    """Q5: ILIKE search + offset pagination + exact total count column."""
+    """Q5: ILIKE search + offset pagination + exact total count column.
+
+    total_count is a separate 1-row aggregate broadcast-crossJoined onto
+    the page — NOT an unpartitioned window, which would funnel every
+    filtered row through a single task with no truncation. The page window
+    itself is WindowGroupLimit-eligible (rank filter ≤ hi), so each task
+    pre-truncates to its local top-hi before the merge.
+    """
     df = feedback
     if status_filter != "all":
         df = df.filter(F.col("status") == status_filter)
@@ -112,9 +173,10 @@ def list_contributions(
         df = df.filter(F.lower("question").like(pat) | F.lower("answer").like(pat))
     w = Window.orderBy(F.desc("created_at"), F.asc("id"))
     lo, hi = (page - 1) * per_page + 1, page * per_page
+    total = df.agg(F.count("*").alias("total_count"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("total_count", F.count("*").over(Window.partitionBy()))
         .filter(F.col("_rn").between(lo, hi))
+        .crossJoin(F.broadcast(total))
         .select("id", "question", "answer", "status", "rating", "created_at", "total_count")
     )

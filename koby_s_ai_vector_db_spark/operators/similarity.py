@@ -47,17 +47,23 @@ def topk_cosine(
     query_vec_col: str = "query_vec",
     pre_normalized: bool = False,
     round_to: int | None = 6,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Q1: exact top-k cosine per query, threshold applied AFTER ranking.
 
     corpus:  (corpus_id, vec_col, ...)   — the big side, arbitrary size
     queries: (query_id, query_vec_col)   — small; broadcast
     Returns (query_id, corpus_id, sim, rank), rank ∈ 1..k, sim >= threshold.
+    exclude_self drops corpus rows whose id equals the query id (for query
+    sets drawn from the corpus itself, e.g. the fusion family's fixtures).
     """
     c = corpus if pre_normalized else corpus.withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
-    scored = c.join(F.broadcast(q)).withColumn("sim", dot(vec_col, query_vec_col))
+    scored = c.join(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    scored = scored.withColumn("sim", dot(vec_col, query_vec_col))
 
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     ranked = (
@@ -76,6 +82,7 @@ def knn_self_join(
     id_col: str = "vec_id",
     queries: DataFrame | None = None,
     round_to: int | None = 6,
+    allow_full_self_join: bool = False,
 ) -> DataFrame:
     """All-pairs k-NN (each vector's top-k neighbours, self excluded
     *before* ranking). `queries` optionally restricts the query side.
@@ -83,8 +90,18 @@ def knn_self_join(
     At fixture scale this is a broadcast O(N²) scan. At 100 TB you don't
     run exact all-pairs — use minhash/LSH blocking (operators/dedup.py) or
     ivf_topk below to cut the candidate space first; this exact variant is
-    the correctness oracle for those.
+    the correctness oracle for those. Because `queries=None` broadcasts the
+    ENTIRE corpus (quadratic work + unbounded broadcast → executor OOM at
+    scale), the full self-join now requires an explicit opt-in.
     """
+    if queries is None and not allow_full_self_join:
+        raise ValueError(
+            "knn_self_join with queries=None broadcasts the full corpus — "
+            "quadratic at scale. Pass a bounded `queries` DataFrame, use "
+            "operators/dedup.py (MinHash LSH blocking) or ivf_topk for the "
+            "scalable tier, or opt in with allow_full_self_join=True for "
+            "small corpora."
+        )
     c = embeddings.withColumn(vec_col, l2_normalize(vec_col))
     q = queries if queries is not None else embeddings
     q = q.select(F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("query_vec"))
