@@ -1,0 +1,250 @@
+"""Near-duplicate detection: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+This is the scalable-dedup pillar the reference lacks (SURVEY §2.7 north
+star): the reference's only similarity machinery is the FAISS/pgvector
+vector search (core/utils.py:194-254, supabase_schema.sql:137-171); a
+100 TB training-data pipeline also needs text-level near-dup removal.
+
+Scale design
+------------
+Exact all-pairs comparison is quadratic — never run it on the corpus.
+Every operator here follows the same shape:
+
+  1. per-row signature, map-only, JVM-side (md5-based portable hashes so
+     the DuckDB oracle computes bit-identical values — functions/hashing.py)
+  2. candidate generation by *blocking*: rows sharing an LSH band bucket
+     (MinHash) or a signature byte-block (SimHash) — shuffle keyed on the
+     bucket, bucket sizes bounded w.h.p.
+  3. exact verification ONLY on candidate pairs (Jaccard over shingle
+     sets / Hamming distance), a join bounded by candidate count.
+
+The expensive O(N²) scan never happens; the only shuffles are the bucket
+group-join and the pair-verify join. The exact brute-force variants
+(ngram_jaccard_join with a bounded query side, similarity.knn_self_join)
+remain as correctness oracles for recall measurement.
+
+MinHash parameters: 24 hashes in 8 bands × 3 rows. For Jaccard j the
+candidate probability is 1-(1-j³)⁸ — ≈0.94 at j=2/3 (our planted
+near-dups), ≈1e-7 for unrelated fixture pairs (j≈0.001).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 2147483647  # 2^31 - 1: a*h+b stays < 2^62, safe in BIGINT on both engines
+N_HASHES = 24
+BANDS = 8
+ROWS = 3
+assert BANDS * ROWS == N_HASHES
+
+# Fixed affine permutation constants, embedded as literals in both the
+# Spark expressions and the DuckDB oracle SQL (seeded → reproducible).
+_rng = random.Random(20260813)
+HASH_PARAMS = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(N_HASHES)]
+
+NGRAM_N = 3
+
+# SQL fragments shared verbatim between engines ------------------------------
+
+_WORDS = "array_remove(split(lower({col}), '\\\\s+'), '')"
+
+
+def words_expr(col: str) -> Column:
+    """Whitespace word tokens of a string column (empties dropped)."""
+    return F.expr(_WORDS.format(col=col))
+
+
+def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
+    """Distinct word n-gram shingles, JVM-side. Rows with < n words yield
+    an empty array (callers filter)."""
+    w = _WORDS.format(col=col)
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({w}) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({w}, i, {n}))))"
+    )
+
+
+_H32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def shingle_hashes_expr(grams_col: str) -> Column:
+    """One md5-derived 32-bit hash per shingle, reduced mod P — computed
+    once and reused by all N_HASHES affine permutations."""
+    return F.expr(f"transform({grams_col}, x -> {_H32.format(x='x')} % {P}L)")
+
+
+def minhash_sig_expr(hashes_col: str) -> Column:
+    """MinHash signature over a precomputed shingle-hash array: array<long>
+    of N_HASHES minima of affine permutations — pure integer arithmetic,
+    map-only, inside codegen."""
+    mins = ", ".join(
+        f"array_min(transform({hashes_col}, x -> ({a}L * x + {b}L) % {P}L))"
+        for a, b in HASH_PARAMS
+    )
+    return F.expr(f"array({mins})")
+
+
+def band_keys_expr(sig_col: str) -> Column:
+    """BANDS strings, each joining ROWS consecutive signature values."""
+    return F.expr(
+        f"transform(sequence(0, {BANDS - 1}), j ->"
+        f" concat_ws(',', transform(slice({sig_col}, j * {ROWS} + 1, {ROWS}),"
+        f" v -> CAST(v AS STRING))))"
+    )
+
+
+def jaccard(a: str, b: str) -> Column:
+    """Exact Jaccard over two (distinct-element) array columns."""
+    return F.size(F.array_intersect(F.col(a), F.col(b))).cast("double") / F.size(
+        F.array_union(F.col(a), F.col(b))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on the raw text. One shuffle keyed by
+    text hash; at scale group on md5(text) so the shuffle key is 16 bytes,
+    not the document."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash → banded LSH buckets → candidate pairs → exact-Jaccard
+    verify. Returns (doc_id_a, doc_id_b, jaccard) with a < b and
+    jaccard >= threshold.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g")
+    ).filter(F.size("g") > 0)
+    sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
+        "sig", minhash_sig_expr("_h")
+    )
+    bands = sigs.select(
+        "_id", F.posexplode(band_keys_expr("sig")).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("ai"), F.col("b._id").alias("bi"))
+        .distinct()
+    )
+    ga = grams.select(F.col("_id").alias("ai"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("_id").alias("bi"), F.col("g").alias("gb"))
+    return (
+        cand.join(ga, "ai")
+        .join(gb, "bi")
+        .withColumn("jaccard", jaccard("ga", "gb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("ai").alias("doc_id_a"),
+            F.col("bi").alias("doc_id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash_expr(text_col: str) -> Column:
+    """32-bit SimHash over word tokens (with multiplicity), as a single
+    map-only aggregate expression: per-token md5-derived hash, bitwise
+    vote accumulated in an int array, majority → bit. No shuffle."""
+    toks = _WORDS.format(col=text_col)
+    th = f"transform({toks}, t -> {_H32.format(x='t')})"
+    return F.expr(
+        f"aggregate({th}, array_repeat(0L, 32),"
+        " (acc, h) -> zip_with(acc,"
+        "   transform(sequence(0, 31), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
+        "   (a, x) -> a + x),"
+        " acc -> aggregate(zip_with(acc, sequence(0, 31),"
+        "   (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x))"
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash blocking: 4 byte-blocks per 32-bit signature; any pair
+    within Hamming distance 3 shares at least one identical block
+    (pigeonhole), so blocking loses nothing at max_hamming <= 3.
+    Returns (doc_id_a, doc_id_b, hamming), a < b."""
+    sigs = docs.select(F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh"))
+    blocks = sigs.select(
+        "_id",
+        "sh",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), j -> (sh >> (j * 8)) & 255L)")
+        ).alias("block_id", "block_val"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_id_a"),
+            F.col("b._id").alias("doc_id_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def ngram_jaccard_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard top-k join: bounded broadcast query side
+    against the corpus (the brute-force tier; LSH above is the scale
+    path). Rank-then-filter like Q1. Returns (query_id, doc_id, jaccard,
+    rank)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(id_col, shingles_expr(text_col).alias("cg")).filter(F.size("cg") > 0)
+    q = queries.select(
+        F.col(id_col).alias(query_id), shingles_expr(text_col).alias("qg")
+    ).filter(F.size("qg") > 0)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col(query_id) != F.col(id_col))
+        .withColumn("jaccard", jaccard("qg", "cg"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("jaccard"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("jaccard") >= threshold)
+        .select(query_id, id_col, F.round("jaccard", 6).alias("jaccard"), "rank")
+    )

@@ -3,6 +3,7 @@
 from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     analytics_q,
     chunker_q,
+    dedup_q,
     fusion_q,
     lexical_q,
     mutations_q,

@@ -1,0 +1,247 @@
+"""Dedup queries over a derived corpus with planted duplicates.
+
+The fixture documents are random text (max pairwise 3-gram Jaccard ≈0.02 —
+no natural near-dups), so both engines derive `docs_dd` from `documents`
+with deterministic planted duplicates:
+
+  - exact copies   (doc_id % 17 == 0 → +1,000,000, same text)
+  - near copies    (doc_id % 10 == 0 → +2,000,000, 80% prefix ⇒ 3-gram
+                    Jaccard ≈ 2/3 vs the original)
+
+and `emb_dd` from `embeddings` (vec_id % 10 == 0 → +1,000,000, first
+component shifted by +0.5 ⇒ cosine 0.88–0.92 vs the original). The oracle SQL
+mirrors every hash/permutation constant, so the check validates the exact
+MinHash/SimHash pipeline, not just the idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.vectors import sql_normalize
+from koby_s_ai_vector_db_spark.operators.dedup import (
+    BANDS,
+    HASH_PARAMS,
+    P,
+    ROWS,
+    exact_dup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_join,
+    simhash_near_dup_pairs,
+)
+from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+# Runs verbatim on both engines (ANSI subset).
+DOCS_DD_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+# Engine-specific renderings (array indexing is 0-based in Spark SQL,
+# 1-based in DuckDB).
+EMB_DD_SPARK = """
+SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       concat(array(CAST(embedding[0] AS DOUBLE) + 0.5),
+              transform(slice(embedding, 2, size(embedding) - 1), x -> CAST(x AS DOUBLE)))
+           AS embedding
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+EMB_DD_DUCK = """
+SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_concat([embedding[1]::DOUBLE + 0.5],
+                   list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _docs_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(DOCS_DD_SQL)
+
+
+def _emb_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(EMB_DD_SPARK)
+
+
+# Shared DuckDB CTE: docs_dd → words → distinct 3-gram shingles.
+_GRAMS_CTE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL}),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM docs_dd
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS g
+    FROM words WHERE len(w) >= 3
+)"""
+
+_JACCARD = (
+    "len(list_intersect({a}, {b}))::DOUBLE / len(list_distinct(list_concat({a}, {b})))"
+)
+
+
+_EXACT_ORACLE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL})
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM docs_dd GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text; emits groups with >1 copy."""
+    return exact_dup_groups(_docs_dd(spark, sf_dir))
+
+
+_SIG_DUCK = "[" + ", ".join(
+    f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in HASH_PARAMS
+) + "]"
+
+_MINHASH_ORACLE = _GRAMS_CTE + f"""
+, hs AS (
+    SELECT doc_id, g,
+           list_transform(g, x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % {P}) AS h
+    FROM grams
+),
+sigs AS (SELECT doc_id, {_SIG_DUCK} AS sig FROM hs),
+bands AS (
+    SELECT doc_id, j,
+           CAST(sig[j * {ROWS} + 1] AS VARCHAR) || ',' ||
+           CAST(sig[j * {ROWS} + 2] AS VARCHAR) || ',' ||
+           CAST(sig[j * {ROWS} + 3] AS VARCHAR) AS band_key
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, {BANDS})) AS j) _j
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+    FROM bands a JOIN bands b
+      ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jac AS (
+    SELECT ai, bi, {_JACCARD.format(a='ga.g', b='gb.g')} AS jaccard
+    FROM cand JOIN grams ga ON ai = ga.doc_id JOIN grams gb ON bi = gb.doc_id
+)
+SELECT ai AS doc_id_a, bi AS doc_id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (24 hashes) → banded LSH (8×3) → exact-Jaccard verify."""
+    return minhash_near_dup_pairs(_docs_dd(spark, sf_dir), threshold=0.5)
+
+
+_SIMHASH_ORACLE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL}),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM docs_dd
+),
+tok AS (
+    SELECT doc_id, unnest(list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) AS h
+    FROM words
+),
+bits AS (
+    SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) _b
+    GROUP BY doc_id, b
+),
+sh AS (
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+    FROM bits GROUP BY doc_id
+),
+blocks AS (
+    SELECT doc_id, sh, j, (sh >> (j * 8)) & 255 AS bv
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j) _j
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi, a.sh AS sha, b.sh AS shb
+    FROM blocks a JOIN blocks b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT ai AS doc_id_a, bi AS doc_id_b, bit_count(xor(sha, shb)) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash32 + byte-block LSH (exact for Hamming ≤ 3 by pigeonhole)."""
+    docs = _docs_dd(spark, sf_dir).filter(
+        F.size(F.expr("array_remove(split(lower(text), '\\\\s+'), '')")) > 0
+    )
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+_NGRAM_ORACLE = _GRAMS_CTE + f"""
+, q AS (
+    SELECT doc_id AS query_id, g AS qg FROM grams
+    WHERE doc_id >= 2000000 AND doc_id <= 2000070
+),
+scored AS (
+    SELECT q.query_id, c.doc_id, {_JACCARD.format(a='q.qg', b='c.g')} AS jaccard
+    FROM grams c CROSS JOIN q WHERE c.doc_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jaccard DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, round(jaccard, 6) AS jaccard, rank
+FROM ranked WHERE rank <= 3 AND jaccard >= 0.3
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard top-3 join: planted near-copies as the bounded
+    broadcast query side (rank-then-filter like Q1)."""
+    docs = _docs_dd(spark, sf_dir)
+    queries = docs.filter((F.col("doc_id") >= 2000000) & (F.col("doc_id") <= 2000070))
+    return ngram_jaccard_join(docs, queries, k=3, threshold=0.3)
+
+
+_EMB_ORACLE = f"""
+WITH emb_dd AS ({EMB_DD_DUCK}),
+c AS (SELECT vec_id, {sql_normalize('embedding')} AS v FROM emb_dd),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id >= 1000000 AND vec_id <= 1000070),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= 3 AND sim_raw >= 0.85
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: perturbed copies as the query side, top-3
+    cosine ≥ 0.85 over the corpus (brute-force tier; LSH/IVF is the scale
+    path — see operators/dedup.py and operators/similarity.ivf_topk)."""
+    emb = _emb_dd(spark, sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= 1000000) & (F.col("vec_id") <= 1000070)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return topk_cosine(emb, queries, k=3, threshold=0.85, exclude_self=True)
