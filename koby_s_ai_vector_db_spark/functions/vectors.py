@@ -28,11 +28,13 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def l2_normalize(v: Column | str) -> Column:
-    """v / max(||v||, 1e-10); the epsilon mirrors the reference's
-    zero-norm guard (core/utils.py:132)."""
+    """v / ||v||, substituting 1e-10 ONLY when the norm is exactly 0 —
+    the reference's guard (core/utils.py:132: norms[norms == 0] = 1e-10).
+    A greatest(norm, 1e-10) clamp would mis-normalize vectors with
+    0 < ||v|| < 1e-10, which the reference normalizes correctly."""
     vd = _as_double(v)
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
-    safe = F.greatest(norm, F.lit(1e-10))
+    safe = F.when(norm == 0.0, F.lit(1e-10)).otherwise(norm)
     return F.transform(vd, lambda x: x / safe)
 
 
@@ -57,6 +59,8 @@ def sql_norm(expr: str) -> str:
 
 
 def sql_normalize(expr: str) -> str:
+    norm = sql_norm(expr)
     return (
-        f"list_transform({expr}, x -> (x::DOUBLE) / greatest({sql_norm(expr)}, 1e-10))"
+        f"list_transform({expr}, x -> (x::DOUBLE) / "
+        f"(CASE WHEN {norm} = 0 THEN 1e-10 ELSE {norm} END))"
     )

@@ -25,12 +25,23 @@ the returned list) — so index with row_number over kept rows, not i.
 
 This is a generator expression + substring per row: map-only, no shuffle,
 no UDF — it scales linearly and stays inside whole-stage codegen.
+
+Whitespace note: the reference's Python .strip() strips all Unicode
+whitespace; SQL trim() strips only ASCII spaces. We strip the explicit
+class [ \\t\\n\\r\\f] with the same regex on both engines — covering every
+whitespace char PDF text extraction actually emits (pages are joined with
+'\\n', core/utils.py:60) — and document the residual divergence (vertical
+tab, exotic Unicode spaces) rather than hide it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Same 5-char class in Java regex (Spark) and RE2 (DuckDB oracle).
+STRIP_CLASS = r"[ \t\n\r\f]"
+STRIP_PATTERN = rf"^{STRIP_CLASS}+|{STRIP_CLASS}+$"
 
 # Reference defaults: pdf_qa/settings.py:58-59. Fixture documents are a few
 # hundred chars, so tests parameterize smaller windows.
@@ -55,7 +66,8 @@ def chunk_documents(
     step = chunk_size - overlap
 
     d = documents.withColumn("_len", F.length(text_col)).filter(
-        F.length(F.trim(text_col)) > 0  # utils.py:78-80 empty-input guard
+        # utils.py:78-80 empty-input guard (strip semantics, see module doc)
+        F.length(F.regexp_replace(F.col(text_col), STRIP_PATTERN, "")) > 0
     )
     i_max = F.when(F.col("_len") <= chunk_size, F.lit(0)).otherwise(
         F.floor((F.col("_len") - chunk_size - 1) / step) + 1
@@ -68,7 +80,14 @@ def chunk_documents(
             F.col(text_col).alias("_text"),
         )
         # substring is 1-based; window [i*step, i*step+size)
-        .withColumn("chunk", F.expr(f"trim(substring(_text, _i * {step} + 1, {chunk_size}))"))
+        .withColumn(
+            "chunk",
+            F.regexp_replace(
+                F.expr(f"substring(_text, _i * {step} + 1, {chunk_size})"),
+                STRIP_PATTERN,
+                "",
+            ),
+        )
         .filter(F.length("chunk") > 0)  # drop whitespace-only (utils.py:94)
         .withColumn("chunk_index", F.row_number().over(win) - 1)
         .select(

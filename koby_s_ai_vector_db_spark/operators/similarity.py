@@ -145,7 +145,6 @@ def ivf_topk(
     c = corpus.withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
-    dim = 64  # fixture dim; cheap to infer but constant here
     centroids = (
         c.select(label_col, F.posexplode(vec_col).alias("i", "x"))
         .groupBy(label_col, "i")

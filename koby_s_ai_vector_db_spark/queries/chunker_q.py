@@ -18,12 +18,15 @@ STEP = SIZE - OVERLAP
 def chunks_cte(size: int = SIZE, overlap: int = OVERLAP) -> str:
     """DuckDB CTE text yielding `chunk_rows(doc_id, chunk_index, text,
     char_count)` — the oracle twin of operators.chunker.chunk_documents.
-    Reused by every oracle that consumes the derived chunks table."""
+    Reused by every oracle that consumes the derived chunks table.
+    Strip mirrors the engine's [ \\t\\n\\r\\f] class (chunker.STRIP_PATTERN);
+    DuckDB regexp_replace needs the 'g' flag to hit both ends."""
     step = size - overlap
+    strip = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
     return f"""
 WITH d AS (
     SELECT doc_id, text, length(text) AS len
-    FROM documents WHERE length(trim(text)) > 0
+    FROM documents WHERE length(regexp_replace(text, '{strip}', '', 'g')) > 0
 ),
 starts AS (
     SELECT doc_id, text,
@@ -33,7 +36,8 @@ starts AS (
     FROM d
 ),
 raw_chunks AS (
-    SELECT doc_id, i, trim(substr(text, i * {step} + 1, {size})) AS chunk
+    SELECT doc_id, i,
+           regexp_replace(substr(text, i * {step} + 1, {size}), '{strip}', '', 'g') AS chunk
     FROM starts
 ),
 chunk_rows AS (

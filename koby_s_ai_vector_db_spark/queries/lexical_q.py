@@ -21,6 +21,11 @@ from koby_s_ai_vector_db_spark.sources.tables import feedback_cte, feedback_view
 QUERY = "spark join merge window"
 KEYWORD = "vector"
 
+# Query tokens inlined as a literal (the Spark side does the same via
+# F.lit); document text tokenized with the same \s+ regex split as Spark's
+# _tokens — not string_split(' '), which diverges on runs of whitespace.
+_QTOK = ", ".join(f"'{t}'" for t in sorted(set(QUERY.lower().split())))
+
 _Q3_ORACLE = feedback_cte(
     f"""
 , cand AS (
@@ -32,8 +37,9 @@ scored AS (
         CASE WHEN instr(lower(question), '{QUERY}') > 0
                   OR instr(lower(answer), '{QUERY}') > 0 THEN 1.0
              ELSE len(list_intersect(
-                      string_split('{QUERY}', ' '),
-                      string_split(lower(question) || ' ' || lower(answer), ' ')
+                      [{_QTOK}],
+                      list_filter(string_split_regex(lower(question) || ' ' || lower(answer),
+                                                     '\\s+'), t -> t <> '')
                   ))::DOUBLE / {len(set(QUERY.split()))}
         END AS similarity_score
     FROM cand WHERE _rn <= 100

@@ -79,6 +79,65 @@ def t3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+_Q2_ORACLE = (
+    _NORM_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {NQ}),
+expl AS (
+    SELECT label, unnest(list_transform(v, (x, i) -> {{'i': i, 'x': x}})) AS s FROM c
+),
+cent AS (SELECT label, s.i AS i, avg(s.x) AS x FROM expl GROUP BY label, s.i),
+centroids AS (SELECT label, list(x ORDER BY i) AS centroid FROM cent GROUP BY label),
+probe_scored AS (
+    SELECT q.query_id, cn.label,
+           list_sum(list_transform(q.qv, (x, i) -> x * cn.centroid[i])) AS csim
+    FROM q CROSS JOIN centroids cn
+),
+probes AS (
+    SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, label ASC) AS prank
+        FROM probe_scored)
+    WHERE prank <= {N_PROBE}
+),
+scored AS (
+    SELECT p.query_id, c.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM probes p JOIN c ON c.label = p.label JOIN q ON q.query_id = p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= {K}
+"""
+)
+
+
+@register("q2_ann", _Q2_ORACLE)
+def q2_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (supabase_schema.sql:137-171 ivfflat, lists=100, probed subset):
+    IVF-style ANN — per-label mean centroids, probe the 2 nearest of 10
+    cells, exact search only inside probed cells. At scale the corpus is
+    partitioned by label so a probe is a partition-pruned scan of ~20% of
+    the data. Measured recall@10 vs exact q1 = 0.31 on the fixture
+    (tests/test_ann_recall.py) — the fixture `label` is random, not a
+    k-means cell, so recall is close to the probed fraction; with real
+    k-means lists recall rises sharply, the same trade-off the
+    reference's ivfflat accepts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb.select("vec_id", "label", "embedding"), queries, k=K, n_probe_labels=N_PROBE
+    )
+
+
 _KNN_ORACLE = (
     _NORM_CTE
     + """
