@@ -5,6 +5,7 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     chunker_q,
     dedup_q,
     fusion_q,
+    ingest_q,
     lexical_q,
     mutations_q,
     vector_q,
