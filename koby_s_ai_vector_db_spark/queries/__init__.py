@@ -8,5 +8,6 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     ingest_q,
     lexical_q,
     mutations_q,
+    streaming_q,
     vector_q,
 )

@@ -1,0 +1,101 @@
+"""Streaming live-user analytics (SURVEY §7 stage 6).
+
+The reference recomputes its 30-minute "live users" window per request
+against the sessions table (core/session_utils.py:193-211) and keys
+sessions by a 30-minute inactivity rule (:200). The streaming-native
+shape is:
+
+  - A5: a sliding event-time window (30 min window, 5 min slide) counting
+    distinct users — each slide emits the value the reference would have
+    computed at that instant, continuously instead of per-request.
+  - M7/A6: `session_window(ts, '30 minutes')` per user — the inactivity
+    sessionization as a first-class stateful operator instead of a
+    lag/gap batch reconstruction.
+
+Both transformations are defined once and applied to EITHER a batch or a
+streaming DataFrame (the functions don't care): batch mode is what the
+driver's DuckDB oracle checks (queries/streaming_q.py); streaming mode is
+exercised in tests/test_streaming.py with an availableNow file source and
+a memory sink, asserting bit-identical results to batch — the
+batch-equivalence contract.
+
+Watermarking: apply_watermark() bounds state for production streams (late
+events beyond 10 min are dropped; windows close and their state is
+evicted). The equivalence tests run complete-mode without watermark so
+every window is emitted for comparison.
+
+Distinct counts use size(collect_set(...)) — streaming aggregation does
+not support COUNT(DISTINCT), and approx_count_distinct would break the
+oracle; collect_set keeps it exact (state per window is the user-id set,
+bounded by active users per window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "30 minutes"
+SLIDE = "5 minutes"
+GAP = "30 minutes"
+LATE = "10 minutes"
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events parquet. The fixture
+    stores TIMESTAMP(NANOS); nanosAsLong + truncation to micros matches
+    the batch reader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Glob, not a bare file path: FileStreamSource requires a directory
+    # basePath and treats the leaf pattern as the file filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events*.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
+    """Bound state: late events beyond `late` are dropped, closed windows
+    evicted. Production entry point; tests compare un-watermarked
+    complete-mode output against batch."""
+    return events.withWatermark("ts", late)
+
+
+def sliding_live_users(events: DataFrame, window: str = WINDOW, slide: str = SLIDE) -> DataFrame:
+    """A5 streaming twin: per (window) slide, distinct users + events.
+    Works identically on batch and streaming inputs."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.size(F.collect_set("user_id")).alias("live_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "live_users",
+            "n_events",
+        )
+    )
+
+
+def user_session_windows(events: DataFrame, gap: str = GAP) -> DataFrame:
+    """M7/A6 streaming twin: 30-min inactivity sessions per user.
+    session_window end = last event + gap (Spark semantics; the oracle
+    mirrors it as max(ts) + gap)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
