@@ -1,0 +1,116 @@
+"""Corpus text analysis: language ID, quality scoring, token counting,
+fingerprinting (north-star LLM-pipeline operators, SURVEY §2.7).
+
+The reference has no corpus analytics beyond A13's file/chunk counts
+(core/apps.py:144-151); a training-data pipeline needs per-document text
+health signals. Everything here is a map-only Catalyst expression over
+`documents.text` — no shuffle, no UDF, linear scan that survives 100 TB
+(the only aggregate is whatever the caller groups afterwards).
+
+Every constant (stopword profiles, regexes, weights) is embedded in both
+the Spark expressions and the DuckDB oracle SQL, so the checks are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Language marker profiles (tiny stopword sets — the n-gram-free heuristic
+# tier; real pipelines swap in trigram profiles, same plumbing).
+PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les"],
+    "de": ["der", "die", "und", "das", "ein", "ist"],
+}
+LANG_ORDER = list(PROFILES)  # tie-break priority, first wins
+
+STOPWORDS_EN = PROFILES["en"]
+
+PUNCT_RE = r"[^A-Za-z0-9 \t\n\r\f]"
+BPE_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+# Quality weights: tokens volume, punctuation cleanliness, stopword
+# naturalness, word-length plausibility.
+W_TOKENS, W_PUNCT, W_STOP, W_LEN = 0.25, 0.25, 0.25, 0.25
+
+
+def _tokens(col: str) -> str:
+    return f"array_remove(split(lower({col}), '\\\\s+'), '')"
+
+
+def lang_scores(col: str) -> dict[str, Column]:
+    """Per-language marker-hit counts over word tokens."""
+    toks = _tokens(col)
+    out = {}
+    for lang, words in PROFILES.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        out[lang] = F.expr(f"size(filter({toks}, t -> array_contains(array({arr}), t)))")
+    return out
+
+
+def detect_lang(col: str) -> Column:
+    """Argmax language with CASE-order tie-break (LANG_ORDER priority).
+    Zero hits everywhere → 'und' (undetermined)."""
+    s = lang_scores(col)
+    total = None
+    for lang in LANG_ORDER:
+        total = s[lang] if total is None else total + s[lang]
+    expr = F.when(total == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = s[lang] >= s[other]
+            cond = c if cond is None else cond & c
+        expr = expr.when(cond, F.lit(lang))
+    return expr
+
+
+def token_counts(col: str) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish token count). The BPE-ish regex
+    splits alphanumeric runs from punctuation — a cheap proxy for subword
+    token volume."""
+    ws = F.expr(f"size({_tokens(col)})")
+    bpe = F.expr(f"size(regexp_extract_all(lower({col}), '{BPE_RE}', 0))")
+    return ws, bpe
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality: token volume, punctuation ratio, stopword
+    ratio, mean token length. Deterministic double arithmetic, same
+    evaluation order as the oracle rendering below."""
+    toks = _tokens(col)
+    n_tok = F.expr(f"size({toks})").cast("double")
+    n_chars = F.length(col).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(F.col(col), PUNCT_RE, "")).cast("double")
+    ) / F.greatest(n_chars, F.lit(1.0))
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    stop_hits = F.expr(
+        f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
+    ).cast("double")
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1.0))
+    tok_len_sum = F.expr(f"aggregate({toks}, 0L, (a, t) -> a + length(t))").cast("double")
+    avg_len = tok_len_sum / F.greatest(n_tok, F.lit(1.0))
+    return (
+        F.lit(W_TOKENS) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(W_PUNCT) * (F.lit(1.0) - punct)
+        + F.lit(W_STOP) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(W_LEN) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+
+
+def fingerprints(col: str, k: int = 8, keep_mod: int = 8) -> Column:
+    """Mod-sampled rolling fingerprint: md5-derived 32-bit hash of every
+    char k-gram, keeping hashes ≡ 0 (mod keep_mod) — 1/keep_mod of the
+    positions survive, position-independent (the winnowing idea without
+    window state). At production scale swap md5 for xxhash64; md5 keeps
+    the DuckDB oracle bit-identical (functions/hashing.py)."""
+    return F.expr(
+        f"filter(transform(sequence(1, greatest(length({col}) - {k - 1}, 0)),"
+        f" i -> CAST(conv(substr(md5(substring({col}, i, {k})), 1, 8), 16, 10) AS BIGINT)),"
+        f" h -> h % {keep_mod} = 0)"
+    )

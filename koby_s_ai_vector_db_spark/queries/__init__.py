@@ -9,5 +9,6 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     lexical_q,
     mutations_q,
     streaming_q,
+    text_q,
     vector_q,
 )

@@ -1,0 +1,188 @@
+"""Text-analysis + multimodal queries (north-star pillars), oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.text_analysis import (
+    BPE_RE,
+    LANG_ORDER,
+    PROFILES,
+    PUNCT_RE,
+    STOPWORDS_EN,
+    detect_lang,
+    fingerprints,
+    quality_score,
+    token_counts,
+)
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.multimodal import (
+    binary_features,
+    decode_media,
+    media_table,
+)
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+_W_DUCK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _hits(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_W_DUCK}, t -> list_contains([{arr}], t)))"
+
+
+_LANG_CASE = " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"s_{lang} >= s_{other}" for other in LANG_ORDER if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in LANG_ORDER
+)
+_SCORES = ", ".join(f"{_hits(words)} AS s_{lang}" for lang, words in PROFILES.items())
+_TOTAL = " + ".join(f"s_{lang}" for lang in LANG_ORDER)
+
+_LANG_ORACLE = f"""
+WITH s AS (SELECT doc_id, lang, {_SCORES} FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {_TOTAL} = 0 THEN 'und' {_LANG_CASE} END AS detected_lang,
+       s_en
+FROM s
+"""
+
+
+@register("ta_lang_id", _LANG_ORACLE)
+def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile argmax with CASE-order
+    tie-break (fixture text is one shared vocabulary, so the heuristic and
+    the fixture's `lang` label are independent — both are emitted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from koby_s_ai_vector_db_spark.operators.text_analysis import lang_scores
+
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_lang("text").alias("detected_lang"),
+        lang_scores("text")["en"].alias("s_en"),
+    )
+
+
+_STOP_ARR = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len({_W_DUCK})::DOUBLE AS n_tok,
+           length(text)::DOUBLE AS n_chars,
+           (length(text)::DOUBLE
+            - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))::DOUBLE)
+               / greatest(length(text)::DOUBLE, 1.0) AS punct,
+           len(list_filter({_W_DUCK}, t -> list_contains([{_STOP_ARR}], t)))::DOUBLE AS stop_hits,
+           list_sum(list_transform({_W_DUCK}, t -> length(t)))::DOUBLE AS tok_len_sum
+    FROM documents
+)
+SELECT doc_id,
+       round(0.25 * least(n_tok / 50.0, 1.0)
+           + 0.25 * (1.0 - punct)
+           + 0.25 * least(stop_hits / greatest(n_tok, 1.0) * 5.0, 1.0)
+           + 0.25 * least(tok_len_sum / greatest(n_tok, 1.0) / 8.0, 1.0), 6) AS quality
+FROM t
+"""
+
+
+@register("ta_quality_score", _QUALITY_ORACLE)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality: token volume, punctuation, stopword ratio, mean
+    token length — map-only expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len({_W_DUCK}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_tokens
+FROM documents
+"""
+
+
+@register("ta_token_count", _TOKENS_ORACLE)
+def ta_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws, bpe = token_counts("text")
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+_FP_ORACLE = """
+WITH fp AS (
+    SELECT doc_id,
+           list_filter([('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+                        for i in range(1, greatest(length(text) - 7, 0) + 1)],
+                       h -> h % 8 = 0) AS f
+    FROM documents
+)
+SELECT doc_id, len(f) AS n_fp, list_min(f) AS min_fp, list_max(f) AS max_fp
+FROM fp
+"""
+
+
+@register("ta_fingerprint", _FP_ORACLE)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-sampled rolling fingerprints (char 8-grams, keep h%8==0):
+    position-independent document signatures for plagiarism/near-dup
+    pre-screening."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprints("text")
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+    )
+
+
+_MM_KIND = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+_MM_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       {_MM_KIND} AS kind,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS content_md5,
+       upper(substr(hex(encode(text)), 1, 8)) AS header_hex
+FROM documents
+"""
+
+
+@register("mm_binary_features", _MM_FEATURES_ORACLE)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: JVM-side features over an opaque binary column (byte
+    length, md5, header hex) — binary payloads flow through Catalyst
+    without a Python hop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_features(media_table(docs))
+
+
+_MM_DECODE_ORACLE = f"""
+SELECT doc_id AS media_id,
+       {_MM_KIND} AS kind,
+       octet_length(encode(text)) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+       CAST(CASE WHEN {_MM_KIND} = 'video'
+                 THEN octet_length(encode(text)) % 100 ELSE 1 END AS INT) AS n_frames,
+       true AS ok
+FROM documents
+"""
+
+
+@register("mm_decode", _MM_DECODE_ORACLE)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode via mapInPandas: Arrow-batched binary payloads
+    through Python, partition-parallel. Pixel decode is import-gated
+    (sources/multimodal.py — no imaging libs in this container); the
+    deterministic byte-level fake keeps schema, batching and the oracle
+    check real."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_table(docs))
