@@ -114,6 +114,15 @@ def flip_catalog_status(documents: DataFrame, chunks: DataFrame) -> DataFrame:
     )
 
 
+def catalog_insert(catalog: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """S6 (supabase_utils.py:150-176): blob upload + `documents` INSERT
+    with status='uploaded'. The blob write is a plain binary file/object
+    write; the catalog side is an append — expressed as a union so the
+    result is checkable. Existing rows keep their status; new rows enter
+    as 'uploaded' awaiting S8 ingest (which flips them via M6)."""
+    return catalog.unionByName(new_rows.withColumn("status", F.lit("uploaded")))
+
+
 def upsert_users(existing: DataFrame, updates: DataFrame, key: str = "user_id") -> DataFrame:
     """S9's upsert (supabase_utils.py:63-88, on_conflict=django_user_id):
     union + keep-latest-per-key. At scale: MERGE INTO on a keyed table.

@@ -1,0 +1,151 @@
+"""Source-path queries: S2/S3 extraction shape, S6 catalog insert, and the
+Q15 image→text search pipeline (deterministic stand-in vision step)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.embedding import embed_texts, sql_embed
+from koby_s_ai_vector_db_spark.functions.vectors import l2_normalize, sql_normalize
+from koby_s_ai_vector_db_spark.operators.mutations import catalog_insert
+from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.multimodal import media_table
+from koby_s_ai_vector_db_spark.sources.pdf import PAGE_CHARS, extract_pages, join_pages
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+_STRIP = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
+
+_PAGES_CTE = f"""
+WITH pages AS (
+    SELECT doc_id,
+           unnest(generate_series(1,
+               greatest(CAST(ceil(length(text) / {PAGE_CHARS}.0) AS INT), 1))) AS page_number,
+           text
+    FROM documents
+),
+page_rows AS (
+    SELECT doc_id, page_number,
+           substr(text, (page_number - 1) * {PAGE_CHARS} + 1, {PAGE_CHARS}) AS text
+    FROM pages
+),
+kept AS (
+    SELECT * FROM page_rows
+    WHERE length(regexp_replace(text, '{_STRIP}', '', 'g')) > 0
+)"""
+
+
+_S3_ORACLE = _PAGES_CTE + "\nSELECT doc_id, page_number, text FROM kept"
+
+
+@register("s3_extract_pages", _S3_ORACLE)
+def s3_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (supabase_utils.py:193-200): per-page extraction shape — 1-based
+    page numbers, empty pages dropped. Real-PDF path is import-gated in
+    sources/pdf.py (pypdf absent); the fixture stand-in slices
+    documents.text into fixed-width pages."""
+    return extract_pages(load_table(spark, sf_dir, "documents"))
+
+
+_S2_ORACLE = _PAGES_CTE + """
+SELECT doc_id, string_agg(text, chr(10) ORDER BY page_number) AS full_text
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("s2_extract_join", _S2_ORACLE)
+def s2_extract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (core/utils.py:38-69): whole-document view — page texts joined
+    with '\\n' in page order (ordered aggregation, not bare collect_list)."""
+    return join_pages(extract_pages(load_table(spark, sf_dir, "documents")))
+
+
+_S6_ORACLE = """
+WITH new_docs AS (
+    SELECT doc_id + 3000000 AS doc_id, 'upload_' || doc_id AS source
+    FROM documents WHERE doc_id % 25 = 0
+),
+cat AS (
+    SELECT doc_id, source, 'indexed' AS status FROM documents
+    UNION ALL
+    SELECT doc_id, source, 'uploaded' AS status FROM new_docs
+)
+SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM cat GROUP BY status
+"""
+
+
+@register("s6_upload_catalog", _S6_ORACLE)
+def s6_upload_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (supabase_utils.py:150-176): catalog INSERT for uploaded blobs —
+    new rows enter as 'uploaded' awaiting the S8 ingest flip (M6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "source").withColumn("status", F.lit("indexed"))
+    new_rows = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("upload_"), F.col("doc_id").cast("string")).alias("source"),
+    )
+    cat = catalog_insert(existing, new_rows)
+    return cat.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+N_IMG = 4
+_DESC_DUCK = "'IMG: ' || substr(text, 1, 80)"
+
+_Q15_ORACLE = f"""
+WITH e AS (SELECT doc_id, {sql_embed('text')} AS e FROM documents),
+c AS (SELECT doc_id, {sql_normalize('e')} AS v FROM e),
+d AS (SELECT doc_id AS media_id, {sql_embed(_DESC_DUCK)} AS de
+      FROM documents WHERE doc_id < {N_IMG}),
+q AS (SELECT media_id, {sql_normalize('de')} AS qv FROM d),
+scored AS (
+    SELECT q.media_id, c.doc_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM c CROSS JOIN q
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY media_id
+                                 ORDER BY sim_raw DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT media_id, doc_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= 5 AND sim_raw >= 0.0
+"""
+
+
+@register("q15_image_search", _Q15_ORACLE)
+def q15_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (views.py:496-731): image → description → Q1 search. The vision
+    model (U3, external Gemini) is replaced by a deterministic stand-in
+    caption over the decoded payload; downstream — embed the description,
+    top-k cosine over the embedded corpus, threshold after rank — is the
+    reference pipeline exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.withColumn("_e", embed_texts("text"))
+        .select("doc_id", l2_normalize("_e").alias("embedding"))
+    )
+    media = media_table(docs).filter(F.col("media_id") < N_IMG)
+    described = media.select(
+        "media_id",
+        F.concat(F.lit("IMG: "), F.substring(F.decode("content", "UTF-8"), 1, 80)).alias(
+            "description"
+        ),
+    )
+    queries = described.withColumn("_d", embed_texts("description")).select(
+        "media_id", F.col("_d").alias("query_vec")
+    )
+    return topk_cosine(
+        corpus,
+        queries,
+        k=5,
+        threshold=0.0,
+        corpus_id="doc_id",
+        query_id="media_id",
+        pre_normalized=True,
+    )
