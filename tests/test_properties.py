@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY §5): chunker loop parity, normalize
+invariants, rank-then-filter top-k semantics.
+
+The chunker property checks the Catalyst closed-form against a direct
+Python rendering of the reference's loop semantics (core/utils.py:71-103,
+as specified in operators/chunker.py's docstring) on adversarial inputs —
+whitespace runs, boundary lengths, overlap coercion."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.vectors import l2_normalize
+from koby_s_ai_vector_db_spark.operators.chunker import chunk_documents
+from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
+
+STRIP = " \t\n\r\f"
+
+
+def _reference_chunks(text: str, size: int, overlap: int) -> list[str]:
+    """The reference loop, from its documented semantics: window
+    [start, start+size), strip, drop empties but still advance,
+    overlap >= size coerced to size // 2, step = max(start+1, end-overlap).
+    """
+    if not text.strip(STRIP):
+        return []
+    if overlap >= size:
+        overlap = size // 2
+    out, start, n = [], 0, len(text)
+    while start < n:
+        end = min(start + size, n)
+        chunk = text[start:end].strip(STRIP)
+        if chunk:
+            out.append(chunk)
+        if end >= n:
+            break
+        start = max(start + 1, end - overlap)
+    return out
+
+
+texts = st.text(
+    alphabet=st.sampled_from(list("ab c\t\nxyz.")), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(text=texts, size=st.integers(5, 120), overlap=st.integers(0, 130))
+def test_chunker_matches_reference_loop(spark, text, size, overlap):
+    expected = _reference_chunks(text, size, overlap)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [
+        r.text
+        for r in chunk_documents(df, chunk_size=size, overlap=overlap)
+        .orderBy("chunk_index")
+        .collect()
+    ]
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=8
+    )
+)
+def test_normalize_unit_or_guarded(spark, vec):
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    out = df.select(
+        F.aggregate(l2_normalize("v"), F.lit(0.0), lambda a, x: a + x * x).alias("sq")
+    ).collect()[0]
+    raw_norm = math.sqrt(sum(float(x) * float(x) for x in vec))
+    if raw_norm == 0.0:
+        assert out.sq == 0.0  # zero vector stays zero (divided by the 1e-10 guard)
+    else:
+        assert abs(out.sq - 1.0) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(3, 25),
+    k=st.integers(1, 6),
+    threshold=st.floats(-1, 1),
+    seed=st.integers(0, 10_000),
+)
+def test_topk_rank_then_filter(spark, n, k, threshold, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = topk_cosine(df, queries, k=k, threshold=threshold).collect()
+
+    # ≤ k rows; ranks contiguous from 1 before the threshold filter;
+    # sims weakly decreasing in rank; every sim ≥ threshold (post-filter).
+    assert len(got) <= k
+    got.sort(key=lambda r: r.rank)
+    for r in got:
+        assert r.sim >= threshold
+    for a, b in zip(got, got[1:]):
+        assert a.rank < b.rank
+        assert a.sim >= b.sim
+    # rank-THEN-filter: dropping sub-threshold rows may leave rank gaps at
+    # the tail only if filtered rows ranked better — impossible since rank
+    # orders by sim desc; so surviving ranks must be a prefix 1..len.
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
