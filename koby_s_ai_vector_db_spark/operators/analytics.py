@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from koby_s_ai_vector_db_spark.functions.ranking import global_top_n
 from koby_s_ai_vector_db_spark.sources.tables import NOW_TS
 
 
@@ -54,14 +55,15 @@ def contribution_analytics(feedback: DataFrame) -> DataFrame:
 
 
 def top_rated(feedback: DataFrame, limit: int = 10) -> DataFrame:
-    """A3 (supabase_utils.py:333-335): top-N approved by rating."""
-    w = Window.orderBy(F.desc("rating"), F.asc("id"))
-    return (
-        feedback.filter(F.col("status") == "approved")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= limit)
-        .select("id", "question", "rating", "rank")
-    )
+    """A3 (supabase_utils.py:333-335): top-N approved by rating —
+    TakeOrderedAndProject, rank attached over the bounded result
+    (functions/ranking.py: global rank windows don't scale)."""
+    return global_top_n(
+        feedback.filter(F.col("status") == "approved"),
+        [F.desc("rating"), F.asc("id")],
+        limit,
+        rank_col="rank",
+    ).select("id", "question", "rating", "rank")
 
 
 def recent_qa(feedback: DataFrame, question_type: str | None = None, limit: int = 20) -> DataFrame:
@@ -69,12 +71,9 @@ def recent_qa(feedback: DataFrame, question_type: str | None = None, limit: int 
     df = feedback.filter(F.col("status") == "approved")
     if question_type:
         df = df.filter(F.col("question_type") == question_type)
-    w = Window.orderBy(F.desc("created_at"), F.asc("id"))
-    return (
-        df.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= limit)
-        .select("id", "question", "question_type", "created_at", "rank")
-    )
+    return global_top_n(
+        df, [F.desc("created_at"), F.asc("id")], limit, rank_col="rank"
+    ).select("id", "question", "question_type", "created_at", "rank")
 
 
 def live_users(events: DataFrame, window_minutes: int = 30) -> DataFrame:
@@ -134,13 +133,13 @@ def user_activity(events: DataFrame, user_id: int, days: int = 7) -> DataFrame:
 
 def recent_users(events: DataFrame, limit: int = 10) -> DataFrame:
     """A10 (views.py:1620-1635): most recently first-seen users."""
-    w = Window.orderBy(F.desc("first_seen"), F.asc("user_id"))
-    return (
+    users = (
         events.filter(F.col("ts") <= _now())
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_seen"), F.count("*").alias("n_events"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= limit)
+    )
+    return global_top_n(
+        users, [F.desc("first_seen"), F.asc("user_id")], limit, rank_col="rank"
     )
 
 
@@ -148,14 +147,14 @@ def active_sessions(events: DataFrame, limit: int = 10) -> DataFrame:
     """A11 (views.py:1637-1654): top-N live sessions by last activity.
     'active' = last event within 30 minutes of now (session_utils.py:200)."""
     lo30 = _now() - F.expr("INTERVAL 30 MINUTES")
-    w = Window.orderBy(F.desc("last_activity"), F.asc("user_id"))
-    return (
+    live = (
         events.filter(F.col("ts") <= _now())
         .groupBy("user_id")
         .agg(F.max("ts").alias("last_activity"), F.count("*").alias("n_events"))
         .filter(F.col("last_activity") >= lo30)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= limit)
+    )
+    return global_top_n(
+        live, [F.desc("last_activity"), F.asc("user_id")], limit, rank_col="rank"
     )
 
 

@@ -20,16 +20,21 @@ The reference's candidate caps rely on DB-unspecified tie order; we pin
 every ORDER BY with `id` so results are deterministic (FIXTURES.md
 determinism contract — a deliberate, documented divergence).
 
-Scale notes: the rating-ordered LIMIT-100 compiles to TakeOrderedAndProject
-(per-partition top-100, then merge — no global sort). The scoring pass is
-pure string expressions over ≤100 rows. Pagination uses row_number over a
-window; for deep pagination at scale prefer keyset (created_at < cursor).
+Scale notes: EVERY global cap/top-N here uses orderBy().limit(n)
+(TakeOrderedAndProject: per-partition heap + one small merge) — never an
+un-partitioned rank window, which Spark does NOT rewrite with
+WindowGroupLimit and which would funnel the whole table through one task
+(functions/ranking.py). Ranks, where exposed, are computed over the
+already-bounded result. For deep pagination at scale prefer keyset
+(created_at < cursor).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.ranking import global_top_n
 
 
 def _tokens(col: Column) -> Column:
@@ -49,12 +54,10 @@ def contribution_search(
     q_tokens = [t for t in q.split() if t]
     n_q = max(len(set(q_tokens)), 1)
 
-    cap_w = Window.orderBy(F.desc("rating"), F.asc("id"))
-    candidates = (
-        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating))
-        .withColumn("_rn", F.row_number().over(cap_w))
-        .filter(F.col("_rn") <= candidate_cap)
-        .drop("_rn")
+    candidates = global_top_n(
+        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating)),
+        [F.desc("rating"), F.asc("id")],
+        candidate_cap,
     )
 
     ql, al = F.lower("question"), F.lower("answer")
@@ -67,14 +70,14 @@ def contribution_search(
     )
     score = F.when(contained, F.lit(1.0)).otherwise(overlap.cast("double") / F.lit(float(n_q)))
 
-    out_w = Window.orderBy(F.desc("similarity_score"), F.desc("rating"), F.asc("id"))
-    return (
-        candidates.withColumn("similarity_score", score)
-        .filter(F.col("similarity_score") > 0)
-        .withColumn("_rn", F.row_number().over(out_w))
-        .filter(F.col("_rn") <= limit)
-        .select("id", "question", "answer", "rating", "usage_count", "similarity_score")
+    scored_df = candidates.withColumn("similarity_score", score).filter(
+        F.col("similarity_score") > 0
     )
+    return global_top_n(
+        scored_df,
+        [F.desc("similarity_score"), F.desc("rating"), F.asc("id")],
+        limit,
+    ).select("id", "question", "answer", "rating", "usage_count", "similarity_score")
 
 
 def contribution_search_multi(
@@ -95,12 +98,10 @@ def contribution_search_multi(
     Returns (query_id, id, question, answer, rating, usage_count,
     similarity_score, crank), crank ∈ 1..limit per query.
     """
-    cap_w = Window.orderBy(F.desc("rating"), F.asc("id"))
-    candidates = (
-        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating))
-        .withColumn("_rn", F.row_number().over(cap_w))
-        .filter(F.col("_rn") <= candidate_cap)
-        .drop("_rn")
+    candidates = global_top_n(
+        feedback.filter((F.col("status") == "approved") & (F.col("rating") >= min_rating)),
+        [F.desc("rating"), F.asc("id")],
+        candidate_cap,
     )
 
     j = candidates.join(F.broadcast(queries.select("query_id", "query_text")))
@@ -141,8 +142,7 @@ def keyword_search(
     cand = feedback.filter(F.col("status") == "approved")
     if question_type:
         cand = cand.filter(F.col("question_type") == question_type)
-    w = Window.orderBy(F.desc("created_at"), F.asc("id"))
-    cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= recency_cap)
+    cand = global_top_n(cand, [F.desc("created_at"), F.asc("id")], recency_cap)
     needle = keyword.lower()
     hay = F.concat(F.lower("question"), F.lit(" "), F.lower("answer"))
     return cand.filter(F.instr(hay, needle) > 0).select(
@@ -161,9 +161,9 @@ def list_contributions(
 
     total_count is a separate 1-row aggregate broadcast-crossJoined onto
     the page — NOT an unpartitioned window, which would funnel every
-    filtered row through a single task with no truncation. The page window
-    itself is WindowGroupLimit-eligible (rank filter ≤ hi), so each task
-    pre-truncates to its local top-hi before the merge.
+    filtered row through a single task with no truncation. The page itself
+    is orderBy().limit(hi) (TakeOrderedAndProject) with ranks attached
+    over the bounded hi rows; the offset filter then trims the head.
     """
     df = feedback
     if status_filter != "all":
@@ -171,12 +171,12 @@ def list_contributions(
     if search_query:
         pat = f"%{search_query.lower()}%"
         df = df.filter(F.lower("question").like(pat) | F.lower("answer").like(pat))
-    w = Window.orderBy(F.desc("created_at"), F.asc("id"))
+    order = [F.desc("created_at"), F.asc("id")]
     lo, hi = (page - 1) * per_page + 1, page * per_page
     total = df.agg(F.count("*").alias("total_count"))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn").between(lo, hi))
-        .crossJoin(F.broadcast(total))
-        .select("id", "question", "answer", "status", "rating", "created_at", "total_count")
+    page_rows = global_top_n(df, order, hi, rank_col="_rn").filter(
+        F.col("_rn") >= lo
+    )
+    return page_rows.crossJoin(F.broadcast(total)).select(
+        "id", "question", "answer", "status", "rating", "created_at", "total_count"
     )

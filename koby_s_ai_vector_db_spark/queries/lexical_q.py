@@ -144,14 +144,9 @@ def q6_session_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_activity",
         "n_events",
     )
-    from pyspark.sql import Window
+    from koby_s_ai_vector_db_spark.functions.ranking import global_top_n
 
-    w = Window.orderBy(F.desc("login_time"), F.asc("user_id"))
-    return (
-        sessions.filter(
-            F.lower("user_name").like("%7%") | F.lower("user_email").like("%7%")
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn").between(1, 20))
-        .drop("_rn")
+    hits = sessions.filter(
+        F.lower("user_name").like("%7%") | F.lower("user_email").like("%7%")
     )
+    return global_top_n(hits, [F.desc("login_time"), F.asc("user_id")], 20)
