@@ -149,3 +149,80 @@ def q15_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="media_id",
         pre_normalized=True,
     )
+
+
+_U4_ORACLE = f"""
+WITH hits AS (
+{_Q15_ORACLE}
+),
+lines AS (
+    SELECT h.media_id, h.rank,
+           'DOCUMENT #' || h.rank || ' (from ' || d.source || E'):\\n' || d.text
+           || E'\\n(Similarity: ' || printf('%.2f', h.sim) || ')' AS txt
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+),
+ctx AS (
+    SELECT media_id, string_agg(txt, E'\\n\\n' ORDER BY rank) AS context
+    FROM lines GROUP BY media_id
+),
+descr AS (
+    SELECT doc_id AS media_id, {_DESC_DUCK} AS description
+    FROM documents WHERE doc_id < {N_IMG}
+)
+SELECT d.media_id,
+       'AI model is not configured yet, so this is a direct context-based response.'
+       || E'\\n\\nQuestion: ' || d.description
+       || E'\\n\\nRelevant context:\\n'
+       || substr(CASE WHEN regexp_replace(coalesce(c.context, ''),
+                                          '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g') = ''
+                      THEN 'No relevant context was found.'
+                      ELSE regexp_replace(coalesce(c.context, ''),
+                                          '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g') END,
+                 1, 1500) AS answer
+FROM descr d LEFT JOIN ctx c ON d.media_id = c.media_id
+"""
+
+
+@register("u4_image_answer", _U4_ORACLE)
+def u4_image_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (views.py:733-774): image-grounded answer — Q15 hits formatted
+    as a document context, answered by the deterministic U2 no-key
+    formatter with the image caption standing in for the question."""
+    from koby_s_ai_vector_db_spark.operators.text_ops import nokey_answer
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = q15_image_search(spark, sf_dir)
+    lines = hits.join(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "media_id",
+        "rank",
+        F.concat(
+            F.lit("DOCUMENT #"),
+            F.col("rank").cast("string"),
+            F.lit(" (from "),
+            F.col("source"),
+            F.lit("):\n"),
+            F.col("text"),
+            F.lit("\n(Similarity: "),
+            F.format_string("%.2f", F.col("sim")),
+            F.lit(")"),
+        ).alias("txt"),
+    )
+    ctx = lines.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rank").alias("o"), "txt"))),
+                lambda s: s["txt"],
+            ),
+            "\n\n",
+        ).alias("context")
+    )
+    described = media_table(docs).filter(F.col("media_id") < N_IMG).select(
+        "media_id",
+        F.concat(F.lit("IMG: "), F.substring(F.decode("content", "UTF-8"), 1, 80)).alias(
+            "description"
+        ),
+    )
+    return described.join(ctx, "media_id", "left").select(
+        "media_id",
+        nokey_answer("description", F.coalesce("context", F.lit(""))).alias("answer"),
+    )
