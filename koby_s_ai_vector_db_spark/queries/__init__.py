@@ -8,6 +8,7 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     ingest_q,
     lexical_q,
     mutations_q,
+    relational_q,
     sources_q,
     streaming_q,
     text_q,

@@ -1,0 +1,136 @@
+"""Relational join/aggregation queries over the TPC-H-ish backbone.
+
+SURVEY §2.7: the reference has "no joins beyond the positional id↔metadata
+join and FK lookups" — a gap the north star says to fill. These queries
+exercise the multi-table planning a 100 TB engine lives on: broadcast of
+small dimensions, partial aggregation below the shuffle, filter pushdown
+into the parquet scan, and join ordering left to Catalyst/AQE.
+
+Plans verified (.explain): dimension tables (region/nation/customer-agg)
+arrive via BroadcastExchange; lineitem scans show PushedFilters for the
+date bounds; aggregates are partial+final HashAggregate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_tables
+
+
+def _disc_price():
+    """Exact decimal money math: fixture prices/discounts are 2-decimal, so
+    DECIMAL(18,2) arithmetic is exact and ORDER-INDEPENDENT — double sums
+    over large groups diverge between engines by more than any safe
+    rounding (different summation order)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+_REL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("rel_pricing_summary", _REL_PRICING)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass partial+final aggregate, date filter
+    pushed into the parquet scan."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01 00:00:00"))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).alias(
+            "sum_base_price"
+        ),
+        F.round(F.sum(_disc_price()).cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+_REL_REVENUE = """
+SELECT n.n_name AS nation,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("rel_revenue_by_nation", _REL_REVENUE)
+def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact⨝fact shuffle join on orderkey; customer,
+    nation, region ride in as broadcasts (region filter prunes before the
+    join). Catalyst/AQE picks the order."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_REL_TOP_PARTS = """
+WITH part_rev AS (
+    SELECT l_partkey, round(CAST(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT p.p_partkey, p.p_brand, pr.revenue,
+           row_number() OVER (PARTITION BY p.p_brand
+                              ORDER BY pr.revenue DESC, p.p_partkey ASC) AS rank
+    FROM part_rev pr JOIN part p ON pr.l_partkey = p.p_partkey
+)
+SELECT p_partkey, p_brand, revenue, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("rel_top_parts_by_brand", _REL_TOP_PARTS)
+def rel_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join + per-brand top-3: the partial aggregate shrinks
+    lineitem to one row per part BEFORE the join (never join then
+    aggregate); the rank window is partitioned by brand →
+    WindowGroupLimit pre-truncates per task."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    part_rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        part_rev.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_partkey", "p_brand", "revenue", "rank")
+    )

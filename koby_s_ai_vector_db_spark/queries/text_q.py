@@ -186,3 +186,70 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     check real."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(media_table(docs))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: the end-to-end training-data pipeline — exact dedup +
+# quality gate composed over the planted-duplicate corpus (dedup_q.DOCS_DD).
+# Reasons are prioritized deterministically: duplicate > low_quality > kept.
+# ---------------------------------------------------------------------------
+_QUALITY_EXPR_DUCK = f"""
+round(0.25 * least(len({_W_DUCK})::DOUBLE / 50.0, 1.0)
+    + 0.25 * (1.0 - (length(text)::DOUBLE
+                     - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))::DOUBLE)
+                    / greatest(length(text)::DOUBLE, 1.0))
+    + 0.25 * least(len(list_filter({_W_DUCK}, t -> list_contains([{_STOP_ARR}], t)))::DOUBLE
+                   / greatest(len({_W_DUCK})::DOUBLE, 1.0) * 5.0, 1.0)
+    + 0.25 * least(list_sum(list_transform({_W_DUCK}, t -> length(t)))::DOUBLE
+                   / greatest(len({_W_DUCK})::DOUBLE, 1.0) / 8.0, 1.0), 6)
+"""
+
+
+def _curate_oracle() -> str:
+    from koby_s_ai_vector_db_spark.queries.dedup_q import DOCS_DD_SQL
+
+    return f"""
+WITH docs_dd AS ({DOCS_DD_SQL}),
+scored AS (
+    SELECT doc_id, text, {_QUALITY_EXPR_DUCK} AS quality,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM docs_dd
+),
+tagged AS (
+    SELECT doc_id, quality,
+           CASE WHEN doc_id <> canonical THEN 'duplicate'
+                WHEN quality < 0.5 THEN 'low_quality'
+                ELSE 'kept' END AS reason
+    FROM scored
+)
+SELECT reason, count(*) AS n, round(avg(quality), 6) AS avg_quality
+FROM tagged GROUP BY reason
+"""
+
+
+@register("curate_corpus", _curate_oracle())
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline end-to-end: exact dedup (keep
+    the canonical min-id copy per text hash) + quality gate, with
+    per-reason counts. At 100 TB: the dedup window is partitioned by the
+    16-byte text hash (bounded groups), quality is map-only, the final
+    rollup is a 3-row aggregate — one shuffle total."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
+
+    docs = _docs_dd(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    tagged = (
+        docs.withColumn("quality", F.round(quality_score("text"), 6))
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .withColumn(
+            "reason",
+            F.when(F.col("doc_id") != F.col("canonical"), F.lit("duplicate"))
+            .when(F.col("quality") < 0.5, F.lit("low_quality"))
+            .otherwise(F.lit("kept")),
+        )
+    )
+    return tagged.groupBy("reason").agg(
+        F.count("*").alias("n"), F.round(F.avg("quality"), 6).alias("avg_quality")
+    )
