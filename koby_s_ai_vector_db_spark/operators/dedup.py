@@ -104,6 +104,16 @@ def jaccard(a: str, b: str) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's full parallelism when the
+    source arrived in fewer splits. The signature maps below are CPU-bound
+    (md5 per shingle/token × permutations); letting a 3-row-group parquet
+    file dictate 3-way parallelism on a 32-core executor pool wastes the
+    machine. One cheap shuffle of raw text buys full-width codegen maps."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on the raw text. One shuffle keyed by
     text hash; at scale group on md5(text) so the shuffle key is 16 bytes,
@@ -125,9 +135,22 @@ def minhash_near_dup_pairs(
     verify. Returns (doc_id_a, doc_id_b, jaccard) with a < b and
     jaccard >= threshold.
     """
-    grams = docs.select(
-        F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g")
-    ).filter(F.size("g") > 0)
+    from pyspark import StorageLevel
+
+    # Signatures are computed ONCE and reused by four consumers (both sides
+    # of the band self-join, both arms of the pair verify). At cluster
+    # scale this is a materialized signature table (write once, read per
+    # stage); in-session the analogue is a persisted intermediate —
+    # without it the shingle+md5 pipeline re-executes per branch.
+    # The input is also repartitioned first: the shingle+md5+permutation
+    # map is CPU-bound, and file-split granularity (a handful of parquet
+    # row groups) must not cap its parallelism.
+    grams = (
+        _spread(docs)
+        .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
+        .filter(F.size("g") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
         "sig", minhash_sig_expr("_h")
     )
@@ -147,8 +170,11 @@ def minhash_near_dup_pairs(
     )
     ga = grams.select(F.col("_id").alias("ai"), F.col("g").alias("ga"))
     gb = grams.select(F.col("_id").alias("bi"), F.col("g").alias("gb"))
+    # cand is tiny relative to the corpus (bounded by true near-dup pairs +
+    # LSH false positives) — broadcast it so the gram arrays never shuffle.
     return (
-        cand.join(ga, "ai")
+        F.broadcast(cand)
+        .join(ga, "ai")
         .join(gb, "bi")
         .withColumn("jaccard", jaccard("ga", "gb"))
         .filter(F.col("jaccard") >= threshold)
@@ -186,7 +212,9 @@ def simhash_near_dup_pairs(
     within Hamming distance 3 shares at least one identical block
     (pigeonhole), so blocking loses nothing at max_hamming <= 3.
     Returns (doc_id_a, doc_id_b, hamming), a < b."""
-    sigs = docs.select(F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh"))
+    sigs = _spread(docs).select(
+        F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh")
+    )
     blocks = sigs.select(
         "_id",
         "sh",
@@ -226,20 +254,42 @@ def ngram_jaccard_join(
     text_col: str = "text",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard top-k join: bounded broadcast query side
-    against the corpus (the brute-force tier; LSH above is the scale
-    path). Rank-then-filter like Q1. Returns (query_id, doc_id, jaccard,
-    rank)."""
+    """Exact word-n-gram Jaccard top-k join via an inverted shingle index.
+
+    Instead of corpus × queries with a per-pair array intersect (quadratic
+    row count, giant array columns through the join), explode both sides to
+    (id, shingle) postings and equi-join on the shingle: only pairs sharing
+    at least one shingle ever materialize, the match count IS the
+    intersection size, and |union| = |qg| + |cg| - inter. Results are
+    identical to the brute-force form — zero-overlap pairs can never enter
+    the top-k above `threshold` > 0 — but the work is proportional to the
+    number of colliding postings, not |corpus| × |queries|. The query side
+    (bounded) is broadcast, so the corpus postings never shuffle; the only
+    shuffle is the (query_id, doc_id) count aggregate over candidate pairs.
+    Returns (query_id, doc_id, jaccard, rank)."""
     from pyspark.sql import Window
 
-    c = corpus.select(id_col, shingles_expr(text_col).alias("cg")).filter(F.size("cg") > 0)
+    c = _spread(corpus).select(
+        id_col, shingles_expr(text_col).alias("cg")
+    ).filter(F.size("cg") > 0)
     q = queries.select(
         F.col(id_col).alias(query_id), shingles_expr(text_col).alias("qg")
     ).filter(F.size("qg") > 0)
-    scored = (
-        c.join(F.broadcast(q))
+    c_post = c.select(id_col, F.size("cg").alias("c_n"), F.explode("cg").alias("s"))
+    q_post = q.select(query_id, F.size("qg").alias("q_n"), F.explode("qg").alias("s"))
+    inter = (
+        c_post.join(F.broadcast(q_post), "s")
         .filter(F.col(query_id) != F.col(id_col))
-        .withColumn("jaccard", jaccard("qg", "cg"))
+        .groupBy(query_id, id_col)
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("q_n").alias("q_n"),
+            F.first("c_n").alias("c_n"),
+        )
+    )
+    scored = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double") / (F.col("q_n") + F.col("c_n") - F.col("inter")),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("jaccard"), F.asc(id_col))
     return (
