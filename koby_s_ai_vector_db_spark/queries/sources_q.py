@@ -11,11 +11,52 @@ from koby_s_ai_vector_db_spark.functions.vectors import l2_normalize, sql_normal
 from koby_s_ai_vector_db_spark.operators.mutations import catalog_insert
 from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
 from koby_s_ai_vector_db_spark.registry import register
-from koby_s_ai_vector_db_spark.sources.multimodal import media_table
+from koby_s_ai_vector_db_spark.sources.multimodal import media_table, scan_binary_dir
 from koby_s_ai_vector_db_spark.sources.pdf import PAGE_CHARS, extract_pages, join_pages
 from koby_s_ai_vector_db_spark.sources.tables import load_table
 
 _STRIP = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
+
+_S1_ORACLE = """
+SELECT 'doc_' || doc_id || (CASE WHEN doc_id % 40 = 0 THEN '.PDF' ELSE '.pdf' END)
+           AS filename,
+       octet_length(encode(text)) AS n_bytes
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@register("s1_scan", _S1_ORACLE)
+def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (embed_pdfs.py:67): case-insensitive `*.pdf` directory listing via
+    the binaryFile source. Fixture setup (not the operator under test)
+    materializes a deterministic file tree from `documents` — every 20th doc
+    as a .pdf (every 40th uppercased .PDF, which the reference's
+    case-insensitive listing must keep) plus .txt decoys the glob must
+    exclude — then the scan itself is pure Spark: binaryFile with a
+    character-class pathGlobFilter, returning (filename, n_bytes) that the
+    oracle recomputes from the table. At scale binaryFile parallelizes over
+    files and reads only metadata here (content column pruned away)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    fixture = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_s1", os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(root, exist_ok=True)
+    for row in fixture.toLocalIterator():  # fixture materialization, driver-side
+        ext = ".PDF" if row.doc_id % 40 == 0 else ".pdf"
+        with open(os.path.join(root, f"doc_{row.doc_id}{ext}"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+        if row.doc_id % 60 == 0:  # decoy the glob must exclude
+            with open(os.path.join(root, f"doc_{row.doc_id}.txt"), "wb") as f:
+                f.write(b"not a pdf")
+    scan = scan_binary_dir(spark, root, glob="*.[pP][dD][fF]")
+    return scan.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("n_bytes"),
+    )
 
 _PAGES_CTE = f"""
 WITH pages AS (
