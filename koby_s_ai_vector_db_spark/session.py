@@ -37,5 +37,13 @@ def get_spark(app_name: str = "koby-spark-engine", shuffle_partitions: int | Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Floor the scan split count at the core count: small inputs (few
+        # row groups) must not cap parallelism of CPU-bound maps. At scale
+        # this is a no-op (splits >> cores); maxPartitionBytes still bounds
+        # the per-split size.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(int(cpus) if cpus else (os.cpu_count() or 8)),
+        )
     )
     return builder.getOrCreate()
