@@ -104,14 +104,7 @@ def jaccard(a: str, b: str) -> Column:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's full parallelism when the
-    source arrived in fewer splits. The signature maps below are CPU-bound
-    (md5 per shingle/token × permutations); letting a 3-row-group parquet
-    file dictate 3-way parallelism on a 32-core executor pool wastes the
-    machine. One cheap shuffle of raw text buys full-width codegen maps."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+from koby_s_ai_vector_db_spark.functions.partitioning import spread as _spread
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

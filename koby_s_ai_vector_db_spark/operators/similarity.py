@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from koby_s_ai_vector_db_spark.functions.partitioning import spread
 from koby_s_ai_vector_db_spark.functions.vectors import dot, l2_normalize
 
 
@@ -57,7 +58,8 @@ def topk_cosine(
     exclude_self drops corpus rows whose id equals the query id (for query
     sets drawn from the corpus itself, e.g. the fusion family's fixtures).
     """
-    c = corpus if pre_normalized else corpus.withColumn(vec_col, l2_normalize(vec_col))
+    c = spread(corpus)  # the dot-product map below is the CPU-bound stage
+    c = c if pre_normalized else c.withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
     scored = c.join(F.broadcast(q))
@@ -102,7 +104,7 @@ def knn_self_join(
             "scalable tier, or opt in with allow_full_self_join=True for "
             "small corpora."
         )
-    c = embeddings.withColumn(vec_col, l2_normalize(vec_col))
+    c = spread(embeddings).withColumn(vec_col, l2_normalize(vec_col))
     q = queries if queries is not None else embeddings
     q = q.select(F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("query_vec"))
 
@@ -142,7 +144,7 @@ def ivf_topk(
     is a partition-pruned scan, not a full pass. Recall < 1.0 by design;
     tests measure it against topk_cosine.
     """
-    c = corpus.withColumn(vec_col, l2_normalize(vec_col))
+    c = spread(corpus).withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
     centroids = (

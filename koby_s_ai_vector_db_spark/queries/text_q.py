@@ -133,7 +133,9 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mod-sampled rolling fingerprints (char 8-grams, keep h%8==0):
     position-independent document signatures for plagiarism/near-dup
     pre-screening."""
-    docs = load_table(spark, sf_dir, "documents")
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = fingerprints("text")
     return docs.select(
         "doc_id",

@@ -70,7 +70,9 @@ FROM c
 @register("t3_normalize", _T3_ORACLE)
 def t3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 (utils.py:126-135): unit-norm check — ||v||² and first component."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = l2_normalize("embedding")
     return emb.select(
         "vec_id",

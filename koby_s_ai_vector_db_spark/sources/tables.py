@@ -45,19 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # documents/embeddings feed CPU-bound maps everywhere (shingles, md5
-    # signatures, normalize, dot products, Arrow-batched embedding); the
-    # fixture files are single-row-group parquet, so without a spread the
-    # whole first map stage of every such query runs on ONE task. A ~10 MB
-    # shuffle buys machine-wide parallelism; filters/pruning still push
-    # through the Repartition node to the scan. On a real cluster the
-    # row-group count dwarfs the core count and this becomes a no-op.
-    if name in ("documents", "embeddings"):
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
-    return df
+    # NOTE: no blanket repartition here. The fixture files are
+    # single-row-group parquet, so scans arrive ~1 partition wide — but a
+    # load-time spread taxes every cheap query (and multiplies pandas_udf
+    # worker spawns) for the benefit of a few heavy maps. The spread lives
+    # inside the CPU-bound operators instead (functions/partitioning.py):
+    # similarity corpus scoring, dedup signatures, fingerprints.
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
