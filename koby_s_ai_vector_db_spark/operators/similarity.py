@@ -122,6 +122,59 @@ def knn_self_join(
     )
 
 
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 10,
+    n_probe_labels: int = 2,
+    max_iter: int = 5,
+    seed: int = 20260813,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF with LEARNED lists: k-means (MLlib, seeded) assigns each vector
+    to a centroid cell, then `ivf_topk` probes the query's nearest cells.
+    This is the actual pgvector-ivfflat build step (`CREATE INDEX ...
+    USING ivfflat (lists=100)` runs k-means over a sample —
+    supabase_schema.sql:137-139); the fixture's random `label` column is
+    only a partition stand-in and caps recall at the probed fraction.
+
+    At scale: the fit runs on a sample (MLlib k-means is a few passes over
+    the data), the assignment is one map, and the corpus is then written
+    partitioned/bucketed by list id so a probe is a partition-pruned scan.
+    Iterative float reductions make the centroids engine-specific, so this
+    operator is checked by recall tests (tests/test_ann_recall.py), not a
+    cross-engine value oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = spread(corpus).withColumn(vec_col, l2_normalize(vec_col))
+    feat = c.withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, maxIter=max_iter, seed=seed, featuresCol="_fv", predictionCol="_list"
+    ).fit(feat)
+    labeled = model.transform(feat).select(
+        corpus_id, F.col("_list").cast("long").alias("label"), vec_col
+    )
+    return ivf_topk(
+        labeled,
+        queries,
+        k=k,
+        n_probe_labels=n_probe_labels,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+        round_to=round_to,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -54,3 +54,39 @@ def test_ivf_subset_of_exact_scores(spark):
     )
     assert joined.filter(F.col("e.sim").isNull()).count() == 0
     assert joined.filter(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9).count() == 0
+
+
+def test_kmeans_ivf_beats_random_labels(spark):
+    """The learned-centroid tier (pgvector's actual ivfflat build:
+    k-means lists) must beat random-label partitioning at equal probe
+    budget. Fixture embeddings are uniform random, so the gain is modest
+    (geometrically coherent Voronoi cells vs arbitrary ones); on real
+    clustered embeddings the gap widens sharply."""
+    from koby_s_ai_vector_db_spark.operators.similarity import kmeans_ivf_topk
+
+    emb = load_table(spark, SF_DIRS["t2"], "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(
+        emb.select("vec_id", "embedding"), queries, k=K, threshold=-1.0
+    ).select("query_id", "vec_id")
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    rand = ivf_topk(
+        emb.select("vec_id", "label", "embedding"), queries, k=K, n_probe_labels=2
+    ).select("query_id", "vec_id")
+    rand_recall = len(exact_set & {(r.query_id, r.vec_id) for r in rand.collect()}) / len(
+        exact_set
+    )
+
+    learned = kmeans_ivf_topk(
+        emb.select("vec_id", "embedding"), queries, k=K, n_probe_labels=2, max_iter=3
+    ).select("query_id", "vec_id")
+    learned_recall = len(
+        exact_set & {(r.query_id, r.vec_id) for r in learned.collect()}
+    ) / len(exact_set)
+
+    print(f"recall@{K}: random-label {rand_recall:.3f}, k-means {learned_recall:.3f}")
+    assert learned_recall >= rand_recall
+    assert learned_recall >= 0.3, learned_recall
