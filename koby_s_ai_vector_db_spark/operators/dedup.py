@@ -26,6 +26,19 @@ remain as correctness oracles for recall measurement.
 MinHash parameters: 24 hashes in 8 bands × 3 rows. For Jaccard j the
 candidate probability is 1-(1-j³)⁸ — ≈0.94 at j=2/3 (our planted
 near-dups), ≈1e-7 for unrelated fixture pairs (j≈0.001).
+
+Measured notes (sf0.1, local[32]) — what was tried and why this shape won:
+  - candidate pairs via groupBy(bucket) + in-bucket pair explode: one
+    shuffle; the bands self-join computes the same set with two exchanges.
+  - signature evaluation: Spark evaluates higher-order-function lambdas
+    interpreted (not codegen'd), so the 24-permutation map costs ~4 s
+    steady-state; an Arrow-batched numpy pandas_udf alternative measured
+    2× SLOWER (array<string> Arrow transfer + worker spawn), and a
+    loop-form `transform` over a literal param array slower still — the
+    unrolled JVM expressions stay.
+  - persisting hash arrays instead of gram-string arrays: no measurable
+    difference; first-run cost is dominated by one-time plan compilation,
+    amortized in any long-lived session.
 """
 
 from __future__ import annotations
@@ -150,15 +163,29 @@ def minhash_near_dup_pairs(
     bands = sigs.select(
         "_id", F.posexplode(band_keys_expr("sig")).alias("band_id", "band_key")
     )
+    # Candidate pairs come from a single shuffle: group by bucket, then
+    # explode the in-bucket pairs from the sorted id list (ai < bi by
+    # construction). A bucket self-join computes the same set but
+    # exchanges the bands table twice — measured 5x slower at sf0.1.
+    # Bucket skew is the classic LSH hazard (many identical texts → one
+    # signature); at scale collapse exact dups first (exact_dup_groups)
+    # and/or cap bucket size before the explode.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1),"
+                    " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                    " b -> struct(ids[i-1] AS ai, b AS bi))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a._id").alias("ai"), F.col("b._id").alias("bi"))
+        .select("p.ai", "p.bi")
         .distinct()
     )
     ga = grams.select(F.col("_id").alias("ai"), F.col("g").alias("ga"))
@@ -215,20 +242,25 @@ def simhash_near_dup_pairs(
             F.expr("transform(sequence(0, 3), j -> (sh >> (j * 8)) & 255L)")
         ).alias("block_id", "block_val"),
     )
+    # Same single-shuffle bucket-pair generation as the MinHash path: group
+    # by block, explode sorted in-bucket pairs (carrying both signatures).
+    buckets = (
+        blocks.groupBy("block_id", "block_val")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("m"))
+        .filter(F.size("m") > 1)
+    )
     cand = (
-        blocks.alias("a")
-        .join(
-            blocks.alias("b"),
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(m) - 1),"
+                    " i -> transform(slice(m, i + 1, size(m) - i),"
+                    " b -> struct(m[i-1]._id AS doc_id_a, b._id AS doc_id_b,"
+                    " m[i-1].sh AS sha, b.sh AS shb))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a._id").alias("doc_id_a"),
-            F.col("b._id").alias("doc_id_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select("p.doc_id_a", "p.doc_id_b", "p.sha", "p.shb")
         .distinct()
     )
     return (
