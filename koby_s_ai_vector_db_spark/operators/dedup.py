@@ -29,7 +29,9 @@ near-dups), ≈1e-7 for unrelated fixture pairs (j≈0.001).
 
 Measured notes (sf0.1, local[32]) — what was tried and why this shape won:
   - candidate pairs via groupBy(bucket) + in-bucket pair explode: one
-    shuffle; the bands self-join computes the same set with two exchanges.
+    shuffle; the bands self-join computes the same set with two exchanges
+    (equal within noise at fixture scale — the exchange count is the
+    100 TB argument, not a local win).
   - signature evaluation: Spark evaluates higher-order-function lambdas
     interpreted (not codegen'd), so the 24-permutation map costs ~4 s
     steady-state; an Arrow-batched numpy pandas_udf alternative measured
@@ -166,7 +168,9 @@ def minhash_near_dup_pairs(
     # Candidate pairs come from a single shuffle: group by bucket, then
     # explode the in-bucket pairs from the sorted id list (ai < bi by
     # construction). A bucket self-join computes the same set but
-    # exchanges the bands table twice — measured 5x slower at sf0.1.
+    # exchanges + sorts the bands table twice; at fixture scale the two
+    # are within measurement noise (first-run cost is dominated by plan
+    # compilation), the single exchange is the scale argument.
     # Bucket skew is the classic LSH hazard (many identical texts → one
     # signature); at scale collapse exact dups first (exact_dup_groups)
     # and/or cap bucket size before the explode.
