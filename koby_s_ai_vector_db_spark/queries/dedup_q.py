@@ -245,3 +245,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 1000000) & (F.col("vec_id") <= 1000070)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     return topk_cosine(emb, queries, k=3, threshold=0.85, exclude_self=True)
+
+
+_HP_ORACLE = f"""
+WITH emb_dd AS ({EMB_DD_DUCK}),
+c AS (SELECT vec_id, {sql_normalize('embedding')} AS v FROM emb_dd),
+planes AS (
+    SELECT j AS plane_id,
+           list_transform(range(0, 64), i -> CASE
+               WHEN (('0x' || substr(md5('plane:' || j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT) % 2 = 0
+               THEN 1.0 ELSE -1.0 END) AS plane
+    FROM (SELECT unnest(range(0, 64)) AS j)
+),
+bits0 AS (
+    SELECT c.vec_id, p.plane_id,
+           CASE WHEN list_sum(list_transform(c.v, (x, i) -> x * p.plane[i])) > 0
+                THEN '1' ELSE '0' END AS bit
+    FROM c CROSS JOIN planes p
+),
+bitstr AS (
+    SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bits
+    FROM bits0 GROUP BY vec_id
+),
+bands AS (
+    SELECT vec_id, b AS band_id, substr(bits, CAST(b * 8 + 1 AS INT), 8) AS band_key
+    FROM bitstr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+ver AS (
+    SELECT ai, bi, list_sum(list_transform(ca.v, (x, i) -> x * cb.v[i])) AS sim
+    FROM cand JOIN c ca ON ai = ca.vec_id JOIN c cb ON bi = cb.vec_id
+)
+SELECT ai AS vec_id_a, bi AS vec_id_b, round(sim, 6) AS sim
+FROM ver WHERE sim >= 0.85
+"""
+
+
+@register("dedup_embedding_lsh", _HP_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angular (random-hyperplane) LSH near-dup over embeddings: 64
+    portable-hash Rademacher planes -> 8x8-bit banded sketch -> bucket
+    candidates -> exact-cosine verify >= 0.85. The scale tier behind the
+    brute-force `dedup_embedding_cosine`; the oracle regenerates the
+    identical planes from the same md5 stream."""
+    from koby_s_ai_vector_db_spark.operators.dedup import hyperplane_lsh_pairs
+
+    return hyperplane_lsh_pairs(_emb_dd(spark, sf_dir))
