@@ -434,3 +434,58 @@ def hyperplane_lsh_pairs(
             F.round("sim", round_to).alias("sim"),
         )
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, group_id) with
+    group_id = min doc id reachable — the step that turns pairwise LSH
+    output into dedup GROUPS a curation pipeline can act on (keep the
+    canonical min-id member, drop the rest).
+
+    Min-label propagation: each vertex repeatedly adopts the smallest
+    label among itself and its neighbors; convergence needs
+    component-diameter iterations (planted fixture components have
+    diameter <= 2). The driver-side loop is a bounded ITERATION control
+    (one count() per round as the convergence test) — the per-round work
+    is fully distributed joins, the classic Pregel-on-DataFrames shape.
+    At 100 TB diameter can be large; the production upgrade is the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") with O(log n) rounds — same
+    join primitives, different edge rewiring."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        ).persist()
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("group_id"))

@@ -295,3 +295,36 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koby_s_ai_vector_db_spark.operators.dedup import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(_emb_dd(spark, sf_dir))
+
+
+def _groups_oracle() -> str:
+    # The minhash pair query, wrapped as a CTE, then a recursive transitive
+    # closure: group_id = least(self, min reachable id). WITH RECURSIVE is
+    # the DuckDB dual of the Spark driver-side label-propagation loop.
+    body = _MINHASH_ORACLE.strip()
+    return f"""
+WITH RECURSIVE pairs AS ({body}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_groups", _groups_oracle())
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components (min-label propagation) over
+    the MinHash-LSH pair output — pairwise dedup turned into actionable
+    canonical groups."""
+    from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
+
+    pairs = minhash_near_dup_pairs(_docs_dd(spark, sf_dir), threshold=0.5)
+    return near_dup_groups(pairs)
