@@ -255,3 +255,58 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("reason").agg(
         F.count("*").alias("n"), F.round(F.avg("quality"), 6).alias("avg_quality")
     )
+
+
+_MM_DEC_CTE = f"""
+WITH dec AS (
+    SELECT doc_id AS media_id,
+           {_MM_KIND} AS kind,
+           octet_length(encode(text)) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(CASE WHEN {_MM_KIND} = 'video'
+                     THEN octet_length(encode(text)) % 100 ELSE 1 END AS BIGINT) AS n_frames
+    FROM documents
+)"""
+
+_MM_RESIZE_ORACLE = _MM_DEC_CTE + """
+, pct AS (
+    SELECT *, least(least((64 * 1000) // greatest(width, 1),
+                          (64 * 1000) // greatest(height, 1)), 1000) AS p
+    FROM dec
+)
+SELECT media_id, kind, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST((width * p) // 1000 AS INT) AS out_w,
+       CAST((height * p) // 1000 AS INT) AS out_h
+FROM pct
+"""
+
+
+@register("mm_resize", _MM_RESIZE_ORACLE)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: integer floor-scale-to-fit geometry through the
+    Arrow-batched mapInPandas stage (pixel resample import-gated)."""
+    from koby_s_ai_vector_db_spark.sources.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(media_table(docs)))
+
+
+_MM_FRAMES_ORACLE = _MM_DEC_CTE + """
+SELECT media_id,
+       CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx,
+       CAST(unnest(range(0, n_frames, 10)) * (byte_len // n_frames) AS BIGINT) AS frame_off,
+       CAST((media_id * 31 + unnest(range(0, n_frames, 10))) % 997 AS INT) AS frame_sig
+FROM dec WHERE kind = 'video' AND n_frames > 0
+"""
+
+
+@register("mm_frames", _MM_FRAMES_ORACLE)
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling: every 10th frame with byte offsets and
+    a deterministic frame signature; non-video rows pruned JVM-side before
+    the Python hop."""
+    from koby_s_ai_vector_db_spark.sources.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_media(media_table(docs)))

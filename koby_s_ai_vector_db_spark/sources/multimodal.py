@@ -113,3 +113,64 @@ def binary_features(media: DataFrame) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.hex(F.expr("substring(content, 1, 4)")).alias("header_hex"),
     )
+
+
+RESIZED_SCHEMA = "media_id bigint, kind string, width int, height int, out_w int, out_h int"
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame_off bigint, frame_sig int"
+
+
+def resize_media(decoded: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Thumbnail/resize stage via mapInPandas. With an imaging lib this is
+    where pixels get resampled; here the geometry is real (integer
+    floor-scaling to fit max_w x max_h, never upscaling) and the payload
+    transform is the import-gated stub — so the batch shape, schema and
+    scaling arithmetic are all exercised and oracle-checked."""
+    use_real = _real_decode_available()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real:  # pragma: no cover - not available in this container
+            raise NotImplementedError("real resample path (PIL.Image.thumbnail)")
+        for pdf in batches:
+            w = pdf["width"].astype("int64").clip(lower=0)
+            h = pdf["height"].astype("int64").clip(lower=0)
+            pct = pd.concat(
+                [
+                    (max_w * 1000) // w.clip(lower=1),
+                    (max_h * 1000) // h.clip(lower=1),
+                ],
+                axis=1,
+            ).min(axis=1).clip(upper=1000)
+            out = pdf[["media_id", "kind", "width", "height"]].copy()
+            out["out_w"] = ((w * pct) // 1000).astype("int32")
+            out["out_h"] = ((h * pct) // 1000).astype("int32")
+            yield out
+
+    return decoded.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, every: int = 10) -> DataFrame:
+    """Frame-sampling stage via mapInPandas: every `every`-th frame of
+    each video payload, with its byte offset (uniform frame stride over
+    the payload) and a deterministic per-frame signature standing in for
+    the decoded-frame feature. Non-video rows and zero-frame payloads are
+    filtered JVM-side BEFORE the Python hop — pushdown keeps the Arrow
+    transfer to the rows that matter."""
+    use_real = _real_decode_available()
+    vids = decoded.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real:  # pragma: no cover - not available in this container
+            raise NotImplementedError("real frame decode path (av.open)")
+        for pdf in batches:
+            rows = []
+            for m, blen, nf in zip(pdf["media_id"], pdf["byte_len"], pdf["n_frames"]):
+                stride = int(blen) // int(nf)
+                for idx in range(0, int(nf), every):
+                    rows.append(
+                        (int(m), idx, idx * stride, (int(m) * 31 + idx) % 997)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_off", "frame_sig"]
+            )
+
+    return vids.mapInPandas(_sample, schema=FRAMES_SCHEMA)
