@@ -464,6 +464,7 @@ def near_dup_groups(
         .persist()
     )
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    prev = None
     for _ in range(max_iter):
         neigh_min = (
             edges.join(
@@ -484,6 +485,9 @@ def near_dup_groups(
             )
         ).persist()
         changed = new_labels.filter("_changed").count()
+        if prev is not None:
+            prev.unpersist()  # superseded iteration; keeps long chains bounded
+        prev = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

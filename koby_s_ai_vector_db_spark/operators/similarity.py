@@ -194,8 +194,9 @@ def ivf_topk(
     are computed as per-label mean vectors (one small aggregate), queries
     probe their n nearest centroids, and the exact search runs only inside
     probed cells — at scale the corpus is *partitioned by* label so a probe
-    is a partition-pruned scan, not a full pass. Recall < 1.0 by design;
-    tests measure it against topk_cosine.
+    is a partition-pruned scan, not a full pass (that persisted layout is
+    implemented in sources/ivf.py: build_ivf_index / ivf_index_search).
+    Recall < 1.0 by design; tests measure it against topk_cosine.
     """
     c = spread(corpus).withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
