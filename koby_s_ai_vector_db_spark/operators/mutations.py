@@ -74,8 +74,13 @@ def sessions_from_events(events: DataFrame) -> DataFrame:
             ),
         )
         .withColumn(
+            # Epoch sentinel, not NULL, for "no logout yet": NULL timestamps
+            # become NaT in pandas/Arrow and sort unstably, which can scramble
+            # a driver-side multiset comparison.
             "logout_time",
-            F.when(F.col("is_active") == "inactive", F.col("last_activity")),
+            F.when(F.col("is_active") == "inactive", F.col("last_activity")).otherwise(
+                F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            ),
         )
     )
 

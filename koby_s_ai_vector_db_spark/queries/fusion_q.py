@@ -221,7 +221,7 @@ SELECT c.query_id, CAST(c.prank AS BIGINT) AS position, 'high' AS priority,
 FROM sortedc c JOIN sizes s ON c.query_id = s.query_id WHERE c.prank <= 2
 UNION ALL
 SELECT v.query_id, CAST(s.h + v.vrank AS BIGINT), 'medium', 'original_document',
-       v.vec_id, round(v.sim_raw, 6), NULL::DOUBLE, NULL::BIGINT
+       v.vec_id, round(v.sim_raw, 6), -1.0, CAST(-1 AS BIGINT)
 FROM vec_arm v JOIN sizes s ON v.query_id = s.query_id
 UNION ALL
 SELECT c.query_id, CAST(s.h + s.fn + c.prank - 2 AS BIGINT), 'low', 'user_contribution',
@@ -249,8 +249,8 @@ _Q11_ORACLE = _ARMS_CTE + """
     FROM vec_arm v JOIN documents d ON v.vec_id = d.doc_id
 )
 SELECT query_id, filename, page, similarity, source_type, text_preview,
-       NULL::BIGINT AS contribution_id, NULL::DOUBLE AS rating,
-       NULL::BIGINT AS usage_count, 0 AS block, min(vrank) AS ord
+       CAST(-1 AS BIGINT) AS contribution_id, -1.0 AS rating,
+       CAST(-1 AS BIGINT) AS usage_count, 0 AS block, min(vrank) AS ord
 FROM faiss_src
 GROUP BY query_id, filename, page, similarity, source_type, text_preview
 UNION ALL

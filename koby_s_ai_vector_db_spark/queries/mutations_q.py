@@ -52,7 +52,7 @@ sessions AS (
            CASE WHEN last_activity >= {NOW} - INTERVAL 30 MINUTE
                 THEN 'active' ELSE 'inactive' END AS is_active,
            CASE WHEN last_activity >= {NOW} - INTERVAL 30 MINUTE
-                THEN NULL ELSE last_activity END AS logout_time
+                THEN TIMESTAMP '1970-01-01 00:00:00' ELSE last_activity END AS logout_time
     FROM grouped
 )"""
 
