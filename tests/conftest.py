@@ -54,6 +54,11 @@ def assert_matches_oracle(spark_df, con, sql, check_rows=True):
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     assert s_cols == o_cols, f"schema mismatch: {s_cols} vs {o_cols}"
     assert len(sdf) == len(odf), f"row count mismatch: {len(sdf)} vs {len(odf)}"
+    # No NULL/NaN/NaT cells ever: NaN inside row tuples makes sorted()
+    # pairing nondeterministic, which can scramble any driver-side
+    # order-insensitive comparison. Registered queries emit sentinels.
+    null_cols = sdf.columns[sdf.isna().any()].tolist()
+    assert not null_cols, f"null cells in query output columns: {null_cols}"
     if not check_rows:
         return
 
