@@ -42,14 +42,22 @@ def main() -> int:
     print(f"[bench] spark up in {time.perf_counter() - t0:.1f}s "
           f"master={spark.sparkContext.master} sf_dir={sf_dir}", file=sys.stderr)
 
-    # Warm the JVM + parquet footer caches so per-query numbers measure the
-    # plan, not first-touch JIT/IO (the reference pays its warm-up per query
-    # by re-reading the FAISS index per request — core/utils.py:203-204; we
-    # deliberately exclude one-time warm-up like any long-lived engine).
-    try:
-        entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # pragma: no cover - warmup is best-effort
-        print(f"[bench] warmup failed: {exc}", file=sys.stderr)
+    # Warm-up: run EVERY query once untimed so the timed loop measures the
+    # steady-state plan, not first-touch JIT / codegen compilation / parquet
+    # footer IO. A single-query warm-up is not enough — each query family
+    # exercises different codegen stages, and whichever query ran first used
+    # to absorb multi-second JVM warm-up (t1_chunker: 2.6s polluted vs 1.3s
+    # steady state). The reference pays its warm-up per query by re-reading
+    # the FAISS index per request (core/utils.py:203-204); like any
+    # long-lived engine we exclude one-time warm-up from steady-state timing.
+    warm0 = time.perf_counter()
+    for name, fn in entry_mod.queries().items():
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # pragma: no cover - warmup is best-effort
+            print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
+    print(f"[bench] warmup pass done in {time.perf_counter() - warm0:.1f}s",
+          file=sys.stderr)
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
