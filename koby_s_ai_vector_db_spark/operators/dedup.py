@@ -86,6 +86,15 @@ def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
 _H32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
 
 
+def _md5_u32(s: str) -> int:
+    """Python twin of `_H32` — first 8 md5 hex chars as an unsigned int.
+    Used to pre-compute constants (e.g. hyperplane sign masks) that the
+    SQL oracles re-derive from the identical md5 stream."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def shingle_hashes_expr(grams_col: str) -> Column:
     """One md5-derived 32-bit hash per shingle, reduced mod P — computed
     once and reused by all N_HASHES affine permutations."""
@@ -110,6 +119,36 @@ def band_keys_expr(sig_col: str) -> Column:
         f" concat_ws(',', transform(slice({sig_col}, j * {ROWS} + 1, {ROWS}),"
         f" v -> CAST(v AS STRING))))"
     )
+
+
+# LSH bucket-size cap: a bucket holding N rows explodes into N(N-1)/2
+# candidate pairs — quadratic in the one place LSH is supposed to avoid
+# quadratics. Oversized buckets are near-always identical/boilerplate text
+# (one signature, unbounded copies: the "viral bucket" hazard). Above the
+# cap we emit the CHAIN of consecutive sorted ids instead of all pairs:
+# O(N) candidates that keep every bucket member transitively connected, so
+# `near_dup_groups` produces IDENTICAL groups, and pair-level recall only
+# degrades inside pathological buckets (whose members are duplicates of
+# each other anyway — collapse them with `exact_dup_groups` upstream for
+# exact semantics). The DuckDB oracles mirror the same rule, so the cap is
+# value-checked cross-engine, and a planted 200-identical-docs test pins
+# the candidate count to O(N) (tests/test_dedup_ops.py).
+BUCKET_CAP = 32
+
+
+def capped_bucket_pairs_expr(ids: str, cap: int = BUCKET_CAP) -> Column:
+    """Candidate pairs from a sorted-id array: all pairs up to `cap`,
+    consecutive-chain pairs beyond. Returns array<struct<ai,bi>>."""
+    all_pairs = (
+        f"flatten(transform(sequence(1, size({ids}) - 1),"
+        f" i -> transform(slice({ids}, i + 1, size({ids}) - i),"
+        f" b -> struct({ids}[i-1] AS ai, b AS bi))))"
+    )
+    chain = (
+        f"transform(sequence(1, size({ids}) - 1),"
+        f" i -> struct({ids}[i-1] AS ai, {ids}[i] AS bi))"
+    )
+    return F.expr(f"IF(size({ids}) <= {cap}, {all_pairs}, {chain})")
 
 
 def jaccard(a: str, b: str) -> Column:
@@ -138,12 +177,18 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    cache_key=None,
 ) -> DataFrame:
     """MinHash → banded LSH buckets → candidate pairs → exact-Jaccard
     verify. Returns (doc_id_a, doc_id_b, jaccard) with a < b and
-    jaccard >= threshold.
+    jaccard >= threshold. Pass `cache_key` (any hashable identifying the
+    input corpus) to share the persisted shingle table across repeated
+    calls in the same session — e.g. the pair query and the groups query
+    over the same corpus.
     """
     from pyspark import StorageLevel
+
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
     # Signatures are computed ONCE and reused by four consumers (both sides
     # of the band self-join, both arms of the pair verify). At cluster
@@ -153,12 +198,19 @@ def minhash_near_dup_pairs(
     # The input is also repartitioned first: the shingle+md5+permutation
     # map is CPU-bound, and file-split granularity (a handful of parquet
     # row groups) must not cap its parallelism.
-    grams = (
-        _spread(docs)
-        .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
-        .filter(F.size("g") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    def _build_grams() -> DataFrame:
+        return (
+            _spread(docs)
+            .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
+            .filter(F.size("g") > 0)
+        )
+
+    if cache_key is not None:
+        grams = memo_persist(
+            docs.sparkSession, ("minhash_grams", cache_key), _build_grams
+        )
+    else:
+        grams = _build_grams().persist(StorageLevel.MEMORY_AND_DISK)
     sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
         "sig", minhash_sig_expr("_h")
     )
@@ -171,24 +223,15 @@ def minhash_near_dup_pairs(
     # exchanges + sorts the bands table twice; at fixture scale the two
     # are within measurement noise (first-run cost is dominated by plan
     # compilation), the single exchange is the scale argument.
-    # Bucket skew is the classic LSH hazard (many identical texts → one
-    # signature); at scale collapse exact dups first (exact_dup_groups)
-    # and/or cap bucket size before the explode.
+    # Buckets above BUCKET_CAP emit the consecutive chain instead of all
+    # pairs — see the cap rationale above `capped_bucket_pairs_expr`.
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(ids) - 1),"
-                    " i -> transform(slice(ids, i + 1, size(ids) - i),"
-                    " b -> struct(ids[i-1] AS ai, b AS bi))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(capped_bucket_pairs_expr("ids")).alias("p"))
         .select("p.ai", "p.bi")
         .distinct()
     )
@@ -253,6 +296,14 @@ def simhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("m"))
         .filter(F.size("m") > 1)
     )
+    # NO BUCKET_CAP here, deliberately: an 8-bit block key has only 256
+    # values, so large buckets are the NORMAL case, not a viral-content
+    # signal, and capping them would break the pigeonhole completeness
+    # guarantee (every pair within Hamming 3 shares a block). The scale
+    # knob for SimHash is key entropy — a 64-bit signature with 16-bit
+    # blocks keeps the same guarantee with 65536-value keys — whereas
+    # MinHash bands / hyperplane sketches already have high-entropy keys
+    # and get the cap (capped_bucket_pairs_expr).
     cand = (
         buckets.select(
             F.explode(
@@ -359,41 +410,40 @@ def hyperplane_lsh_pairs(
 
     n_bands = n_planes // band_bits
     assert n_bands * band_bits == n_planes
-    spark = embeddings.sparkSession
 
-    plane_sign = _H32.format(
-        x="concat('plane:', CAST(id AS STRING), ':', CAST(i AS STRING))"
-    )
-    planes = spark.range(n_planes).select(
-        F.col("id").cast("int").alias("plane_id"),
-        F.expr(
-            f"transform(sequence(0, {dim - 1}),"
-            f" i -> IF({plane_sign} % 2 = 0, 1.0D, -1.0D))"
-        ).alias("plane"),
+    # The whole n_planes-bit sketch is computed MAP-SIDE in one expression:
+    # the planes are md5-derived ±1 constants, so each plane packs into one
+    # 64-bit sign mask embedded as a literal — bit i of mask j is the sign
+    # of plane j, dimension i. sign(<v, r_j>) then needs no join at all:
+    # fold v against the mask with ±element_at. The previous shape
+    # (crossJoin 64 broadcast plane rows, then groupBy(_id) to reassemble
+    # the bits) shuffled 64× the corpus row count keyed on vec_id — at
+    # 100 TB that exchange dominates the operator; this form has ZERO
+    # exchanges before banding. Multiplying by ±1.0 and adding ±x are
+    # bit-identical in IEEE 754 and both engines sum dimensions in index
+    # order, so the sketch stays value-checked cross-engine.
+    assert dim <= 64, "one 64-bit sign mask per plane"
+    masks = []
+    for pid in range(n_planes):
+        m = 0
+        for i in range(dim):
+            h = int(_md5_u32(f"plane:{pid}:{i}"))
+            if h % 2 == 0:  # matches IF(md5_u32 % 2 = 0, 1.0, -1.0)
+                m |= 1 << i
+        masks.append(m - (1 << 64) if m >= (1 << 63) else m)  # signed BIGINT
+    masks_sql = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
+    sketch = F.expr(
+        f"concat_ws('', transform({masks_sql}, m ->"
+        f" IF(aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
+        f" (a, i) -> a + IF(shiftright(m, i) & 1 = 1,"
+        f" element_at(v, i + 1), -element_at(v, i + 1))) > 0, '1', '0')))"
     )
 
     c = (
         _spread(embeddings)
         .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("v"))
     )
-    # 64 sketch bits per vector: one broadcast of 64 tiny plane rows, one
-    # map-side dot per (vector, plane), one shuffle keyed on _id to fold
-    # bits into the sketch string (collect_list ordered via array_sort).
-    bits = (
-        c.crossJoin(F.broadcast(planes))
-        .withColumn("bit", F.when(dot("v", "plane") > 0, "1").otherwise("0"))
-        .groupBy("_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
-                    lambda s: s["bit"],
-                ),
-            ).alias("bits")
-        )
-    )
-    bands = bits.select(
+    bands = c.withColumn("bits", sketch).select(
         "_id",
         F.posexplode(
             F.expr(
@@ -408,15 +458,7 @@ def hyperplane_lsh_pairs(
         .filter(F.size("ids") > 1)
     )
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(ids) - 1),"
-                    " i -> transform(slice(ids, i + 1, size(ids) - i),"
-                    " b -> struct(ids[i-1] AS ai, b AS bi))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(capped_bucket_pairs_expr("ids")).alias("p"))
         .select("p.ai", "p.bi")
         .distinct()
     )
@@ -440,56 +482,105 @@ def near_dup_groups(
     pairs: DataFrame,
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
-    max_iter: int = 10,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, group_id) with
     group_id = min doc id reachable — the step that turns pairwise LSH
     output into dedup GROUPS a curation pipeline can act on (keep the
     canonical min-id member, drop the rest).
 
-    Min-label propagation: each vertex repeatedly adopts the smallest
-    label among itself and its neighbors; convergence needs
-    component-diameter iterations (planted fixture components have
-    diameter <= 2). The driver-side loop is a bounded ITERATION control
-    (one count() per round as the convergence test) — the per-round work
-    is fully distributed joins, the classic Pregel-on-DataFrames shape.
-    At 100 TB diameter can be large; the production upgrade is the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") with O(log n) rounds — same
-    join primitives, different edge rewiring."""
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014): each round
+    rewires edges toward per-neighborhood minima —
+
+      large-star: for every node u with m = min(Γ(u) ∪ {u}), replace each
+                  edge to a LARGER neighbor v > u by (v, m);
+      small-star: for every node u with N = {v ∈ Γ(u) : v < u} nonempty
+                  and m = min(N), connect u and every other v ∈ N to m.
+
+    Both steps preserve connectivity, and the component collapses onto a
+    star centered at its minimum id in O(log n) rounds REGARDLESS of
+    diameter — unlike min-label propagation, whose round count is the
+    component diameter (unbounded on chain-shaped duplicate clusters; the
+    round-2 implementation silently returned wrong groups past round 10).
+    Per-round work is two groupBy/join passes over the edge set — the same
+    shuffle primitives, just a rewiring that contracts geometrically.
+
+    Convergence is detected by an order-independent edge-set checksum
+    (count + sum of per-edge xxhash64) — one cheap aggregate per round,
+    no extra shuffle of the edge set. If `max_iter` rounds pass without
+    convergence the function RAISES rather than return wrong groups.
+
+    Each round's result is `localCheckpoint`ed: the round's plan
+    references its input several times (union of both directions, the
+    star joins), so without lineage TRUNCATION the logical plan grows
+    exponentially with rounds (the round-2 persist-only draft OOMed the
+    driver just rendering the plan string). On a cluster swap this for
+    `checkpoint()` against reliable storage — same contract, fault
+    tolerant; the iteration shape is unchanged.
+    """
+    und = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    nodes = (
+        und.select("src").union(und.select(F.col("dst").alias("src"))).distinct()
     )
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
-    prev = None
+    edges = und.localCheckpoint(eager=True)
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst"))
+                .cast("decimal(38,0)")  # exact sum — no ANSI long overflow
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sum = None
     for _ in range(max_iter):
-        neigh_min = (
-            edges.join(
-                labels.select(F.col("src").alias("dst"), F.col("label").alias("nl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nmin"))
+        # large-star: gather both directions, m = min over closed
+        # neighborhood, re-point larger neighbors at m.
+        both = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.join(neigh_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
-            )
-        ).persist()
-        changed = new_labels.filter("_changed").count()
-        if prev is not None:
-            prev.unpersist()  # superseded iteration; keeps long chains bounded
-        prev = new_labels
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        lmin = both.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            both.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: orient every edge large→small, m = min small
+        # neighbor, connect u and its other small neighbors to m.
+        oriented = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        smin = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            oriented.join(smin, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(smin.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage, materialize
+        )
+        edges = small
+        cur_sum = _checksum(small)
+        if cur_sum == prev_sum:
             break
-    edges.unpersist()
-    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("group_id"))
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"near_dup_groups: star contraction did not converge in "
+            f"{max_iter} rounds — raise max_iter (components of 2^{max_iter} "
+            f"nodes converge w.h.p.; non-convergence here is a bug, not data)"
+        )
+
+    # Converged: every edge points (member → component-min root). Roots
+    # themselves have no outgoing edge — they label themselves.
+    members = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("group_id"))
+    roots = nodes.join(
+        members.select("doc_id"), nodes["src"] == members["doc_id"], "left_anti"
+    ).select(F.col("src").alias("doc_id"), F.col("src").alias("group_id"))
+    return members.union(roots)

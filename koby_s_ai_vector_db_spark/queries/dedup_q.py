@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from koby_s_ai_vector_db_spark.functions.vectors import sql_normalize
 from koby_s_ai_vector_db_spark.operators.dedup import (
     BANDS,
+    BUCKET_CAP,
     HASH_PARAMS,
     P,
     ROWS,
@@ -126,10 +127,22 @@ bands AS (
            CAST(sig[j * {ROWS} + 3] AS VARCHAR) AS band_key
     FROM sigs CROSS JOIN (SELECT unnest(range(0, {BANDS})) AS j) _j
 ),
+bsz AS (SELECT j, band_key, count(*) AS n FROM bands GROUP BY j, band_key),
+-- Mirrors the Spark BUCKET_CAP rule (operators/dedup.py): buckets up to
+-- the cap emit all pairs, oversized buckets the consecutive sorted chain.
 cand AS (
-    SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
-    FROM bands a JOIN bands b
-      ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    SELECT DISTINCT ai, bi FROM (
+        SELECT a.doc_id AS ai, b.doc_id AS bi
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.j = a.j AND s.band_key = a.band_key
+        WHERE s.n <= {BUCKET_CAP}
+        UNION ALL
+        SELECT ids[i] AS ai, ids[i+1] AS bi
+        FROM (SELECT j, band_key, list(doc_id ORDER BY doc_id) AS ids
+              FROM bands GROUP BY j, band_key HAVING count(*) > {BUCKET_CAP}) ob,
+             unnest(range(1, len(ids))) AS t(i)
+    ) u(ai, bi)
 ),
 jac AS (
     SELECT ai, bi, {_JACCARD.format(a='ga.g', b='gb.g')} AS jaccard
@@ -143,7 +156,9 @@ FROM jac WHERE jaccard >= 0.5
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (24 hashes) → banded LSH (8×3) → exact-Jaccard verify."""
-    return minhash_near_dup_pairs(_docs_dd(spark, sf_dir), threshold=0.5)
+    return minhash_near_dup_pairs(
+        _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
+    )
 
 
 _SIMHASH_ORACLE = f"""
@@ -271,10 +286,21 @@ bands AS (
     SELECT vec_id, b AS band_id, substr(bits, CAST(b * 8 + 1 AS INT), 8) AS band_key
     FROM bitstr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
 ),
+bsz AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY band_id, band_key),
+-- Same BUCKET_CAP rule as the Spark side (operators/dedup.py).
 cand AS (
-    SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    SELECT DISTINCT ai, bi FROM (
+        SELECT a.vec_id AS ai, b.vec_id AS bi
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+        JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+        WHERE s.n <= {BUCKET_CAP}
+        UNION ALL
+        SELECT ids[i] AS ai, ids[i+1] AS bi
+        FROM (SELECT band_id, band_key, list(vec_id ORDER BY vec_id) AS ids
+              FROM bands GROUP BY band_id, band_key HAVING count(*) > {BUCKET_CAP}) ob,
+             unnest(range(1, len(ids))) AS t(i)
+    ) u(ai, bi)
 ),
 ver AS (
     SELECT ai, bi, list_sum(list_transform(ca.v, (x, i) -> x * cb.v[i])) AS sim
@@ -326,5 +352,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical groups."""
     from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
 
-    pairs = minhash_near_dup_pairs(_docs_dd(spark, sf_dir), threshold=0.5)
+    pairs = minhash_near_dup_pairs(
+        _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
+    )
     return near_dup_groups(pairs)

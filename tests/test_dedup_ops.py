@@ -1,0 +1,72 @@
+"""Dedup-operator scale guards: star-contraction CC and the LSH bucket cap.
+
+These pin the two round-3 scale fixes at the OPERATOR level (the oracle
+suite already value-checks the registered queries):
+
+  - `near_dup_groups` must be diameter-independent: a planted chain of
+    diameter 40 converges where the retired min-label propagation (bounded
+    at 10 rounds) silently returned wrong labels;
+  - oversized LSH buckets must emit O(N) chain candidates, not the
+    O(N²) all-pairs explode (the "viral bucket": N identical boilerplate
+    docs share one MinHash signature).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from koby_s_ai_vector_db_spark.operators.dedup import (
+    BUCKET_CAP,
+    minhash_near_dup_pairs,
+    near_dup_groups,
+)
+
+
+def test_star_contraction_handles_long_chains(spark):
+    # Two chain components: 0-1-...-40 (diameter 40) and 100-...-125.
+    # Label propagation needed `diameter` rounds and was capped at 10;
+    # star contraction converges in O(log n) rounds regardless.
+    chain = [(i, i + 1) for i in range(40)] + [(100 + i, 101 + i) for i in range(25)]
+    pairs = spark.createDataFrame(chain, "doc_id_a bigint, doc_id_b bigint")
+    got = {r.doc_id: r.group_id for r in near_dup_groups(pairs).collect()}
+    assert len(got) == 67
+    for node, group in got.items():
+        assert group == (0 if node <= 40 else 100), (node, group)
+
+
+def test_star_contraction_raises_instead_of_wrong_groups(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(chain, "doc_id_a bigint, doc_id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(pairs, max_iter=1)
+
+
+def test_viral_bucket_capped_to_linear_candidates(spark):
+    # 200 identical docs: one MinHash signature, every band lands in ONE
+    # bucket. Uncapped this explodes into 200*199/2 = 19900 candidate
+    # pairs; the chain cap emits 199. All 200 stay one connected group.
+    n = 200
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated across the corpus").alias("text"),
+    )
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # chain, not all-pairs
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in rows)
+    groups = near_dup_groups(pairs)
+    assert groups.filter(F.col("group_id") == 0).count() == n
+    assert groups.count() == n
+
+
+def test_small_buckets_keep_all_pairs_semantics(spark):
+    # A bucket at exactly the cap still produces the full pair set.
+    n = BUCKET_CAP
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("another boilerplate sentence shared by a smaller cluster").alias("text"),
+    )
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    assert pairs.count() == n * (n - 1) // 2

@@ -47,3 +47,13 @@ def test_topk_rank_uses_window_group_limit(spark):
 def test_lexical_caps_use_take_ordered(spark):
     for name in ("q3_contribution_search", "q4_keyword_search"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_hyperplane_sketch_is_map_side(spark):
+    """The 64-bit angular sketch must be computed in one map-side
+    expression (literal sign masks), NOT reassembled via a groupBy on the
+    vector id — the round-2 shape shuffled 64× the corpus row count keyed
+    on _id before banding (operators/dedup.py:hyperplane_lsh_pairs)."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "hashpartitioning(_id" not in plan, "sketch-fold shuffle is back"
+    assert "keys=[_id" not in plan, "sketch bits reassembled via per-id aggregate"
