@@ -146,12 +146,15 @@ def prioritize_results(vec_arm: DataFrame, lex_arm: DataFrame, meta: DataFrame) 
         F.lit("original_document").alias("source_type"),
         F.col("vec_id").alias("ref_id"),
         F.col("sim").alias("score"),
-        # -1 sentinels, not NULL: document rows have no rating by
-        # definition, and NULL numerics become NaN in pandas/Arrow, where
-        # they sort unstably — a driver-side multiset compare over rows
-        # containing NaN can pair rows nondeterministically.
-        F.lit(-1.0).alias("rating"),
-        F.lit(-1).cast("long").alias("usage_count"),
+        # NULL, not a sentinel: document rows genuinely have no rating
+        # (the reference's result dicts omit these keys,
+        # enhanced_search.py:325-363), and a consumer averaging rating
+        # across prioritized rows must not fold in magic values. The
+        # registered q10 projection substitutes −1 at the oracle edge only
+        # (queries/fusion_q.py) because NaN cells pair nondeterministically
+        # in the driver's sorted-multiset compare.
+        F.lit(None).cast("double").alias("rating"),
+        F.lit(None).cast("long").alias("usage_count"),
     )
     low = (
         contribs.filter(F.col("prank") > 2)
@@ -190,9 +193,12 @@ def enhanced_sources(vec_arm: DataFrame, lex_arm: DataFrame) -> DataFrame:
         .agg(F.min("vrank").alias("ord"))
         .select(
             "query_id", "filename", "page", "similarity", "source_type", "text_preview",
-            F.lit(-1).cast("long").alias("contribution_id"),  # sentinel, see prioritize_results
-            F.lit(-1.0).alias("rating"),
-            F.lit(-1).cast("long").alias("usage_count"),
+            # NULL like the reference's source dicts (absent keys) — the
+            # registered q11 projection applies −1 sentinels, see
+            # prioritize_results for the rationale.
+            F.lit(None).cast("long").alias("contribution_id"),
+            F.lit(None).cast("double").alias("rating"),
+            F.lit(None).cast("long").alias("usage_count"),
             F.lit(0).alias("block"),
             "ord",
         )

@@ -74,13 +74,15 @@ def sessions_from_events(events: DataFrame) -> DataFrame:
             ),
         )
         .withColumn(
-            # Epoch sentinel, not NULL, for "no logout yet": NULL timestamps
-            # become NaT in pandas/Arrow and sort unstably, which can scramble
-            # a driver-side multiset comparison.
+            # NULL for "no logout yet" — the reference's semantics
+            # (session_models.py logout_time null=True): consumers computing
+            # session age or max(logout_time) must see NULL, not a magic
+            # epoch. Registered queries that feed the driver's multiset
+            # compare substitute a sentinel AT THE ORACLE EDGE ONLY
+            # (queries/mutations_q.py::_sessions_for_oracle) because NaT
+            # cells pair nondeterministically in a sorted-tuple compare.
             "logout_time",
-            F.when(F.col("is_active") == "inactive", F.col("last_activity")).otherwise(
-                F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-            ),
+            F.when(F.col("is_active") == "inactive", F.col("last_activity")),
         )
     )
 

@@ -240,10 +240,16 @@ FROM sortedc c JOIN sizes s ON c.query_id = s.query_id WHERE c.prank > 2
 @register("q10_prioritize", _Q10_ORACLE)
 def q10_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 (enhanced_search.py:325-363): prioritized interleave with an
-    explicit position sort key."""
+    explicit position sort key. Document rows carry NULL rating/usage_count
+    in the library output; the oracle-edge projection substitutes −1 (both
+    engines) for the driver's NaN-unsafe multiset compare."""
     qtext, vec, _, lex = _inputs(spark, sf_dir)
     meta = fusion_metadata(qtext, vec, lex)
-    return prioritize_results(vec, lex, meta)
+    return prioritize_results(vec, lex, meta).select(
+        "query_id", "position", "priority", "source_type", "ref_id", "score",
+        F.coalesce("rating", F.lit(-1.0)).alias("rating"),
+        F.coalesce("usage_count", F.lit(-1).cast("long")).alias("usage_count"),
+    )
 
 
 _Q11_ORACLE = _ARMS_CTE + """
@@ -271,9 +277,17 @@ FROM lex_arm
 
 @register("q11_sources", _Q11_ORACLE)
 def q11_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 (enhanced_search.py:283-322): deduped source rows, both arms."""
+    """Q11 (enhanced_search.py:283-322): deduped source rows, both arms.
+    FAISS-branch rows carry NULL contribution fields in the library output;
+    −1 sentinels are applied here at the oracle edge (both engines)."""
     _, _, vec_doc, lex = _inputs(spark, sf_dir)
-    return enhanced_sources(vec_doc, lex)
+    return enhanced_sources(vec_doc, lex).select(
+        "query_id", "filename", "page", "similarity", "source_type", "text_preview",
+        F.coalesce("contribution_id", F.lit(-1).cast("long")).alias("contribution_id"),
+        F.coalesce("rating", F.lit(-1.0)).alias("rating"),
+        F.coalesce("usage_count", F.lit(-1).cast("long")).alias("usage_count"),
+        "block", "ord",
+    )
 
 
 _Q12_ORACLE = _ARMS_CTE + """

@@ -105,6 +105,18 @@ def m3_approve_all_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessions_for_oracle(sessions: DataFrame) -> DataFrame:
+    """Oracle-edge projection: the library emits NULL logout_time for
+    active sessions (reference semantics); the driver's sorted-multiset
+    compare can't pair NaT cells deterministically, so the REGISTERED
+    output substitutes the epoch sentinel — on both engines symmetrically
+    (_SESSIONS_CTE does the same). Library consumers never see it."""
+    return sessions.withColumn(
+        "logout_time",
+        F.coalesce("logout_time", F.to_timestamp(F.lit("1970-01-01 00:00:00"))),
+    )
+
+
 _M7_ORACLE = _SESSIONS_CTE + "\nSELECT * FROM sessions"
 
 
@@ -112,7 +124,7 @@ _M7_ORACLE = _SESSIONS_CTE + "\nSELECT * FROM sessions"
 def m7_sessions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 (session_utils.py:66-191): events → user_sessions derivation with
     the 30-minute liveness rule."""
-    return sessions_from_events(load_table(spark, sf_dir, "events"))
+    return _sessions_for_oracle(sessions_from_events(load_table(spark, sf_dir, "events")))
 
 
 _M4_ORACLE = (
@@ -129,7 +141,9 @@ FROM sessions
 @register("m4_terminate_session", _M4_ORACLE)
 def m4_terminate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 (views.py:1775-1821): keyed terminate of user 7's session."""
-    return terminate_session(sessions_from_events(load_table(spark, sf_dir, "events")), 7)
+    return _sessions_for_oracle(
+        terminate_session(sessions_from_events(load_table(spark, sf_dir, "events")), 7)
+    )
 
 
 _M5_ORACLE = (
@@ -144,7 +158,9 @@ WHERE NOT (is_active = 'inactive' AND logout_time < {NOW} - INTERVAL 24 HOUR)
 @register("m5_gc_sessions", _M5_ORACLE)
 def m5_gc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 (session_utils.py:248-269): 24h GC as the surviving anti-filter."""
-    return gc_sessions(sessions_from_events(load_table(spark, sf_dir, "events")), hours=24)
+    return _sessions_for_oracle(
+        gc_sessions(sessions_from_events(load_table(spark, sf_dir, "events")), hours=24)
+    )
 
 
 _M6_ORACLE = (
@@ -156,7 +172,8 @@ _M6_ORACLE = (
 SELECT d.doc_id,
        CAST(coalesce(c.chunk_count, 0) AS BIGINT) AS chunk_count,
        CASE WHEN coalesce(c.chunk_count, 0) > 0 THEN 'indexed' ELSE 'uploaded' END AS status,
-       CASE WHEN coalesce(c.chunk_count, 0) > 0 THEN {NOW} END AS indexed_at
+       CASE WHEN coalesce(c.chunk_count, 0) > 0 THEN {NOW}
+            ELSE TIMESTAMP '1970-01-01 00:00:00' END AS indexed_at
 FROM documents d LEFT JOIN counts c USING (doc_id)
 """
 )
@@ -164,11 +181,20 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 
 @register("m6_flip_catalog_status", _M6_ORACLE)
 def m6_flip_catalog_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 (supabase_utils.py:244-246): post-ingest catalog flip."""
+    """M6 (supabase_utils.py:244-246): post-ingest catalog flip. The
+    library keeps indexed_at NULL for never-indexed docs; the registered
+    projection substitutes the epoch sentinel (both engines) so a fixture
+    revision with an unchunkable document can't emit NaT into the
+    driver's sorted-multiset compare."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_size=SIZE, overlap=OVERLAP)
     return flip_catalog_status(docs, chunks).select(
-        "doc_id", "chunk_count", "status", "indexed_at"
+        "doc_id",
+        "chunk_count",
+        "status",
+        F.coalesce(
+            "indexed_at", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        ).alias("indexed_at"),
     )
 
 

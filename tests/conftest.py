@@ -54,11 +54,15 @@ def assert_matches_oracle(spark_df, con, sql, check_rows=True):
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     assert s_cols == o_cols, f"schema mismatch: {s_cols} vs {o_cols}"
     assert len(sdf) == len(odf), f"row count mismatch: {len(sdf)} vs {len(odf)}"
-    # No NULL/NaN/NaT cells ever: NaN inside row tuples makes sorted()
-    # pairing nondeterministic, which can scramble any driver-side
-    # order-insensitive comparison. Registered queries emit sentinels.
+    # No NULL/NaN/NaT cells ever, on EITHER engine: NaN inside row tuples
+    # makes sorted() pairing nondeterministic, which can scramble any
+    # driver-side order-insensitive comparison. Registered queries apply
+    # sentinels at the oracle edge (library operators keep NULL semantics —
+    # see queries/mutations_q.py::_sessions_for_oracle).
     null_cols = sdf.columns[sdf.isna().any()].tolist()
-    assert not null_cols, f"null cells in query output columns: {null_cols}"
+    assert not null_cols, f"null cells in spark output columns: {null_cols}"
+    o_null_cols = odf.columns[odf.isna().any()].tolist()
+    assert not o_null_cols, f"null cells in oracle output columns: {o_null_cols}"
     if not check_rows:
         return
 
