@@ -236,10 +236,24 @@ def _contrib_line(tag: Column, idx: Column) -> Column:
     )
 
 
-def combined_context(vec_arm: DataFrame, lex_arm: DataFrame, meta: DataFrame) -> DataFrame:
+def combined_context(
+    vec_arm: DataFrame,
+    lex_arm: DataFrame,
+    meta: DataFrame,
+    skew_safe: bool = False,
+) -> DataFrame:
     """Q12 (enhanced_search.py:117-167, 229-280): the exact context string,
     standard or prioritized per the Q8/Q9 comparison. vec_arm must carry
     (source, text). Ordered string aggregation pins determinism.
+
+    `skew_safe` routes the per-query line collection through the salted
+    two-phase aggregate (functions/skew.two_phase_collect). The DEFAULT is
+    the direct form, deliberately: both arms are top-k outputs, so a
+    query's group holds at most k (=5) lines — bounded by construction,
+    no hot key possible, and the salted form would add a shuffle for
+    nothing. Flip it when feeding UNBOUNDED line sets per key (e.g.
+    assembling context from all matches rather than top-k) — equivalence
+    is pinned by tests/test_skew_bucketing.py on a planted hot key.
     """
     flags = meta.select("query_id", "prioritized_contributions")
 
@@ -271,14 +285,20 @@ def combined_context(vec_arm: DataFrame, lex_arm: DataFrame, meta: DataFrame) ->
     )
 
     def _block(lines: DataFrame, order_col: str) -> DataFrame:
-        return lines.groupBy("query_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"), "txt"))),
-                    lambda s: s["txt"],
-                ),
-                "\n\n",
-            ).alias("body")
+        structs = lines.select(
+            "query_id", F.struct(F.col(order_col).alias("o"), "txt").alias("_s")
+        )
+        if skew_safe:
+            from koby_s_ai_vector_db_spark.functions.skew import two_phase_collect
+
+            arr = two_phase_collect(structs, ["query_id"], "_s", out_col="_arr")
+        else:
+            arr = structs.groupBy("query_id").agg(
+                F.array_sort(F.collect_list("_s")).alias("_arr")
+            )
+        return arr.select(
+            "query_id",
+            F.array_join(F.transform("_arr", lambda s: s["txt"]), "\n\n").alias("body"),
         )
 
     cb = _block(contrib_lines, "crank").withColumnRenamed("body", "cbody")

@@ -186,6 +186,7 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     label_col: str = "label",
     round_to: int | None = 6,
+    dim: int = 64,
 ) -> DataFrame:
     """Q2-shaped ANN: IVF-style probing, mirroring pgvector ivfflat
     (supabase_schema.sql:137-139,144-171 — lists=100, probe a subset).
@@ -201,13 +202,24 @@ def ivf_topk(
     c = spread(corpus).withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
+    # Per-label mean vector as `dim` parallel avg() aggregates over
+    # element_at: ONE map-side-combined shuffle of n_labels × dim scalar
+    # buffers. The explode form (posexplode → groupBy(label, i) →
+    # re-collect) shuffles dim×N rows — the same sketch-fold anti-pattern
+    # eliminated from hyperplane_lsh_pairs; at 100 TB the centroid pass
+    # must stay O(corpus) map work + O(lists·dim) shuffle.
     centroids = (
-        c.select(label_col, F.posexplode(vec_col).alias("i", "x"))
-        .groupBy(label_col, "i")
-        .agg(F.avg("x").alias("x"))
-        .groupBy(label_col)
-        .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("pairs"))
-        .select(label_col, F.transform("pairs", lambda p: p["x"]).alias("centroid"))
+        c.groupBy(label_col)
+        .agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            label_col,
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+        )
     )
 
     probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc(label_col))

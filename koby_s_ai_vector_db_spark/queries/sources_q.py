@@ -37,6 +37,7 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes from the table. At scale binaryFile parallelizes over
     files and reads only metadata here (content column pruned away)."""
     import os
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
@@ -44,7 +45,11 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(), "spark_graft_s1", os.path.basename(os.path.normpath(sf_dir))
     )
-    os.makedirs(root, exist_ok=True)
+    # Recreate from scratch: stale files from a previous run against a
+    # different fixture revision would enter the binaryFile scan and break
+    # oracle parity in a machine-state-dependent way.
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
     for row in fixture.toLocalIterator():  # fixture materialization, driver-side
         ext = ".PDF" if row.doc_id % 40 == 0 else ".pdf"
         with open(os.path.join(root, f"doc_{row.doc_id}{ext}"), "wb") as f:

@@ -33,41 +33,48 @@ def _pypdf_available() -> bool:
         return False
 
 
+def extract_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The real S2/S3 extraction body that runs inside mapInPandas:
+    (path, content) batches → (path, page_number, text) rows, skipping
+    whole-file failures (utils.py:63-66) and per-page failures
+    (utils.py:52-58), dropping empty pages (supabase_utils.py:193-200).
+    Module-level so tests can execute it in-process against a stubbed
+    `pypdf` (tests/test_real_extractors.py) — the exact function Spark
+    ships to workers, not a copy."""
+    import io
+
+    import pypdf
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            try:
+                reader = pypdf.PdfReader(io.BytesIO(content))
+            except Exception:
+                continue  # whole-file failure skipped (utils.py:63-66)
+            for i, page in enumerate(reader.pages, start=1):
+                try:
+                    text = page.extract_text() or ""
+                except Exception:
+                    continue  # per-page failure skipped (utils.py:52-58)
+                if text.strip():
+                    rows.append({"path": path, "page_number": i, "text": text})
+        yield pd.DataFrame(rows, columns=["path", "page_number", "text"])
+
+
 def extract_pdf_pages(binary_files: DataFrame) -> DataFrame:
     """S2/S3 real path: (path, content) → (path, page_number, text).
-    Import-gated: raises until pypdf is installed; the plumbing
-    (mapInPandas schema + explode shape) is what downstream code depends
-    on and is exercised via extract_pages() on the fixture stand-in."""
-    use_real = _pypdf_available()
-
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not use_real:
-            raise NotImplementedError(
-                "pypdf is not installed in this environment; use "
-                "extract_pages(documents) for the fixture stand-in "
-                "(core/utils.py:38-69 is the reference behavior)"
-            )
-        import pypdf  # pragma: no cover
-        import io
-
-        for pdf in batches:  # pragma: no cover
-            rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    reader = pypdf.PdfReader(io.BytesIO(content))
-                except Exception:
-                    continue  # whole-file failure skipped (utils.py:63-66)
-                for i, page in enumerate(reader.pages, start=1):
-                    try:
-                        text = page.extract_text() or ""
-                    except Exception:
-                        continue  # per-page failure skipped (utils.py:52-58)
-                    if text.strip():
-                        rows.append({"path": path, "page_number": i, "text": text})
-            yield pd.DataFrame(rows, columns=["path", "page_number", "text"])
-
+    Import-gated DRIVER-SIDE: raises immediately until pypdf is
+    installed (clearer than a worker-side task failure); the fixture
+    stand-in is extract_pages() below."""
+    if not _pypdf_available():
+        raise NotImplementedError(
+            "pypdf is not installed in this environment; use "
+            "extract_pages(documents) for the fixture stand-in "
+            "(core/utils.py:38-69 is the reference behavior)"
+        )
     return binary_files.select("path", "content").mapInPandas(
-        _extract, schema="path string, page_number int, text string"
+        extract_pdf_batches, schema="path string, page_number int, text string"
     )
 
 

@@ -1,0 +1,142 @@
+"""Execute the import-gated REAL extractor bodies.
+
+The container ships without pypdf/PIL, so the real branches were
+never-run code in rounds 1–2. These tests execute them anyway:
+
+  - the PDF extraction body (`extract_pdf_batches`) runs in-process
+    against a stubbed `pypdf` module — it is the exact module-level
+    function `mapInPandas` ships to workers, so the skip/drop semantics
+    (whole-file failure, per-page failure, empty pages) are covered;
+  - the multimodal real branches are explicit NotImplementedError stubs
+    (pixel decode needs PIL/av); the tests pin that the gate FIRES when
+    the import probe reports available, so silently shipping a
+    half-implemented real path can't pass CI.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+from koby_s_ai_vector_db_spark.sources import multimodal, pdf
+
+
+class _FakePage:
+    def __init__(self, text: str | None, fail: bool = False):
+        self._text = text
+        self._fail = fail
+
+    def extract_text(self):
+        if self._fail:
+            raise ValueError("unextractable page")
+        return self._text
+
+
+class _FakeReader:
+    """Payload protocol: b"CORRUPT" fails outright; otherwise pages are
+    '|'-separated UTF-8 segments, where 'FAIL' raises per-page and ''
+    yields empty text."""
+
+    def __init__(self, stream):
+        data = stream.read()
+        if data == b"CORRUPT":
+            raise ValueError("not a pdf")
+        self.pages = [
+            _FakePage(None, fail=True) if seg == "FAIL" else _FakePage(seg)
+            for seg in data.decode("utf-8").split("|")
+        ]
+
+
+@pytest.fixture()
+def fake_pypdf(monkeypatch):
+    mod = types.ModuleType("pypdf")
+    mod.PdfReader = _FakeReader
+    monkeypatch.setitem(sys.modules, "pypdf", mod)
+    return mod
+
+
+def test_pdf_extract_body_skips_and_numbers_pages(fake_pypdf):
+    batch = pd.DataFrame(
+        {
+            "path": ["a.pdf", "b.pdf", "c.pdf"],
+            "content": [
+                b"page one|FAIL|  |page four",  # per-page fail + blank page
+                b"CORRUPT",  # whole-file failure: contributes nothing
+                b"only page",
+            ],
+        }
+    )
+    out = pd.concat(list(pdf.extract_pdf_batches(iter([batch]))))
+    got = list(out.itertuples(index=False, name=None))
+    # page numbers are 1-based over the ORIGINAL page sequence: the failed
+    # page 2 and blank page 3 are dropped but page 4 keeps its index
+    assert got == [
+        ("a.pdf", 1, "page one"),
+        ("a.pdf", 4, "page four"),
+        ("c.pdf", 1, "only page"),
+    ]
+
+
+def test_pdf_extract_body_empty_batch(fake_pypdf):
+    batch = pd.DataFrame({"path": [], "content": []})
+    out = pd.concat(list(pdf.extract_pdf_batches(iter([batch]))))
+    assert len(out) == 0
+    assert list(out.columns) == ["path", "page_number", "text"]
+
+
+def test_extract_pdf_pages_spark_path_with_fake_pypdf(spark, fake_pypdf):
+    """Full Spark path: with pypdf importable the driver gate opens and the
+    job runs the real body on workers. Worker processes can't see the
+    driver's sys.modules patch, so ship the stub via addPyFile-free means:
+    run the SAME module-level function through mapInPandas on a local
+    single-partition frame using an in-process fallback is not possible —
+    instead assert the DRIVER gate behavior on both sides."""
+    df = spark.createDataFrame(
+        [("a.pdf", b"x|y")], "path string, content binary"
+    )
+    out = pdf.extract_pdf_pages(df)  # gate open: plan builds
+    assert [f.name for f in out.schema.fields] == ["path", "page_number", "text"]
+
+
+def test_extract_pdf_pages_gate_raises_without_pypdf(spark, monkeypatch):
+    monkeypatch.setattr(pdf, "_pypdf_available", lambda: False)
+    df = spark.createDataFrame([("a.pdf", b"x")], "path string, content binary")
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        pdf.extract_pdf_pages(df)
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        lambda spark: multimodal.decode_media(
+            spark.createDataFrame(
+                [(1, "image", b"abc")], "media_id bigint, kind string, content binary"
+            )
+        ),
+        lambda spark: multimodal.resize_media(
+            spark.createDataFrame(
+                [(1, "image", 3, 10, 20, 1, True)], multimodal.DECODED_SCHEMA
+            )
+        ),
+        lambda spark: multimodal.sample_frames(
+            spark.createDataFrame(
+                [(1, "video", 30, 10, 20, 3, True)], multimodal.DECODED_SCHEMA
+            )
+        ),
+    ],
+    ids=["decode", "resize", "frames"],
+)
+def test_multimodal_real_branches_gate_loudly(spark, monkeypatch, builder):
+    """With the import probe forced open, the real branch must raise
+    NotImplementedError (it is a declared stub awaiting PIL/av), not fall
+    through to the fake and silently mislabel fake output as real."""
+    monkeypatch.setattr(multimodal, "_real_decode_available", lambda: True)
+    df = builder(spark)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        df.collect()

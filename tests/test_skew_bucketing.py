@@ -42,6 +42,30 @@ def test_two_phase_collect_spreads_hot_key(spark):
     assert per_key == 8  # thousands of rows per type -> every salt bucket hit
 
 
+def test_q12_skew_safe_context_identical(spark):
+    """combined_context(skew_safe=True) must produce the byte-identical
+    context strings: the salted two-phase path is a pure execution-strategy
+    swap. Exercised on the real fusion inputs (bounded groups) — the
+    hot-key scaling property itself is pinned by the two tests above."""
+    from koby_s_ai_vector_db_spark.operators.fusion import (
+        combined_context,
+        fusion_metadata,
+    )
+    from koby_s_ai_vector_db_spark.queries.fusion_q import _inputs
+
+    qtext, vec, vec_doc, lex = _inputs(spark, SF_DIRS["t1"])
+    meta = fusion_metadata(qtext, vec, lex)
+    direct = {
+        r.query_id: r.combined_context
+        for r in combined_context(vec_doc, lex, meta).collect()
+    }
+    salted = {
+        r.query_id: r.combined_context
+        for r in combined_context(vec_doc, lex, meta, skew_safe=True).collect()
+    }
+    assert direct == salted and len(direct) == 4
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Both sides bucketed by doc_id with equal counts: the sort-merge
     join's children need no Exchange — the write-time layout satisfies the

@@ -23,9 +23,9 @@ def test_binary_dir_scan(spark, tmp_path):
 
 
 def test_pdf_extract_is_gated(spark, tmp_path):
-    """Without pypdf the real extractor must fail loudly at execution, not
-    silently fake results."""
+    """Without pypdf the real extractor must fail loudly — now at plan
+    build time (driver-side gate, clearer than a worker task failure) —
+    not silently fake results."""
     (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake")
-    df = extract_pdf_pages(scan_binary_dir(spark, str(tmp_path)))
-    with pytest.raises(Exception, match="pypdf"):
-        df.collect()
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        extract_pdf_pages(scan_binary_dir(spark, str(tmp_path)))
