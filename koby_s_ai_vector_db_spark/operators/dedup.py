@@ -520,10 +520,13 @@ def near_dup_groups(
     tolerant; the iteration shape is unchanged.
     """
     und = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    nodes = (
-        und.select("src").union(und.select(F.col("dst").alias("src"))).distinct()
-    )
     edges = und.localCheckpoint(eager=True)
+    # nodes derives from the CHECKPOINTED edges, not `und`: the final
+    # roots anti-join below is otherwise the one consumer still chained to
+    # the full upstream pair-generation DAG and re-executes it per action.
+    nodes = (
+        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+    )
 
     def _checksum(e: DataFrame) -> tuple:
         row = e.agg(
