@@ -109,6 +109,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_docs_dd(spark, sf_dir))
 
 
+_EXACT_STREAM_ORACLE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL})
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM docs_dd GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact_stream", _EXACT_STREAM_ORACLE)
+def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup state table (batch twin): the full first-seen
+    catalog — one row per distinct content hash with min-id canonical and
+    copy count. The SAME function runs as a streaming aggregation over a
+    file source with identical final state (tests/test_streaming.py);
+    see streaming/dedup.py for the watermarked pass-through tier."""
+    from koby_s_ai_vector_db_spark.streaming.dedup import streaming_exact_dedup
+
+    return streaming_exact_dedup(_docs_dd(spark, sf_dir))
+
+
 _SIG_DUCK = "[" + ", ".join(
     f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in HASH_PARAMS
 ) + "]"

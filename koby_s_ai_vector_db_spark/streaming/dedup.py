@@ -1,0 +1,77 @@
+"""Streaming ingest dedup (north star §2.7 + §7.6 batch-equivalence).
+
+A 100 TB training-data pipeline ingests documents CONTINUOUSLY; exact
+dedup can't be a nightly batch job over the full corpus — it has to run
+in the ingest stream. Two tiers, both over the 16-byte md5 content hash
+(the same portable key as operators/dedup.exact_dup_groups):
+
+  - `streaming_exact_dedup`: per-hash canonical aggregate
+    (min doc_id + copy count), one definition that runs on EITHER a
+    batch or a streaming DataFrame. In streaming mode the state is one
+    row per distinct hash, updated per microbatch; the final state equals
+    the batch GROUP BY bit-for-bit regardless of arrival order — this is
+    the value-checkable tier (registered as `dedup_exact_stream`,
+    batch-equivalence proven in tests/test_streaming.py).
+  - `emit_first_seen`: the pass-through tier —
+    `dropDuplicatesWithinWatermark` on the hash emits one representative
+    row per content hash and EVICTS hash state past the watermark, so
+    state is bounded by the dedup horizon instead of corpus cardinality.
+    Which physical row survives depends on arrival order (first wins) —
+    inherently racy across partitions, so tests assert the set of hashes
+    and the one-row-per-hash contract, not surviving ids. The reference
+    has no streaming surface; this is the Spark-native shape of its
+    upload-time "does this file already exist" check
+    (core/supabase_utils.py:150-176).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+DEDUP_HORIZON = "1 hour"
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture documents parquet (glob, not a
+    bare file path — FileStreamSource needs a directory basePath)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/documents*.parquet")
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dedup state: (text_hash, canonical_id, n_copies) per distinct
+    content hash — min-id canonical like exact_dup_groups, but WITHOUT the
+    n_copies > 1 filter so the state table is the full first-seen catalog
+    a streaming ingest consults. Arrival-order independent (min/count are
+    commutative), hence batch ≡ streaming."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def emit_first_seen(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    horizon: str = DEDUP_HORIZON,
+) -> DataFrame:
+    """Pass-through dedup: forward exactly one row per content hash seen
+    within the watermark horizon; duplicate arrivals are dropped in-flight
+    and hash state older than the horizon is evicted (bounded state — the
+    property a plain dropDuplicates lacks). `ts_col` is the event-time
+    column a real ingest carries; the fixture has none, so callers derive
+    a deterministic stand-in (tests use timestamp_micros(doc_id))."""
+    return (
+        docs.withColumn("_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["_hash"])
+        .drop("_hash")
+    )

@@ -52,6 +52,99 @@ def test_session_windows_stream_equals_batch(spark):
     assert len(_rows(batch)) > 0
 
 
+def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
+    """The dedup state table built incrementally over two forced
+    microbatches must equal the batch GROUP BY bit-for-bit — min/count
+    are arrival-order independent."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        streaming_exact_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # Plant exact duplicates across the two halves so dedup state must
+    # merge hashes seen in DIFFERENT microbatches.
+    dd = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    src = str(tmp_path / "docs_split")
+    dd.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
+    dd.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
+
+    stream_in = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    name = f"s_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "dedup state was never exercised across batches"
+
+    stream_out = spark.sql(f"SELECT * FROM {name}")
+    batch = streaming_exact_dedup(dd)
+    assert _rows(stream_out) == _rows(batch)
+    assert batch.filter("n_copies > 1").count() > 0  # planted dups found
+
+
+def test_emit_first_seen_bounded_passthrough(spark, tmp_path):
+    """dropDuplicatesWithinWatermark forwards exactly one row per content
+    hash; which physical row survives is arrival-dependent, so assert the
+    hash set and the one-per-hash contract, not ids."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        emit_first_seen,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dd = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    src = str(tmp_path / "docs_dup")
+    dd.coalesce(1).write.parquet(src)
+
+    stream_in = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .load(src)
+        .withColumn("ingest_ts", F.timestamp_micros(F.col("doc_id")))
+    )
+    name = f"s_first_{uuid.uuid4().hex[:8]}"
+    q = (
+        emit_first_seen(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT md5(text) AS h FROM {name}")
+    got_hashes = sorted(r.h for r in out.collect())
+    want_hashes = sorted(
+        r.h for r in dd.select(F.md5("text").alias("h")).distinct().collect()
+    )
+    assert got_hashes == want_hashes  # one row per hash, none missing
+
+
 def test_stateful_user_stats_across_batches(spark, tmp_path):
     """applyInPandasWithState carries per-user state across microbatches:
     the fixture is split into two files, maxFilesPerTrigger=1 forces (at
