@@ -187,6 +187,8 @@ def ivf_topk(
     label_col: str = "label",
     round_to: int | None = 6,
     dim: int = 64,
+    threshold: float | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Q2-shaped ANN: IVF-style probing, mirroring pgvector ivfflat
     (supabase_schema.sql:137-139,144-171 — lists=100, probe a subset).
@@ -231,13 +233,15 @@ def ivf_topk(
         .select(query_id, query_vec_col, label_col)
     )
 
-    scored = c.join(F.broadcast(probes), on=label_col).withColumn(
-        "sim", dot(vec_col, query_vec_col)
-    )
+    scored = c.join(F.broadcast(probes), on=label_col)
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    scored = scored.withColumn("sim", dot(vec_col, query_vec_col))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim.alias("sim"), "rank")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
+    if threshold is not None:
+        ranked = ranked.filter(F.col("sim") >= threshold)  # rank-then-filter
+    return ranked.select(query_id, corpus_id, sim.alias("sim"), "rank")

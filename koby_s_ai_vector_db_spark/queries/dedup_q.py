@@ -31,7 +31,7 @@ from koby_s_ai_vector_db_spark.operators.dedup import (
     ngram_jaccard_join,
     simhash_near_dup_pairs,
 )
-from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
+from koby_s_ai_vector_db_spark.operators.similarity import ivf_topk, topk_cosine
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
 
@@ -49,18 +49,18 @@ FROM documents WHERE doc_id % 10 = 0
 # Engine-specific renderings (array indexing is 0-based in Spark SQL,
 # 1-based in DuckDB).
 EMB_DD_SPARK = """
-SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
 UNION ALL
-SELECT vec_id + 1000000 AS vec_id,
+SELECT vec_id + 1000000 AS vec_id, label,
        concat(array(CAST(embedding[0] AS DOUBLE) + 0.5),
               transform(slice(embedding, 2, size(embedding) - 1), x -> CAST(x AS DOUBLE)))
            AS embedding
 FROM embeddings WHERE vec_id % 10 = 0
 """
 EMB_DD_DUCK = """
-SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
 UNION ALL
-SELECT vec_id + 1000000 AS vec_id,
+SELECT vec_id + 1000000 AS vec_id, label,
        list_concat([embedding[1]::DOUBLE + 0.5],
                    list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
 FROM embeddings WHERE vec_id % 10 = 0
@@ -279,6 +279,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 1000000) & (F.col("vec_id") <= 1000070)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     return topk_cosine(emb, queries, k=3, threshold=0.85, exclude_self=True)
+
+
+_EMB_IVF_ORACLE = f"""
+WITH emb_dd AS ({EMB_DD_DUCK}),
+c AS (SELECT vec_id, label, {sql_normalize('embedding')} AS v FROM emb_dd),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id >= 1000000 AND vec_id <= 1000070),
+expl AS (
+    SELECT label, unnest(list_transform(v, (x, i) -> {{'i': i, 'x': x}})) AS s FROM c
+),
+cent AS (SELECT label, s.i AS i, avg(s.x) AS x FROM expl GROUP BY label, s.i),
+centroids AS (SELECT label, list(x ORDER BY i) AS centroid FROM cent GROUP BY label),
+probe_scored AS (
+    SELECT q.query_id, cn.label,
+           list_sum(list_transform(q.qv, (x, i) -> x * cn.centroid[i])) AS csim
+    FROM q CROSS JOIN centroids cn
+),
+probes AS (
+    SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, label ASC) AS prank
+        FROM probe_scored)
+    WHERE prank <= 2
+),
+scored AS (
+    SELECT p.query_id, c.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM probes p JOIN c ON c.label = p.label JOIN q ON q.query_id = p.query_id
+    WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= 3 AND sim_raw >= 0.85
+"""
+
+
+@register("dedup_embedding_ivf", _EMB_IVF_ORACLE)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through the IVF scale tier: the perturbed copies
+    probe their 2 nearest of 10 cells and exact-verify only inside probed
+    cells — the partition-pruned path a 100 TB corpus would take (corpus
+    partitioned by list id, sources/ivf.py), vs dedup_embedding_cosine's
+    bounded brute-force tier and dedup_embedding_lsh's angular-LSH tier.
+    Perturbed copies inherit their source row's cell label, as a real
+    IVF assignment would co-locate near-identical vectors; recall follows
+    the probed cells (the ANN trade-off), mirrored exactly by the oracle."""
+    emb = _emb_dd(spark, sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= 1000000) & (F.col("vec_id") <= 1000070)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return ivf_topk(
+        emb.select("vec_id", "label", "embedding"),
+        queries,
+        k=3,
+        n_probe_labels=2,
+        threshold=0.85,
+        exclude_self=True,
+    )
 
 
 _HP_ORACLE = f"""
