@@ -49,6 +49,31 @@ def test_lexical_caps_use_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
 
+def _scan_lines(plan: str) -> list[str]:
+    return [ln.strip() for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_scans_prune_columns(spark):
+    """Column pruning must reach the parquet scan: q1 touches only
+    (vec_id, embedding) of the embeddings table — a scan that also reads
+    `label` (or worse, *) ships dead bytes on every one of the 100 TB
+    corpus's row groups."""
+    for ln in _scan_lines(_plan(spark, "q1_topk_cosine")):
+        assert "label" not in ln, ln
+        assert "FileScan parquet [vec_id" in ln, ln
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Selective predicates must land in the scan's DataFilters/
+    PushedFilters, not in a post-scan Filter node only: the region
+    restriction prunes 4/5 of region-joined rows at the reader, and the
+    query-vector id filter reads 8 rows instead of the corpus."""
+    rel = _plan(spark, "rel_revenue_by_nation")
+    assert any("r_name" in ln and "ASIA" in ln for ln in _scan_lines(rel)), rel
+    q1 = _plan(spark, "q1_topk_cosine")
+    assert any("vec_id" in ln and "< 8" in ln for ln in _scan_lines(q1)), q1
+
+
 def test_hyperplane_sketch_is_map_side(spark):
     """The 64-bit angular sketch must be computed in one map-side
     expression (literal sign masks), NOT reassembled via a groupBy on the
