@@ -172,6 +172,36 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _shingle_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cache_key=None,
+    persist_uncached: bool = True,
+) -> DataFrame:
+    """(_id, g): distinct word-3-gram shingles per doc, empty-shingle rows
+    dropped, input spread for CPU-bound map parallelism. With `cache_key`
+    the result is persisted ONCE per (session, key) and shared by every
+    shingle consumer (MinHash signatures, n-gram Jaccard postings) — the
+    in-session analogue of a materialized signature table. Without a key,
+    `persist_uncached` governs a per-call persist: MinHash needs it (four
+    consumers in one DAG); single-consumer callers skip it."""
+    from pyspark import StorageLevel
+
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    def _build() -> DataFrame:
+        return (
+            _spread(docs)
+            .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
+            .filter(F.size("g") > 0)
+        )
+
+    if cache_key is not None:
+        return memo_persist(docs.sparkSession, ("shingles", cache_key), _build)
+    return _build().persist(StorageLevel.MEMORY_AND_DISK) if persist_uncached else _build()
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -183,34 +213,16 @@ def minhash_near_dup_pairs(
     verify. Returns (doc_id_a, doc_id_b, jaccard) with a < b and
     jaccard >= threshold. Pass `cache_key` (any hashable identifying the
     input corpus) to share the persisted shingle table across repeated
-    calls in the same session — e.g. the pair query and the groups query
-    over the same corpus.
+    calls AND across operators in the same session — the pair query, the
+    groups query, and the n-gram Jaccard query all read one copy.
     """
-    from pyspark import StorageLevel
-
-    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
-
     # Signatures are computed ONCE and reused by four consumers (both sides
     # of the band self-join, both arms of the pair verify). At cluster
     # scale this is a materialized signature table (write once, read per
-    # stage); in-session the analogue is a persisted intermediate —
-    # without it the shingle+md5 pipeline re-executes per branch.
-    # The input is also repartitioned first: the shingle+md5+permutation
-    # map is CPU-bound, and file-split granularity (a handful of parquet
-    # row groups) must not cap its parallelism.
-    def _build_grams() -> DataFrame:
-        return (
-            _spread(docs)
-            .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
-            .filter(F.size("g") > 0)
-        )
-
-    if cache_key is not None:
-        grams = memo_persist(
-            docs.sparkSession, ("minhash_grams", cache_key), _build_grams
-        )
-    else:
-        grams = _build_grams().persist(StorageLevel.MEMORY_AND_DISK)
+    # stage); in-session the analogue is the persisted/memoized
+    # _shingle_table — without it the shingle+md5 pipeline re-executes
+    # per branch.
+    grams = _shingle_table(docs, id_col, text_col, cache_key)
     sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
         "sig", minhash_sig_expr("_h")
     )
@@ -333,6 +345,7 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id: str = "query_id",
+    cache_key=None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard top-k join via an inverted shingle index.
 
@@ -346,12 +359,14 @@ def ngram_jaccard_join(
     number of colliding postings, not |corpus| × |queries|. The query side
     (bounded) is broadcast, so the corpus postings never shuffle; the only
     shuffle is the (query_id, doc_id) count aggregate over candidate pairs.
-    Returns (query_id, doc_id, jaccard, rank)."""
+    `cache_key` shares the SAME persisted shingle table the MinHash path
+    memoizes for this corpus (one shingle computation per session, read by
+    both operators). Returns (query_id, doc_id, jaccard, rank)."""
     from pyspark.sql import Window
 
-    c = _spread(corpus).select(
-        id_col, shingles_expr(text_col).alias("cg")
-    ).filter(F.size("cg") > 0)
+    c = _shingle_table(
+        corpus, id_col, text_col, cache_key, persist_uncached=False
+    ).select(F.col("_id").alias(id_col), F.col("g").alias("cg"))
     q = queries.select(
         F.col(id_col).alias(query_id), shingles_expr(text_col).alias("qg")
     ).filter(F.size("qg") > 0)

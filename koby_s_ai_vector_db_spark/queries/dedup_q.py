@@ -246,7 +246,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query side (rank-then-filter like Q1)."""
     docs = _docs_dd(spark, sf_dir)
     queries = docs.filter((F.col("doc_id") >= 2000000) & (F.col("doc_id") <= 2000070))
-    return ngram_jaccard_join(docs, queries, k=3, threshold=0.3)
+    return ngram_jaccard_join(
+        docs, queries, k=3, threshold=0.3, cache_key=("docs_dd", sf_dir)
+    )
 
 
 _EMB_ORACLE = f"""
