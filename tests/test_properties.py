@@ -109,3 +109,46 @@ def test_topk_rank_then_filter(spark, n, k, threshold, seed):
     # the tail only if filtered rows ranked better — impossible since rank
     # orders by sim desc; so surviving ranks must be a prefix 1..len.
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_nodes=st.integers(2, 40),
+    n_edges=st.integers(1, 60),
+    seed=st.integers(0, 10_000),
+)
+def test_star_contraction_matches_union_find(spark, n_nodes, n_edges, seed):
+    """Connected components via star contraction must equal a direct
+    Python union-find on arbitrary random graphs — chains, cliques,
+    self-parallel edges, whatever hypothesis draws."""
+    import random
+
+    from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
+
+    rng = random.Random(seed)
+    edges = [
+        (a, b)
+        for _ in range(n_edges)
+        for a, b in [sorted(rng.sample(range(n_nodes), 2))]
+    ]
+    df = spark.createDataFrame(edges, "doc_id_a bigint, doc_id_b bigint")
+    got = {r.doc_id: r.group_id for r in near_dup_groups(df).collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    want = {}
+    roots: dict[int, int] = {}
+    for v in sorted(touched):
+        r = find(v)
+        roots.setdefault(r, v)  # min member = first seen in sorted order
+        want[v] = roots[r]
+    assert got == want
