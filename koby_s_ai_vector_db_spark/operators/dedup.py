@@ -14,14 +14,24 @@ Every operator here follows the same shape:
      the DuckDB oracle computes bit-identical values — functions/hashing.py)
   2. candidate generation by *blocking*: rows sharing an LSH band bucket
      (MinHash) or a signature byte-block (SimHash) — shuffle keyed on the
-     bucket, bucket sizes bounded w.h.p.
+     bucket, bucket sizes bounded w.h.p., and high-entropy bucket
+     families capped at BUCKET_CAP (chain fallback) so even adversarial
+     identical-content floods stay O(N).
   3. exact verification ONLY on candidate pairs (Jaccard over shingle
      sets / Hamming distance), a join bounded by candidate count.
+  4. pair → group promotion by large-star/small-star contraction
+     (near_dup_groups): O(log n) rounds independent of component
+     diameter, per-round lineage truncation, loud failure over silently
+     wrong groups.
 
 The expensive O(N²) scan never happens; the only shuffles are the bucket
 group-join and the pair-verify join. The exact brute-force variants
 (ngram_jaccard_join with a bounded query side, similarity.knn_self_join)
-remain as correctness oracles for recall measurement.
+remain as correctness oracles for recall measurement. The embedding twin
+has three tiers: brute-force oracle (dedup_embedding_cosine), angular
+LSH with a fully map-side sign-mask sketch (hyperplane_lsh_pairs), and
+IVF partition-pruned probing (queries/dedup_q.dedup_embedding_ivf via
+similarity.ivf_topk); streaming ingest dedup lives in streaming/dedup.py.
 
 MinHash parameters: 24 hashes in 8 bands × 3 rows. For Jaccard j the
 candidate probability is 1-(1-j³)⁸ — ≈0.94 at j=2/3 (our planted
