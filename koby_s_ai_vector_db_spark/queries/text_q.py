@@ -257,6 +257,85 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_neardup_oracle() -> str:
+    # The dedup_groups recursive-CTE transitive closure, composed with the
+    # quality gate: canonical = min id reachable through MinHash near-dup
+    # pairs (exact copies included — Jaccard 1), else self.
+    from koby_s_ai_vector_db_spark.queries.dedup_q import (
+        DOCS_DD_SQL,
+        _MINHASH_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+groups AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+),
+dd AS ({DOCS_DD_SQL}),
+scored AS (
+    SELECT d.doc_id, {_QUALITY_EXPR_DUCK} AS quality,
+           coalesce(g.group_id, d.doc_id) AS canonical
+    FROM dd d LEFT JOIN groups g ON d.doc_id = g.doc_id
+),
+tagged AS (
+    SELECT doc_id, quality,
+           CASE WHEN doc_id <> canonical THEN 'near_duplicate'
+                WHEN quality < 0.5 THEN 'low_quality'
+                ELSE 'kept' END AS reason
+    FROM scored
+)
+SELECT reason, count(*) AS n, round(avg(quality), 6) AS avg_quality
+FROM tagged GROUP BY reason
+"""
+
+
+@register("curate_corpus_neardup", _curate_neardup_oracle())
+def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with NEAR-dup awareness: MinHash-LSH pairs → star-contraction
+    groups → keep only each group's min-id canonical, then the quality
+    gate — the full `signature → block → verify → group → curate` chain
+    a 100 TB pipeline runs, as one query. The groups side is bounded by
+    documents having at least one near-dup (join strategy left to
+    Catalyst: broadcast at fixture scale, sort-merge at corpus scale);
+    quality is map-only; final rollup is a 3-row aggregate."""
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_groups,
+    )
+    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
+
+    docs = _docs_dd(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, cache_key=("docs_dd", sf_dir)
+    )
+    groups = near_dup_groups(pairs)
+    tagged = (
+        docs.join(groups, "doc_id", "left")
+        .withColumn("canonical", F.coalesce("group_id", F.col("doc_id")))
+        .withColumn("quality", F.round(quality_score("text"), 6))
+        .withColumn(
+            "reason",
+            F.when(F.col("doc_id") != F.col("canonical"), F.lit("near_duplicate"))
+            .when(F.col("quality") < 0.5, F.lit("low_quality"))
+            .otherwise(F.lit("kept")),
+        )
+    )
+    return tagged.groupBy("reason").agg(
+        F.count("*").alias("n"), F.round(F.avg("quality"), 6).alias("avg_quality")
+    )
+
+
 _MM_DEC_CTE = f"""
 WITH dec AS (
     SELECT doc_id AS media_id,
