@@ -19,6 +19,18 @@ def get_spark(app_name: str = "koby-spark-engine", shuffle_partitions: int | Non
     AQE is on so shuffle partition counts coalesce at runtime and skewed
     joins split automatically — both essential at 100 TB, free locally.
     """
+    # Python workers (pandas_udf / mapInPandas) import this package by name
+    # at deserialization time, resolving against the worker's PYTHONPATH —
+    # not the driver's sys.path. Pin the package root into PYTHONPATH before
+    # the JVM forks workers so queries run regardless of the caller's cwd
+    # (on a real cluster the same is done with --py-files / spark.submit.pyFiles).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
