@@ -140,6 +140,79 @@ def q2_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHORTLIST = 64
+
+
+def _pq_oracle() -> str:
+    from koby_s_ai_vector_db_spark.operators.pq import cb_literal_duckdb
+
+    cb = cb_literal_duckdb()
+    return (
+        _NORM_CTE
+        + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {NQ}),
+codes AS (
+    SELECT vec_id,
+           list_transform(
+               list_transform({cb}, (cbs, s) ->
+                   list_transform(cbs, cd ->
+                       list_sum(list_transform(cd, (x, i) -> x * v[(s-1)*8 + i])))),
+               ds -> list_position(ds, list_max(ds))) AS codes
+    FROM c
+),
+dtab AS (
+    SELECT query_id,
+           list_transform({cb}, (cbs, s) ->
+               list_transform(cbs, cd ->
+                   list_sum(list_transform(cd, (x, i) -> x * qv[(s-1)*8 + i])))) AS dtab
+    FROM q
+),
+adc AS (
+    SELECT d.query_id, cd.vec_id,
+           list_sum(list_transform(cd.codes, (code, s) -> d.dtab[s][code])) AS adc
+    FROM codes cd CROSS JOIN dtab d
+),
+sl AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id ASC) AS srank
+        FROM adc)
+    WHERE srank <= {SHORTLIST}
+),
+rer AS (
+    SELECT sl.query_id, sl.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM sl JOIN c ON c.vec_id = sl.vec_id JOIN q ON q.query_id = sl.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM rer
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= {K}
+"""
+    )
+
+
+@register("q2_ann_pq", _pq_oracle())
+def q2_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (operators/pq.py): 4-bit product-quantized codes (64x
+    smaller scan), per-query ADC distance tables, shortlist of 64, exact
+    re-rank — the FAISS IndexIVFPQ compression axis the reference's
+    IndexFlatIP (core/utils.py:203-214) trades memory for. Scores are
+    exact (re-ranked); recall vs q1 is measured in tests/test_ann_recall.py."""
+    from koby_s_ai_vector_db_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(
+        emb.select("vec_id", "embedding"), queries, k=K, shortlist=SHORTLIST
+    )
+
+
 _KNN_ORACLE = (
     _NORM_CTE
     + """

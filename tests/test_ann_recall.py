@@ -118,3 +118,63 @@ def test_hyperplane_lsh_recall_vs_exact(spark):
     recall = len(lsh_set) / len(exact_set)
     print(f"hyperplane-LSH pair recall: {recall:.3f} ({len(lsh_set)}/{len(exact_set)})")
     assert recall >= 0.6, recall  # measured 0.82; floored for stability
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ ADC shortlist + exact re-rank (operators/pq.py). Uniform random
+    fixture vectors are the WORST case for quantization (no cluster
+    structure for the codebook to exploit); measured recall@10 = 0.59 at
+    shortlist=64, 0.85 at 128. Floors asserted well below measured."""
+    from koby_s_ai_vector_db_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, SF_DIRS["t2"], "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(
+        emb.select("vec_id", "embedding"), queries, k=K, threshold=-1.0
+    ).select("query_id", "vec_id")
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    recalls = {}
+    for sl in (64, 128):
+        approx = pq_topk(
+            emb.select("vec_id", "embedding"), queries, k=K, shortlist=sl
+        ).select("query_id", "vec_id")
+        aset = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recalls[sl] = len(exact_set & aset) / len(exact_set)
+    print(f"pq recall@{K}: {recalls}")
+    assert recalls[64] >= 0.4, recalls
+    assert recalls[128] >= recalls[64]  # shortlist is a recall dial
+    assert recalls[128] >= 0.6, recalls
+
+
+def test_pq_scores_are_exact(spark):
+    """The re-rank step must return EXACT cosine scores — PQ may lose
+    rows (recall < 1), never alter a returned score."""
+    from koby_s_ai_vector_db_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, SF_DIRS["t1"], "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(
+        emb.select("vec_id", "embedding"), queries, k=1000, threshold=-1.0
+    ).select("query_id", "vec_id", "sim")
+    approx = pq_topk(
+        emb.select("vec_id", "embedding"), queries, k=5, shortlist=32
+    ).select("query_id", "vec_id", "sim")
+    joined = approx.alias("a").join(exact.alias("e"), ["query_id", "vec_id"], "left")
+    assert joined.filter(F.col("e.sim").isNull()).count() == 0
+    assert joined.filter(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9).count() == 0
+
+
+def test_pq_codebook_shape_and_determinism(spark):
+    """Codebook is a pure constant: [M][KS][SUB] of +/-1.0, identical
+    across calls (it feeds literals into BOTH engines' plans)."""
+    from koby_s_ai_vector_db_spark.operators import pq
+
+    cb = pq.pq_codebook()
+    assert len(cb) == pq.M and len(cb[0]) == pq.KS and len(cb[0][0]) == pq.SUB
+    assert cb == pq.pq_codebook()
+    assert {x for sub in cb for code in sub for x in code} == {1.0, -1.0}

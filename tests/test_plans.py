@@ -82,3 +82,14 @@ def test_hyperplane_sketch_is_map_side(spark):
     plan = _plan(spark, "dedup_embedding_lsh")
     assert "hashpartitioning(_id" not in plan, "sketch-fold shuffle is back"
     assert "keys=[_id" not in plan, "sketch bits reassembled via per-id aggregate"
+
+
+def test_pq_encode_is_map_side(spark):
+    """PQ codes and ADC scores must be map-side expressions over literal
+    codebooks (operators/pq.py): no per-vector-id aggregation shuffle may
+    appear before the shortlist window, and the shortlist must pre-truncate
+    via WindowGroupLimit. The only exchanges are the broadcast of the
+    per-query distance tables and the two rank windows' query_id shuffles."""
+    plan = _plan(spark, "q2_ann_pq")
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(vec_id" not in plan, "codes reassembled via per-id shuffle"
