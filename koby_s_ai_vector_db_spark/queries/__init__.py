@@ -19,6 +19,7 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     sources_q,
     streaming_q,
     text_q,
+    rollup_q,
     dedup_q,
     fusion_q,
     mutations_q,
