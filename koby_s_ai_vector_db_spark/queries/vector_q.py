@@ -213,6 +213,97 @@ def q2_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    from koby_s_ai_vector_db_spark.operators.pq import cb_literal_duckdb
+
+    cb = cb_literal_duckdb()
+    return (
+        _NORM_CTE
+        + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {NQ}),
+expl AS (
+    SELECT label, unnest(list_transform(v, (x, i) -> {{'i': i, 'x': x}})) AS s FROM c
+),
+cent AS (SELECT label, s.i AS i, avg(s.x) AS x FROM expl GROUP BY label, s.i),
+centroids AS (SELECT label, list(x ORDER BY i) AS centroid FROM cent GROUP BY label),
+probe_scored AS (
+    SELECT q.query_id, cn.label,
+           list_sum(list_transform(q.qv, (x, i) -> x * cn.centroid[i])) AS csim
+    FROM q CROSS JOIN centroids cn
+),
+probes AS (
+    SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, label ASC) AS prank
+        FROM probe_scored)
+    WHERE prank <= {N_PROBE}
+),
+codes AS (
+    SELECT label, vec_id,
+           list_transform(
+               list_transform({cb}, (cbs, s) ->
+                   list_transform(cbs, cd ->
+                       list_sum(list_transform(cd, (x, i) -> x * v[(s-1)*8 + i])))),
+               ds -> list_position(ds, list_max(ds))) AS codes
+    FROM c
+),
+dtab AS (
+    SELECT query_id,
+           list_transform({cb}, (cbs, s) ->
+               list_transform(cbs, cd ->
+                   list_sum(list_transform(cd, (x, i) -> x * qv[(s-1)*8 + i])))) AS dtab
+    FROM q
+),
+adc AS (
+    SELECT p.query_id, cd.vec_id,
+           list_sum(list_transform(cd.codes, (code, s) -> d.dtab[s][code])) AS adc
+    FROM codes cd JOIN probes p ON cd.label = p.label
+                  JOIN dtab d ON d.query_id = p.query_id
+),
+sl AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id ASC) AS srank
+        FROM adc)
+    WHERE srank <= {SHORTLIST}
+),
+rer AS (
+    SELECT sl.query_id, sl.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM sl JOIN c ON c.vec_id = sl.vec_id JOIN q ON q.query_id = sl.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM rer
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank
+FROM ranked WHERE rank <= {K}
+"""
+    )
+
+
+@register("q2_ann_ivfpq", _ivfpq_oracle())
+def q2_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (operators/ivfpq.py — the FAISS IndexIVFPQ
+    shape): probe the 2 nearest of 10 coarse cells, ADC-scan only those
+    cells' 4-bit codes, exact re-rank a shortlist of 64. At scale:
+    (n_probe/n_lists) of the corpus scanned at 1/64th the bytes."""
+    from koby_s_ai_vector_db_spark.operators.ivfpq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb.select("vec_id", "label", "embedding"),
+        queries,
+        k=K,
+        n_probe_labels=N_PROBE,
+        shortlist=SHORTLIST,
+    )
+
+
 _KNN_ORACLE = (
     _NORM_CTE
     + """

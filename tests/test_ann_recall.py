@@ -178,3 +178,46 @@ def test_pq_codebook_shape_and_determinism(spark):
     assert len(cb) == pq.M and len(cb[0]) == pq.KS and len(cb[0][0]) == pq.SUB
     assert cb == pq.pq_codebook()
     assert {x for sub in cb for code in sub for x in code} == {1.0, -1.0}
+
+
+def test_ivfpq_composed_tier(spark):
+    """IVF+PQ (operators/ivfpq.py): recall is bounded by the IVF probe
+    (rows outside probed cells are invisible), and within probed cells the
+    PQ shortlist + exact re-rank must (a) return only exact scores and
+    (b) recover most of what exact-within-probed-cells (q2's ivf_topk)
+    returns at the same probe budget."""
+    from koby_s_ai_vector_db_spark.operators.ivfpq import ivfpq_topk
+    from koby_s_ai_vector_db_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIRS["t2"], "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf_exact = ivf_topk(
+        emb.select("vec_id", "label", "embedding"), queries, k=K, n_probe_labels=2
+    ).select("query_id", "vec_id")
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf_exact.collect()}
+
+    composed = ivfpq_topk(
+        emb.select("vec_id", "label", "embedding"),
+        queries,
+        k=K,
+        n_probe_labels=2,
+        shortlist=64,
+    )
+    comp_rows = composed.collect()
+    comp_set = {(r.query_id, r.vec_id) for r in comp_rows}
+
+    recall_vs_ivf = len(ivf_set & comp_set) / len(ivf_set)
+    print(f"ivfpq recall vs exact-in-probed-cells: {recall_vs_ivf:.3f}")
+    assert recall_vs_ivf >= 0.5, recall_vs_ivf
+
+    # scores exact: every returned sim matches the full-precision dot
+    exact = topk_cosine(
+        emb.select("vec_id", "embedding"), queries, k=1000, threshold=-1.0
+    ).select("query_id", "vec_id", "sim")
+    joined = composed.alias("a").join(
+        exact.alias("e"), ["query_id", "vec_id"], "left"
+    )
+    assert joined.filter(F.col("e.sim").isNull()).count() == 0
+    assert joined.filter(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9).count() == 0

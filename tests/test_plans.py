@@ -93,3 +93,13 @@ def test_pq_encode_is_map_side(spark):
     plan = _plan(spark, "q2_ann_pq")
     assert "WindowGroupLimit" in plan
     assert "hashpartitioning(vec_id" not in plan, "codes reassembled via per-id shuffle"
+
+
+def test_ivfpq_probe_and_encode_shapes(spark):
+    """IVF+PQ composition: the probe must ride broadcasts (no shuffle of
+    the corpus by label for the probe join), PQ encode stays map-side, and
+    the shortlist pre-truncates via WindowGroupLimit."""
+    plan = _plan(spark, "q2_ann_ivfpq")
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(vec_id" not in plan, "codes reassembled via per-id shuffle"
+    assert "CartesianProduct" not in plan
