@@ -83,7 +83,52 @@ def main() -> int:
     }
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+
+    # Full, untrimmed detail for the judge — the stdout line below must stay
+    # parseable within the driver's ~2000-char capture window (BENCH_r03
+    # recorded only a truncated tail -> "parsed": null), so it is compact and
+    # length-capped while this file keeps everything.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: stdout line still suffices
+        print(f"[bench] BENCH_FULL.json not written: {exc}", file=sys.stderr)
+
+    # BASELINE.md anchor queries are always reported; remaining slots go to
+    # the slowest queries (the ones a plan reviewer cares about) until the
+    # line budget is spent.
+    anchors = {
+        "t1_chunker", "a13_corpus_summary", "q3_contribution_search",
+        "q4_keyword_search", "q5_ilike_pagination", "q6_session_search",
+        "q1_topk_cosine", "t3_normalize", "knn_self_join",
+    }
+    budget = 1800
+
+    def encoded(res: dict) -> str:
+        return json.dumps(res, separators=(",", ":"))
+
+    slim = dict(result)
+    slim["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+    if failures:
+        slim["failures"] = {k: v[:60] for k, v in failures.items()}
+    if len(encoded(slim)) > budget:
+        keep = {k: round(per_query[k], 2) for k in anchors if k in per_query}
+        rest = sorted(
+            (k for k in per_query if k not in anchors),
+            key=lambda k: -per_query[k],
+        )
+        for k in rest:
+            trial = dict(slim)
+            trial["queries"] = {**keep, k: round(per_query[k], 2)}
+            trial["dropped"] = len(per_query) - len(trial["queries"])
+            if len(encoded(trial)) > budget:
+                break
+            keep = trial["queries"]
+        slim["queries"] = keep
+        slim["dropped"] = len(per_query) - len(keep)
+    print(encoded(slim))
     return 1 if failures else 0
 
 

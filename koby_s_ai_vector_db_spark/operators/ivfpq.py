@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from koby_s_ai_vector_db_spark.functions.partitioning import spread
 from koby_s_ai_vector_db_spark.functions.vectors import dot, l2_normalize
 from koby_s_ai_vector_db_spark.operators.pq import (
+    codebook_df,
     pq_adc_score,
     pq_distance_table,
     pq_encode,
@@ -95,8 +96,13 @@ def ivfpq_topk(
     # projection is the persisted artifact (partitioned by label), and the
     # probe join becomes partition pruning — codes of unprobed cells are
     # never read.
-    codes = c.select(label_col, corpus_id, pq_encode("v").alias("codes"))
-    dtab = q.select(query_id, pq_distance_table("qv").alias("dtab"))
+    cbdf = codebook_df(corpus.sparkSession)
+    codes = c.join(F.broadcast(cbdf)).select(
+        label_col, corpus_id, pq_encode("v").alias("codes")
+    )
+    dtab = q.join(F.broadcast(cbdf)).select(
+        query_id, pq_distance_table("qv").alias("dtab")
+    )
 
     w_sl = Window.partitionBy(query_id).orderBy(F.desc("adc"), F.asc(corpus_id))
     sl = (

@@ -83,20 +83,18 @@ def pq_codebook() -> list[list[list[float]]]:
     ]
 
 
-def _cb_literal_spark() -> str:
-    cb = pq_codebook()
-    return (
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{x:.1f}D" for x in code) + ")"
-                for code in sub
-            )
-            + ")"
-            for sub in cb
-        )
-        + ")"
+def codebook_df(spark) -> DataFrame:
+    """The codebook as a 1-row DataFrame — the index's shipped artifact.
+
+    Shipped as DATA (createDataFrame -> broadcast join), never as a SQL
+    literal: a 1024-double nested-array literal embedded in an expression
+    makes whole-stage codegen emit (and Janino recompile, erratically
+    cache-missing) a multi-second giant method — measured 0.4s vs 2-3s per
+    run on the same 2k-row scan. It is also the honest 100 TB shape: FAISS
+    ships trained codebooks to workers as broadcast state, not as query
+    text."""
+    return spark.createDataFrame(
+        [(pq_codebook(),)], "cb array<array<array<double>>>"
     )
 
 
@@ -118,34 +116,52 @@ def cb_literal_duckdb() -> str:
     return f"CAST({body} AS DOUBLE[][][])"
 
 
-def pq_encode(vec_col: str = "v") -> F.Column:
+def _bind_once(vec_sql: str, body: str) -> str:
+    """Evaluate ``vec_sql`` exactly once per row, exposing it to ``body`` as
+    the lambda variable ``nv``.
+
+    Why this exists: Catalyst's CollapseProject freely inlines a projected
+    expression into every use site of its alias — a single textual reference
+    inside a higher-order-function lambda then re-evaluates the whole
+    expression on EVERY lambda iteration. pq_encode reads its input vector
+    M*KS*SUB = 1024 times per row; with `l2_normalize(embedding)` inlined,
+    each of those 1024 reads recomputed two full-vector norm folds
+    (~500M interpreted evals at a 2k-row scale factor — the 70s q2_ann_pq
+    regression in BENCH_r03). Lambda VARIABLES, by contrast, are bound
+    values: `transform(array(X), nv -> body)[1]` evaluates X once and lets
+    body read `nv` for free, whatever the optimizer inlined into X."""
+    return f"element_at(transform(array({vec_sql}), nv -> {body}), 1)"
+
+
+def pq_encode(vec_col: str = "v", cb_col: str = "cb") -> F.Column:
     """Map-side encode: array of M code ids (1-based), codes[s] = argmax_c
-    <v_sub_s, cb[s][c]>. One expression, zero joins/shuffles — the PQ
-    analogue of the hyperplane sign-mask sketch (operators/dedup.py)."""
-    cb = _cb_literal_spark()
+    <v_sub_s, cb[s][c]>. One expression, zero shuffles (the codebook column
+    comes from a 1-row broadcast, see codebook_df) — the PQ analogue of the
+    hyperplane sign-mask sketch (operators/dedup.py)."""
     # dots[s] = 16 subspace dots; codes[s] = first index of the max.
-    return F.expr(
+    body = (
         f"transform("
-        f"  transform({cb}, (cbs, s) ->"
+        f"  transform({cb_col}, (cbs, s) ->"
         f"    transform(cbs, c ->"
         f"      aggregate(sequence(0, {SUB - 1}), CAST(0.0 AS DOUBLE),"
         f"        (a, i) -> a + element_at(c, i + 1)"
-        f"                    * element_at({vec_col}, s * {SUB} + i + 1)))),"
+        f"                    * element_at(nv, s * {SUB} + i + 1)))),"
         f"  ds -> CAST(array_position(ds, array_max(ds)) AS INT))"
     )
+    return F.expr(_bind_once(vec_col, body))
 
 
-def pq_distance_table(query_vec_col: str = "qv") -> F.Column:
+def pq_distance_table(query_vec_col: str = "qv", cb_col: str = "cb") -> F.Column:
     """Per-query ADC table: dtab[s][c] = <q_sub_s, cb[s][c]> — computed once
     per query row (the small broadcast side), never per corpus row."""
-    cb = _cb_literal_spark()
-    return F.expr(
-        f"transform({cb}, (cbs, s) ->"
+    body = (
+        f"transform({cb_col}, (cbs, s) ->"
         f"  transform(cbs, c ->"
         f"    aggregate(sequence(0, {SUB - 1}), CAST(0.0 AS DOUBLE),"
         f"      (a, i) -> a + element_at(c, i + 1)"
-        f"                  * element_at({query_vec_col}, s * {SUB} + i + 1))))"
+        f"                  * element_at(nv, s * {SUB} + i + 1))))"
     )
+    return F.expr(_bind_once(query_vec_col, body))
 
 
 def pq_adc_score(codes_col: str = "codes", dtab_col: str = "dtab") -> F.Column:
@@ -177,15 +193,20 @@ def pq_topk(
     c = spread(corpus).select(
         F.col(corpus_id), l2_normalize(vec_col).alias("v")
     )
+    cbdf = codebook_df(corpus.sparkSession)
     # The compressed index: at scale this projection is what you PERSIST
     # (like sources/ivf.py persists list-partitioned vectors); the ADC scan
     # then never touches the float arrays.
-    codes = c.select(corpus_id, pq_encode("v").alias("codes"))
+    codes = c.join(F.broadcast(cbdf)).select(
+        corpus_id, pq_encode("v").alias("codes")
+    )
 
     q = queries.select(
         F.col(query_id), l2_normalize(query_vec_col).alias("qv")
     )
-    dtab = q.select(query_id, pq_distance_table("qv").alias("dtab"))
+    dtab = q.join(F.broadcast(cbdf)).select(
+        query_id, pq_distance_table("qv").alias("dtab")
+    )
 
     w_sl = Window.partitionBy(query_id).orderBy(
         F.desc("adc"), F.asc(corpus_id)

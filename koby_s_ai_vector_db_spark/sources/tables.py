@@ -35,16 +35,21 @@ NOW_TS = "2024-01-25 12:00:00"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet → pushdown/pruning-capable scan.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and truncate to microseconds — exactly what
-    DuckDB does when it coerces ns → its µs TIMESTAMP, so both engines see
-    identical values. The conf is runtime-settable, so this works under the
-    driver's own SparkSession too.
+    events.ts is schema-driven: current fixtures store native TIMESTAMP(µs)
+    (arrives as TIMESTAMP_NTZ; session tz is UTC so epoch math matches the
+    DuckDB oracle's naive TIMESTAMP exactly). Older fixtures stored
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — for those,
+    read nanos as long and truncate to microseconds, the same ns → µs
+    coercion DuckDB applies, so both engines see identical values either
+    way. The conf is runtime-settable, so this works under the driver's
+    own SparkSession too.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos-as-long fixture
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     # NOTE: no blanket repartition here. The fixture files are
     # single-row-group parquet, so scans arrive ~1 partition wide — but a
     # load-time spread taxes every cheap query (and multiplies pandas_udf

@@ -41,24 +41,33 @@ GAP = "30 minutes"
 LATE = "10 minutes"
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
+_EVENTS_SCHEMA_NANOS = EVENTS_SCHEMA.replace("ts timestamp_ntz", "ts bigint")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the fixture events parquet. The fixture
-    stores TIMESTAMP(NANOS); nanosAsLong + truncation to micros matches
-    the batch reader (sources/tables.py)."""
+    """File-source stream over the fixture events parquet, mirroring the
+    schema-driven batch reader (sources/tables.py): current fixtures store
+    native TIMESTAMP(µs); legacy ones TIMESTAMP(NANOS), handled via
+    nanosAsLong + truncation to micros. A one-file batch schema sniff picks
+    the variant — streams need the schema declared up front."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sniffed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    legacy = sniffed.get("ts") == "bigint"
     # Glob, not a bare file path: FileStreamSource requires a directory
     # basePath and treats the leaf pattern as the file filter.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _EVENTS_SCHEMA_NANOS if legacy else EVENTS_SCHEMA
+        )
         .format("parquet")
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if legacy:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
@@ -94,8 +103,15 @@ def user_session_windows(events: DataFrame, gap: str = GAP) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
-            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            # unix_micros only accepts TIMESTAMP (with tz); the fixture
+            # arrives as TIMESTAMP_NTZ and the session tz is pinned UTC, so
+            # the cast is value-preserving.
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
             "n_events",
         )
     )
@@ -139,7 +155,7 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         )
 
     return (
-        events.withColumn("ts_us", F.unix_micros("ts"))
+        events.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .select("user_id", "event_type", "ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(

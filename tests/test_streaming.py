@@ -159,9 +159,11 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
 
     ev = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "events_split")
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # keep raw int96/nanos ts
-    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
-    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
+    # Write the normalized (schema-driven) events so the stream schema below
+    # matches regardless of which fixture vintage (ns-as-long vs native µs)
+    # is on disk.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
 
     stream_in = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -169,7 +171,6 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .load(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     name = f"s_state_{uuid.uuid4().hex[:8]}"
     q = (
@@ -196,7 +197,7 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
         F.count("*").alias("n_events"),
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
         F.count_if(F.col("event_type") == "error").alias("n_errors"),
-        F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_seen_us"),
     )
     assert _rows(w_latest) == _rows(batch)
     assert len(_rows(batch)) > 0
