@@ -1,0 +1,288 @@
+"""Training-corpus curation operators: BM25 ranking, vocabulary stats,
+stratified sampling, benchmark decontamination.
+
+These extend the reference's lexical tier (`core/supabase_utils.py:250-367`
+scores token overlap with Python loops over ≤100-row candidate lists) into
+the operators a large-scale training-data pipeline needs. Design rules are
+the repo-wide ones: tokenization identical in both engines (the dedup
+`_WORDS` split), md5-portable hashing where hashes matter, scores rounded
+at the output edge, candidate generation by equi-join on inverted postings
+(never all-pairs), and map-side-combinable aggregates.
+
+100 TB shapes
+-------------
+- bm25: postings = explode(tokens) — map-side; df/idf = one groupBy(term)
+  over postings (map-side partial agg; vocabulary-sized result, broadcast
+  back); scoring joins postings to the BROADCAST query-term table, so the
+  only full shuffle is the per-(query, doc) score aggregation keyed by
+  (query, doc) — the same key the final top-k needs.
+- vocabulary: one map-side-combined groupBy(term); top-k via orderBy+limit
+  = TakeOrderedAndProject (per-partition heap, no global sort).
+- stratified sample: pure map-only filter on a portable hash — no shuffle,
+  no state; exact per-stratum rates without a count() pre-pass.
+- decontamination: shingle postings equi-join against a BROADCAST
+  benchmark-shingle set; contaminated-id dedup is a groupBy on the doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+from koby_s_ai_vector_db_spark.operators.dedup import (
+    _WORDS,
+    shingles_expr,
+    words_expr,
+)
+
+# BM25 constants (Robertson/Sparck Jones defaults; the reference's lexical
+# scorer divides overlap count by query length — BM25 is its
+# saturation-and-length-normalized production form).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) postings with per-document term frequency.
+
+    explode + groupBy(id, term) — the groupBy is map-side combinable and
+    keyed by the same (id, term) pair every downstream join uses.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"), words_expr(text_col).alias("_w")
+        )
+        .select("_id", F.explode("_w").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dl) token counts — map-only."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(words_expr(text_col)).cast("double").alias("dl"),
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k per query.
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    N/avgdl are exact corpus scalars computed as a 1-row aggregate and
+    cross-broadcast (at 100 TB: two doubles). Query terms are distinct
+    (standard BM25 bag-of-query simplification) and broadcast.
+    """
+    post = term_postings(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+
+    # Corpus scalars: 1 row, broadcast into every arm.
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    # Document frequency per term: vocabulary-sized, broadcast to scoring.
+    df_t = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(words_expr(query_text))).alias("term"),
+    )
+
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(dl, "_id")
+        .join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(query_id, "_id")
+        .agg(F.sum("_w").alias("_score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("_score"), F.asc("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col("_id").alias(id_col),
+            F.round("_score", round_to).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_oracle_sql(
+    queries_values: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of bm25_rank over `documents`. ``queries_values`` is a
+    VALUES list rendering of (query_id, query_text)."""
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {queries_values}),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+post AS (
+    SELECT doc_id, unnest(w) AS term FROM words
+),
+tf AS (
+    SELECT doc_id, term, count(*)::DOUBLE AS tf FROM post GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM words),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qt AS (
+    SELECT query_id, unnest(list_distinct(list_filter(
+        string_split_regex(lower(query_text), '\\s+'), t -> t <> ''))) AS term
+    FROM q
+),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(ln(1 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS score
+    FROM tf JOIN qt USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN df_t ON df_t.term = tf.term
+            CROSS JOIN stats
+    GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def vocab_stats(
+    docs: DataFrame,
+    top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: per-term total count + document frequency, top-N
+    by count (ties → term asc). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"), F.explode(words_expr(text_col)).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    portable_hash32(id) % 10^6 < rate·10^6 for its stratum's rate.
+
+    Map-only — no count() pre-pass, no shuffle, reproducible across runs
+    and engines (md5-derived hash). The standard shape for corpus mixing
+    ("2 parts en, 1 part code, 0.1 part forums") at any scale.
+    """
+    h = portable_hash32(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return docs.filter(h < (rate * 1_000_000).cast("long"))
+
+
+def stratified_sample_oracle_case(
+    rates: dict[str, float], strata_col: str = "lang", default_rate: float = 0.0
+) -> str:
+    """DuckDB CASE rendering of the per-stratum rate lookup."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {r!r}" for s, r in sorted(rates.items())
+    )
+    return f"(CASE {whens} ELSE {default_rate!r} END)"
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+) -> DataFrame:
+    """Train/eval overlap check: flag train docs sharing ≥1 word n-gram
+    with any benchmark doc → (doc_id, bench_id, n_shared).
+
+    The standard decontamination pass before training (n=13 in published
+    pipelines; n=3 here because the fixture vocabulary is 31 words).
+    Postings equi-join on the shingle string: candidates are generated by
+    the join, never by comparing all pairs; the benchmark side is tiny by
+    construction (eval sets are thousands of docs, not billions) and
+    broadcast.
+    """
+    t_post = (
+        train.select(
+            F.col(id_col).alias("_tid"), shingles_expr(text_col, n).alias("_g")
+        )
+        .filter(F.size("_g") > 0)
+        .select("_tid", F.explode("_g").alias("g"))
+    )
+    b_post = (
+        benchmark.select(
+            F.col(bench_id).alias("_bid"), shingles_expr(text_col, n).alias("_g")
+        )
+        .filter(F.size("_g") > 0)
+        .select("_bid", F.explode("_g").alias("g"))
+    )
+    return (
+        t_post.join(F.broadcast(b_post), "g")
+        .groupBy("_tid", "_bid")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            F.col("_tid").alias(id_col),
+            F.col("_bid").alias(bench_id),
+            "n_shared",
+        )
+    )

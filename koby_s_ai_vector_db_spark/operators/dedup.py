@@ -85,12 +85,19 @@ def words_expr(col: str) -> Column:
 
 def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
     """Distinct word n-gram shingles, JVM-side. Rows with < n words yield
-    an empty array (callers filter)."""
+    an empty array (callers filter).
+
+    The token array is bound once per row (functions/exprs.py) — spelling
+    the split out inside the transform lambda would re-tokenize the
+    document once per shingle position."""
+    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+
     w = _WORDS.format(col=col)
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({w}) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice({w}, i, {n}))))"
+    body = (
+        f"array_distinct(transform(sequence(1, greatest(size(nv) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(nv, i, {n}))))"
     )
+    return F.expr(bind_once(w, body))
 
 
 _H32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"

@@ -116,21 +116,11 @@ def cb_literal_duckdb() -> str:
     return f"CAST({body} AS DOUBLE[][][])"
 
 
-def _bind_once(vec_sql: str, body: str) -> str:
-    """Evaluate ``vec_sql`` exactly once per row, exposing it to ``body`` as
-    the lambda variable ``nv``.
-
-    Why this exists: Catalyst's CollapseProject freely inlines a projected
-    expression into every use site of its alias — a single textual reference
-    inside a higher-order-function lambda then re-evaluates the whole
-    expression on EVERY lambda iteration. pq_encode reads its input vector
-    M*KS*SUB = 1024 times per row; with `l2_normalize(embedding)` inlined,
-    each of those 1024 reads recomputed two full-vector norm folds
-    (~500M interpreted evals at a 2k-row scale factor — the 70s q2_ann_pq
-    regression in BENCH_r03). Lambda VARIABLES, by contrast, are bound
-    values: `transform(array(X), nv -> body)[1]` evaluates X once and lets
-    body read `nv` for free, whatever the optimizer inlined into X."""
-    return f"element_at(transform(array({vec_sql}), nv -> {body}), 1)"
+# pq_encode reads its input vector M*KS*SUB = 1024 times per row; without
+# the bind, CollapseProject inlined `l2_normalize(embedding)` into every
+# read (~500M interpreted evals at a 2k-row scale factor — the 70s
+# q2_ann_pq regression in BENCH_r03). See functions/exprs.py.
+from koby_s_ai_vector_db_spark.functions.exprs import bind_once as _bind_once
 
 
 def pq_encode(vec_col: str = "v", cb_col: str = "cb") -> F.Column:
