@@ -126,7 +126,13 @@ def bm25_rank(
         .groupBy(query_id, "_id")
         .agg(F.sum("_w").alias("_score"))
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("_score"), F.asc("_id"))
+    # Rank on the ROUNDED score: the per-(query, doc) sum folds floats in
+    # shuffle order (engine- and run-dependent), so raw scores may differ by
+    # ~1e-15 across engines; ranking on the rounded value with a doc-id
+    # tiebreak makes the top-k deterministic and cross-engine stable.
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("_score", round_to)), F.asc("_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -181,7 +187,7 @@ scored AS (
 ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS rank
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
 )
 SELECT query_id, doc_id, round(score, 6) AS score, rank
@@ -231,7 +237,11 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
-    return docs.filter(h < (rate * 1_000_000).cast("long"))
+    # round(), not a truncating cast: 0.3 * 1e6 = 299999.99999999997 in
+    # binary — truncation would keep 299999 while DuckDB's rounding cast
+    # keeps 300000, silently shifting the ppm threshold by one. Both
+    # engines round half away from zero for positive doubles.
+    return docs.filter(h < F.round(rate * 1_000_000, 0).cast("long"))
 
 
 def stratified_sample_oracle_case(

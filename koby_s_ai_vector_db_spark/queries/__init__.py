@@ -20,4 +20,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     analytics_q,
     lexical_q,
     relational_q,
+    corpus_q,
 )

@@ -1,0 +1,153 @@
+"""Corpus-curation queries (the training-data-pipeline tier beyond the
+reference's lexical search): BM25 ranking, vocabulary statistics,
+deterministic stratified sampling, and benchmark decontamination.
+
+The reference's production analogue is the token-overlap contribution
+scorer (core/supabase_utils.py:250-367 — Python loops over a ≤100-row
+candidate list); these are its large-scale forms: BM25 is the
+saturation-and-length-normalized version of overlap scoring, vocab stats
+the corpus profile that feeds it, stratified sampling the corpus-mixing
+step, and n-gram decontamination the train/eval hygiene pass. All four are
+pure DataFrame algebra (operators/corpus.py) with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+from koby_s_ai_vector_db_spark.operators.corpus import (
+    bm25_oracle_sql,
+    bm25_rank,
+    ngram_contamination,
+    stratified_sample,
+    stratified_sample_oracle_case,
+    vocab_stats,
+)
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+# Query set: fixture-vocabulary terms (same convention as fusion_q.QUERIES;
+# q2 is all out-of-vocabulary and must return zero rows).
+BM25_QUERIES = [
+    (0, "spark table scan"),
+    (1, "hash merge batch"),
+    (2, "qqqz zzzq xyzzy"),
+    (3, "sort window agg key"),
+]
+BM25_K = 10
+
+_BM25_VALUES = ", ".join(f"({qid}, '{txt}')" for qid, txt in BM25_QUERIES)
+
+# The shipped oracle renders query_id from the VALUES list (INT32 in
+# DuckDB); widen to BIGINT to match Spark's schema exactly.
+_BM25_ORACLE = f"""
+WITH base AS ({bm25_oracle_sql(_BM25_VALUES, k=BM25_K)})
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM base
+"""
+
+
+@register("bm25_rank", _BM25_ORACLE)
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over `documents` — postings equi-join
+    against the broadcast query-term table; the only full shuffle is the
+    per-(query, doc) score aggregation (operators/corpus.py:74)."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    return bm25_rank(docs, queries, k=BM25_K)
+
+
+VOCAB_TOP = 20
+
+_VOCAB_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+post AS (SELECT doc_id, unnest(w) AS term FROM words)
+SELECT term, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM post GROUP BY term
+ORDER BY n_total DESC, term ASC
+LIMIT {VOCAB_TOP}
+"""
+
+
+@register("vocab_stats", _VOCAB_ORACLE)
+def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-20 terms by total count with document
+    frequency; one map-side-combined groupBy, TakeOrderedAndProject top-k
+    (operators/corpus.py:192)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, top=VOCAB_TOP)
+
+
+# Corpus-mixing rates per fixture language (en/zh/es/de/fr); es/fr fall to
+# the default. 0.3/0.1 are deliberately not exactly representable in binary
+# — they exercise the round-vs-truncate edge the oracle must mirror.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT = 0.05
+SAMPLE_SEED = 7
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", seed=SAMPLE_SEED)} % 1000000
+      < CAST(round({stratified_sample_oracle_case(SAMPLE_RATES, "lang", SAMPLE_DEFAULT)} * 1000000) AS BIGINT)
+"""
+
+
+@register("stratified_sample", _SAMPLE_ORACLE)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample ("2 parts en, 1 part de,
+    ..."): map-only filter on a portable md5 hash — no count() pre-pass, no
+    shuffle, reproducible across engines (operators/corpus.py:215)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        SAMPLE_RATES,
+        strata_col="lang",
+        default_rate=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    ).select("doc_id", "lang", "source")
+
+
+# "Benchmark" = every 37th fixture doc (14 docs at sf0.01) — an eval set
+# drawn from the same distribution, so shared shingles exist by
+# construction. Self-pairs are excluded (a doc trivially contaminates
+# itself); what remains is cross-document n-gram leakage.
+CONTAM_N = 3
+CONTAM_MOD = 37
+
+_CONTAM_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS g
+    FROM words WHERE len(w) >= {CONTAM_N}
+),
+t_post AS (SELECT doc_id AS tid, unnest(g) AS g FROM grams),
+b_post AS (SELECT doc_id AS bid, unnest(g) AS g FROM grams WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT tid AS doc_id, bid AS bench_id, count(*) AS n_shared
+FROM t_post JOIN b_post USING (g)
+WHERE tid <> bid
+GROUP BY tid, bid
+"""
+
+
+@register("ngram_contamination", _CONTAM_ORACLE)
+def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag train docs sharing ≥1 word 3-gram
+    with any benchmark doc. Shingle-postings equi-join against the
+    BROADCAST benchmark side — never all-pairs (operators/corpus.py:247)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = ngram_contamination(docs, bench, n=CONTAM_N)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))

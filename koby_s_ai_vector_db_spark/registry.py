@@ -30,37 +30,57 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Driver correctness tooling checks the FIRST 50 registry entries each
-# round. Names listed here surface to the front of queries() in this order
-# (then everything else in registration order), so the per-round
+# Driver correctness tooling checks the FIRST `WINDOW` registry entries
+# each round. Names listed here surface to the front of queries() in this
+# order (then everything else in registration order), so the per-round
 # verification window is chosen explicitly instead of by module import
-# order. Round-4 window: (a) queries with no driver row since round 2 or
-# never (m6/s9/t2/s8/u2/t5-t7, analytics, lexical, rel_*), (b) everything
-# reading `events` — its fixture schema changed to native TIMESTAMP(µs)
-# this round, (c) operators changed this round (PQ tiers), (d) flagships.
+# order.
+#
+# Rotation invariant (enforced by tests/test_registry_rotation.py against
+# the newest committed CORRECTNESS_r*.json): every registered query must be
+# either IN this window or green in the previous round's driver record —
+# no query ever goes more than one round without an external check.
+#
+# Round-5 window: (a) every query with no round-4 driver row (the r3-dated
+# set — driver window held 50 of 76), (b) queries new or changed this round
+# (corpus tier; streaming schema-sniff touch; PQ family shares operators
+# with the new persisted-codes index), (c) flagships filling the remainder.
+WINDOW = 50
+
 _PRIORITY: list[str] = [
-    # (a) stale or never driver-checked
-    "m6_flip_catalog_status", "s9_upsert_users", "t2_embed", "s8_ingest",
-    "u2_nokey_answer", "t5_preview", "t6_validate", "t7_sanitize",
-    "a1_doc_summary", "a2_contribution_analytics", "a3_top_rated",
-    "a4_recent_qa", "a5_live_users", "a6_session_stats",
-    "a7_activity_breakdown", "a7_user_activity", "a9_pending_count",
-    "a10_recent_users", "a11_active_sessions", "q3_contribution_search",
-    "q4_keyword_search", "q5_ilike_pagination", "q6_session_search",
-    "rel_pricing_summary", "rel_revenue_by_nation", "rel_top_parts_by_brand",
-    # (b) events schema change
-    "a5_sliding_live_users", "a6_session_windows", "rollup_events",
-    "m4_terminate_session", "m5_gc_sessions", "m7_sessions_from_events",
-    # (c) changed this round
+    # (a) no r4 driver row
+    "ta_token_count", "ta_fingerprint", "mm_binary_features", "mm_decode",
+    "mm_resize", "mm_frames", "dedup_exact", "dedup_exact_stream",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
+    "q8_faiss_quality", "q9_contribution_quality", "q10_prioritize",
+    "q11_sources", "q12_context_assembly", "q13_effectiveness",
+    "q14_fallback_routing", "t1_chunker", "a13_corpus_summary",
+    "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
+    # (b) new or changed this round
+    "bm25_rank", "vocab_stats", "stratified_sample", "ngram_contamination",
+    "a5_sliding_live_users", "a6_session_windows",
     "q2_ann_pq", "q2_ann_ivfpq",
-    # (d) flagships (remaining window)
+    # (c) flagships (remaining window)
     "q1_topk_cosine", "q2_ann", "knn_self_join", "t3_normalize",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus", "q7_fusion",
+    "rollup_events", "s8_ingest", "t2_embed", "u2_nokey_answer",
+    "q3_contribution_search", "a1_doc_summary", "m7_sessions_from_events",
+    "s2_extract_join",
 ]
 
 
 def _ordered() -> dict[str, tuple[SparkQuery, str | None]]:
-    front = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    unknown = [n for n in _PRIORITY if n not in _REGISTRY]
+    if unknown:
+        # Loud, not silent: a typo or a renamed query would otherwise
+        # quietly change which queries land in the externally-checked
+        # first-WINDOW verification slice.
+        raise KeyError(
+            f"registry._PRIORITY names not registered: {unknown} "
+            f"(registered: {sorted(_REGISTRY)})"
+        )
+    front = {n: _REGISTRY[n] for n in _PRIORITY}
     rest = {n: v for n, v in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -1,0 +1,125 @@
+"""Corpus-curation operator behavior checks (value parity is covered by
+tests/test_oracle_parity.py; these pin semantics and plan shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.corpus import (
+    bm25_rank,
+    ngram_contamination,
+    stratified_sample,
+    vocab_stats,
+)
+from koby_s_ai_vector_db_spark.queries.corpus_q import (
+    BM25_QUERIES,
+    SAMPLE_DEFAULT,
+    SAMPLE_RATES,
+)
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_DIRS
+
+SF_DIR = SF_DIRS["t2"]
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_bm25_oov_query_returns_nothing(spark):
+    """Terms absent from the corpus produce no postings rows — an
+    all-out-of-vocabulary query yields zero results, not NULL scores."""
+    docs = _docs(spark)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    out = bm25_rank(docs, queries, k=10).collect()
+    by_q = {qid: [r for r in out if r.query_id == qid] for qid, _ in BM25_QUERIES}
+    assert len(by_q[2]) == 0  # "qqqz zzzq xyzzy"
+    for qid in (0, 1, 3):
+        rows = by_q[qid]
+        assert len(rows) == 10
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, 11))
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    """IDF ordering: a doc matching only a rare term must outscore a doc
+    matching only a common term of equal tf/dl (built synthetically)."""
+    docs = spark.createDataFrame(
+        [(0, "rare pad0"), (1, "common pad1")]
+        + [(i, "common filler%d" % i) for i in range(2, 12)],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(0, "rare common")], "query_id bigint, query_text string")
+    res = {r.doc_id: r.score for r in bm25_rank(docs, q, k=20).collect()}
+    assert res[0] > res[1]
+
+
+def test_vocab_stats_counts(spark):
+    """n_docs <= n_total and the cut is by n_total desc, term asc."""
+    rows = vocab_stats(_docs(spark), top=20).collect()
+    assert len(rows) == 20
+    assert all(r.n_docs <= r.n_total for r in rows)
+    key = [(-r.n_total, r.term) for r in rows]
+    assert key == sorted(key)
+
+
+def test_stratified_sample_rates(spark):
+    """Observed keep-rate per stratum tracks the requested rate (md5 is
+    uniform; sf0.01 strata have 64-218 docs, so allow a wide but
+    one-sided-safe band) and is deterministic across runs."""
+    docs = _docs(spark)
+    kept = stratified_sample(
+        docs, SAMPLE_RATES, strata_col="lang", default_rate=SAMPLE_DEFAULT, seed=7
+    )
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        rate = SAMPLE_RATES.get(lang, SAMPLE_DEFAULT)
+        frac = got.get(lang, 0) / n
+        assert abs(frac - rate) < 0.15, (lang, frac, rate)
+    again = {r.lang: r.n for r in stratified_sample(
+        docs, SAMPLE_RATES, strata_col="lang", default_rate=SAMPLE_DEFAULT, seed=7
+    ).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == got
+
+
+def test_contamination_finds_planted_copy(spark):
+    """A verbatim copy of a benchmark doc is flagged with n_shared equal to
+    its full distinct-shingle count."""
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = docs.limit(50).union(
+        docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    out = {r.doc_id: r.n_shared for r in ngram_contamination(train, bench, n=3).collect()}
+    assert out[900000] == out[0]  # the copy shares everything the original does
+
+
+def test_bm25_and_contamination_plan_shapes(spark):
+    """BM25 top-k rides WindowGroupLimit; the benchmark side of the
+    contamination join is broadcast (never a shuffled big-big join)."""
+    docs = _docs(spark)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    plan = bm25_rank(docs, queries)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cplan = (
+        ngram_contamination(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in cplan
+    assert "CartesianProduct" not in cplan
