@@ -96,24 +96,55 @@ def main() -> int:
     except OSError as exc:  # read-only checkout: stdout line still suffices
         print(f"[bench] BENCH_FULL.json not written: {exc}", file=sys.stderr)
 
-    # BASELINE.md anchor queries are always reported; remaining slots go to
-    # the slowest queries (the ones a plan reviewer cares about) until the
-    # line budget is spent.
-    anchors = {
-        "t1_chunker", "a13_corpus_summary", "q3_contribution_search",
-        "q4_keyword_search", "q5_ilike_pagination", "q6_session_search",
-        "q1_topk_cosine", "t3_normalize", "knn_self_join",
-    }
-    budget = 1800
+    print(encoded(slim_line(result, per_query, failures)))
+    return 1 if failures else 0
 
-    def encoded(res: dict) -> str:
-        return json.dumps(res, separators=(",", ":"))
 
+# BASELINE.md anchor queries are always reported; remaining slots go to
+# the slowest queries (the ones a plan reviewer cares about) until the
+# line budget is spent.
+ANCHORS = {
+    "t1_chunker", "a13_corpus_summary", "q3_contribution_search",
+    "q4_keyword_search", "q5_ilike_pagination", "q6_session_search",
+    "q1_topk_cosine", "t3_normalize", "knn_self_join",
+}
+BUDGET = 1800
+
+
+def encoded(res: dict) -> str:
+    return json.dumps(res, separators=(",", ":"))
+
+
+def slim_line(
+    result: dict,
+    per_query: dict[str, float],
+    failures: dict[str, str],
+    anchors: frozenset | set = frozenset(ANCHORS),
+    budget: int = BUDGET,
+) -> dict:
     slim = dict(result)
     slim["queries"] = {k: round(v, 2) for k, v in per_query.items()}
     if failures:
         slim["failures"] = {k: v[:60] for k, v in failures.items()}
+
+    # Trim order when over budget: (1) failure MESSAGES go first — the
+    # names are the signal, the messages are in BENCH_FULL.json (with many
+    # failures the old loop only shrank `queries` and the line could still
+    # blow the driver's capture window); (2) then query timings, anchors
+    # always kept, remaining slots to the slowest; (3) the artifact stays
+    # self-describing via dropped/dropped_names; (4) last resort: a minimal
+    # counts-only line.
+    if len(encoded(slim)) > budget and failures:
+        slim.pop("failures", None)
+        slim["failed"] = sorted(failures)[:20]
+        if len(failures) > 20:
+            slim["failed_more"] = len(failures) - 20
+
     if len(encoded(slim)) > budget:
+        # Reserve a slice of the budget for dropped_names up front —
+        # otherwise the greedy timing fill consumes everything and the
+        # artifact can't name a single dropped query.
+        fill_budget = budget - 150
         keep = {k: round(per_query[k], 2) for k in anchors if k in per_query}
         rest = sorted(
             (k for k in per_query if k not in anchors),
@@ -123,13 +154,32 @@ def main() -> int:
             trial = dict(slim)
             trial["queries"] = {**keep, k: round(per_query[k], 2)}
             trial["dropped"] = len(per_query) - len(trial["queries"])
-            if len(encoded(trial)) > budget:
+            if len(encoded(trial)) > fill_budget:
                 break
             keep = trial["queries"]
         slim["queries"] = keep
         slim["dropped"] = len(per_query) - len(keep)
-    print(encoded(slim))
-    return 1 if failures else 0
+        # Name what was dropped (slowest first) — as many as still fit.
+        names = sorted(
+            (k for k in per_query if k not in keep), key=lambda k: -per_query[k]
+        )
+        while names:
+            trial = dict(slim)
+            trial["dropped_names"] = names
+            if len(encoded(trial)) <= budget:
+                slim["dropped_names"] = names
+                break
+            names = names[: max(len(names) - max(1, len(names) // 4), 0)]
+
+    if len(encoded(slim)) > budget:
+        slim = {
+            "metric": result["metric"], "value": result["value"],
+            "unit": "sec", "sf": result["sf"],
+            "n_queries": len(per_query), "n_failures": len(failures),
+            "dropped": len(per_query),
+            "note": "line budget exceeded; see BENCH_FULL.json",
+        }
+    return slim
 
 
 if __name__ == "__main__":

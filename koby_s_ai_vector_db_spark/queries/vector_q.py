@@ -304,6 +304,82 @@ def q2_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted-index variants: the one-time `CREATE INDEX` analogue
+# (sources/pq_index.py). The index is built ONCE per (session, sf_dir) into
+# a scratch directory; every later call — the bench's timed pass, repeated
+# driver checks — only searches, so the measured cost is the steady-state
+# ADC scan over persisted 4-byte codes, not the per-query re-encode the
+# inline q2_ann_pq/q2_ann_ivfpq tiers pay. Results are row-identical to the
+# inline operators (tests/test_pq_index.py), so they share their oracles.
+
+_IDX_PATHS: dict[tuple, str] = {}
+
+
+def _index_path(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    path = _IDX_PATHS.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"koby_{kind}_") + "/index"
+        builder(path)
+        _IDX_PATHS[key] = path
+    return path
+
+
+@register("q2_ann_pq_idx", _pq_oracle())
+def q2_ann_pq_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the PERSISTED codes artifact (sources/pq_index.py):
+    build-once encode, then a column-pruned (vec_id, codes)-only scan per
+    query — the hot loop reads 4-byte codes, never the 256-byte vectors.
+    Same results and oracle as q2_ann_pq; the steady-state cost differs."""
+    from koby_s_ai_vector_db_spark.sources.pq_index import (
+        build_pq_index,
+        pq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_path(
+        spark, sf_dir, "pq",
+        lambda p: build_pq_index(emb.select("vec_id", "embedding"), p),
+    )
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_index_search(spark, path, queries, k=K, shortlist=SHORTLIST)
+
+
+@register("q2_ann_ivfpq_idx", _ivfpq_oracle())
+def q2_ann_ivfpq_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ over the PERSISTED list-partitioned codes artifact: the probe
+    prunes PARTITIONS (unprobed lists' files never opened), column pruning
+    keeps the ADC scan on codes only, and the build's encode cost is paid
+    once — the full FAISS IndexIVFPQ economics. Coarse lists here are the
+    fixture labels (deterministic per-list mean centroids) so the result is
+    value-identical to q2_ann_ivfpq and shares its oracle; the k-means
+    build path is recall-tested in tests/test_pq_index.py instead."""
+    from koby_s_ai_vector_db_spark.sources.pq_index import (
+        build_ivfpq_index,
+        ivfpq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_path(
+        spark, sf_dir, "ivfpq",
+        lambda p: build_ivfpq_index(
+            emb.select("vec_id", "label", "embedding"), p, list_col="label"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_index_search(
+        spark, path, queries, k=K, n_probe=N_PROBE, shortlist=SHORTLIST,
+        prune="static",
+    )
+
+
 _KNN_ORACLE = (
     _NORM_CTE
     + """

@@ -51,11 +51,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events parquet, mirroring the
     schema-driven batch reader (sources/tables.py): current fixtures store
     native TIMESTAMP(µs); legacy ones TIMESTAMP(NANOS), handled via
-    nanosAsLong + truncation to micros. A one-file batch schema sniff picks
-    the variant — streams need the schema declared up front."""
+    nanosAsLong + truncation to micros. Streams need the schema declared up
+    front, so the variant is sniffed from a batch read of the SAME glob the
+    stream loads — a directory mixing vintages has no single correct
+    declared schema and is rejected loudly (one vintage's ts would be
+    silently mis-read under the other's declaration)."""
+    import glob as _glob
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sniffed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
-    legacy = sniffed.get("ts") == "bigint"
+    pattern = f"{sf_dir}/events*.parquet"
+    ts_types = {
+        f: dict(spark.read.parquet(f).dtypes).get("ts")
+        for f in sorted(_glob.glob(pattern))
+    }
+    if not ts_types:
+        raise FileNotFoundError(f"no files match {pattern}")
+    if len(set(ts_types.values())) > 1:
+        raise ValueError(
+            f"mixed ts physical types under {pattern}: {ts_types} — "
+            "a single declared stream schema cannot read both vintages"
+        )
+    legacy = next(iter(ts_types.values())) == "bigint"
     # Glob, not a bare file path: FileStreamSource requires a directory
     # basePath and treats the leaf pattern as the file filter.
     raw = (

@@ -1,0 +1,73 @@
+"""bench.py stdout-line budget: the single JSON line must stay parseable
+within the driver's ~2000-char capture window in EVERY failure mix, and
+must stay self-describing about what it dropped (no Spark needed)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _mk(nq: int, nfail: int):
+    per_query = {f"query_{i:03d}_with_a_long_name": 0.5 + i * 0.01 for i in range(nq)}
+    failures = {
+        f"failing_query_{i:03d}_with_a_long_name": "x" * 200 for i in range(nfail)
+    }
+    result = {
+        "metric": "total_wall_sec", "value": 42.0, "unit": "sec",
+        "queries": per_query, "sf": 0.1,
+    }
+    if failures:
+        result["failures"] = failures
+    return result, per_query, failures
+
+
+def test_no_trim_when_under_budget():
+    result, pq, fl = _mk(10, 0)
+    slim = bench.slim_line(result, pq, fl)
+    assert slim["queries"] == {k: round(v, 2) for k, v in pq.items()}
+    assert "dropped" not in slim
+
+
+def test_many_queries_trim_names_reported():
+    result, pq, fl = _mk(200, 0)
+    slim = bench.slim_line(result, pq, fl)
+    line = bench.encoded(slim)
+    assert len(line) <= bench.BUDGET
+    assert json.loads(line)["dropped"] == 200 - len(slim["queries"])
+    # self-describing: the dropped set is named (possibly truncated to fit)
+    assert slim.get("dropped_names"), slim
+    assert set(slim["dropped_names"]).isdisjoint(slim["queries"])
+
+
+def test_many_failures_still_within_budget():
+    """The round-4 hole: failures were never trimmed, so 60+ failing
+    queries blew the window even after all timings were dropped."""
+    result, pq, fl = _mk(10, 80)
+    slim = bench.slim_line(result, pq, fl)
+    line = bench.encoded(slim)
+    assert len(line) <= bench.BUDGET
+    parsed = json.loads(line)
+    # failure names survive (capped), messages don't
+    assert "failures" not in parsed
+    assert len(parsed["failed"]) == 20 and parsed["failed_more"] == 60
+
+
+def test_pathological_mix_falls_back_to_minimal_line():
+    result, pq, fl = _mk(500, 500)
+    slim = bench.slim_line(result, pq, fl, budget=200)
+    line = bench.encoded(slim)
+    assert len(line) <= 300  # minimal line is tiny regardless of inputs
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_wall_sec"
+    assert parsed["n_queries"] == 500 and parsed["n_failures"] == 500
+
+
+def test_anchors_always_survive():
+    result, pq, fl = _mk(150, 0)
+    for a in bench.ANCHORS:
+        pq[a] = 0.1
+    result["queries"] = pq
+    slim = bench.slim_line(result, pq, fl)
+    assert bench.ANCHORS <= set(slim["queries"])

@@ -161,7 +161,12 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
     src = str(tmp_path / "events_split")
     # Write the normalized (schema-driven) events so the stream schema below
     # matches regardless of which fixture vintage (ns-as-long vs native µs)
-    # is on disk.
+    # is on disk. Cast ts to timestamp_ntz explicitly: under a legacy-nanos
+    # fixture load_table yields TIMESTAMP (LTZ), and writing that while
+    # DECLARING timestamp_ntz in readStream would only stay value-correct
+    # because the session tz is pinned UTC — make the written physical type
+    # match the declared schema instead of relying on that.
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
     ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
 
