@@ -21,4 +21,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     lexical_q,
     relational_q,
     corpus_q,
+    asof_q,
 )

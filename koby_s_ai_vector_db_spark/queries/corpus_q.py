@@ -60,6 +60,37 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, queries, k=BM25_K)
 
 
+# Build-once scratch paths per (session, sf_dir) — same convention as the
+# persisted PQ index queries (queries/vector_q.py::_index_path).
+_TEXT_IDX_PATHS: dict[tuple, str] = {}
+
+
+@register("bm25_rank_idx", _BM25_ORACLE)
+def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index (sources/text_index.py):
+    bucket-partitioned postings with doc length denormalized in, so the
+    steady-state search opens only the query terms' bucket partitions and
+    never re-tokenizes the corpus. Row-identical to bm25_rank — shares its
+    oracle; the build cost is paid once per session."""
+    from koby_s_ai_vector_db_spark.sources.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TEXT_IDX_PATHS.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="koby_textidx_") + "/index"
+        build_text_index(load_table(spark, sf_dir, "documents"), path)
+        _TEXT_IDX_PATHS[key] = path
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    return search_text_index(spark, path, queries, k=BM25_K)
+
+
 VOCAB_TOP = 20
 
 _VOCAB_ORACLE = f"""

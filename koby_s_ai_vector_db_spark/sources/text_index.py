@@ -1,0 +1,181 @@
+"""Persisted inverted text index — tokenize once, BM25-scan postings
+forever.
+
+`operators/corpus.py::bm25_rank` re-tokenizes the corpus and recounts
+df/dl on every call — correct, and the right shape for ad-hoc scoring, but
+at 100 TB the tokenize+explode pass dwarfs the scoring join. Every search
+engine persists the inverted index instead (the reference's production
+analogue is Postgres' GIN index behind ILIKE/keyword search,
+supabase_schema.sql; pgvector's `CREATE INDEX` is the same bargain for
+vectors). Spark-first, the index IS a storage layout, like the IVF and PQ
+indexes (sources/ivf.py, sources/pq_index.py):
+
+  build (once)    ``{path}/postings``: (term, id, tf, dl) — document
+                  length DENORMALIZED into each posting so search never
+                  joins a doc-length table — PARTITIONED BY
+                  ``bucket = hash(term) % n_buckets``;
+                  ``{path}/terms``: (term, df) with the same bucketing;
+                  ``{path}/stats``: one row (n_docs, avgdl).
+  search (often)  hash the query's terms with the same function → the
+                  probe touches only those buckets' partitions (files of
+                  unprobed buckets are never opened); query terms and
+                  their df are broadcast; the only full shuffle is the
+                  per-(query, doc) score aggregation — the same key the
+                  top-k needs.
+
+The bucket hash is Spark's own `hash()` — it never crosses engines (both
+build and probe run in Spark), so no portable-md5 detour is needed here.
+Scoring semantics (k1/b, idf, rounded-score ranking) are shared with
+`bm25_rank` via operators/corpus.py constants; search results are
+row-identical to the in-memory operator (tests/test_text_index.py), so the
+registered `bm25_rank_idx` query shares `bm25_rank`'s DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.corpus import (
+    BM25_B,
+    BM25_K1,
+    doc_lengths,
+    term_postings,
+)
+from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+POSTINGS_SUBDIR = "postings"
+TERMS_SUBDIR = "terms"
+STATS_SUBDIR = "stats"
+DEFAULT_BUCKETS = 64
+
+
+def _bucket(term_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.hash(F.col(term_col)), F.lit(n_buckets)).cast("int")
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Tokenize + invert once; persist bucket-partitioned postings/terms
+    and the corpus-scalar sidecar. Returns {"n_docs", "n_terms", "path"}."""
+    spark = docs.sparkSession
+    post = term_postings(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+
+    postings = (
+        post.join(dl, "_id")
+        .select(
+            _bucket("term", n_buckets).alias("bucket"),
+            "term",
+            F.col("_id").alias("id"),
+            "tf",
+            "dl",
+        )
+    )
+    # One writer task per bucket: a probed partition is O(1) files.
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/{POSTINGS_SUBDIR}")
+
+    terms = (
+        post.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .select(_bucket("term", n_buckets).alias("bucket"), "term", "df")
+    )
+    terms.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/{TERMS_SUBDIR}")
+
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{STATS_SUBDIR}")
+
+    n_terms = spark.read.parquet(f"{path}/{TERMS_SUBDIR}").count()
+    n_docs = int(
+        spark.read.parquet(f"{path}/{STATS_SUBDIR}").head()["n_docs"]
+    )
+    return {"n_docs": n_docs, "n_terms": n_terms, "path": path,
+            "n_buckets": n_buckets}
+
+
+def search_text_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_buckets: int = DEFAULT_BUCKETS,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+    prune: str = "static",
+) -> DataFrame:
+    """BM25 top-k per query over the persisted index.
+
+    ``prune="static"`` collects the query terms' bucket ids (bounded by the
+    number of distinct query terms — not a data collect) and pushes
+    ``bucket IN (...)`` into both scans: partitions of unprobed buckets are
+    never opened. ``prune="dynamic"`` stays lazy and relies on the
+    broadcast join for runtime partition pruning."""
+    if prune not in ("static", "dynamic"):
+        raise ValueError(f"prune must be 'static' or 'dynamic', got {prune!r}")
+
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(words_expr(query_text))).alias("term"),
+    ).withColumn("bucket", _bucket("term", n_buckets))
+
+    postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+    terms = spark.read.parquet(f"{path}/{TERMS_SUBDIR}")
+    if prune == "static":
+        buckets = sorted(
+            {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
+        )
+        postings = postings.filter(F.col("bucket").isin(buckets))
+        terms = terms.filter(F.col("bucket").isin(buckets))
+
+    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+
+    # df per query term: both sides of this join are tiny after pruning;
+    # the result (≤ distinct query terms rows) is broadcast into scoring.
+    q_df = qterms.join(terms, ["bucket", "term"]).select(query_id, "term", "df")
+
+    scored = (
+        postings.join(F.broadcast(q_df), ["term"])
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(query_id, "id")
+        .agg(F.sum("_w").alias("_score"))
+    )
+    # Rounded-score ranking: same cross-engine determinism contract as
+    # operators/corpus.py::bm25_rank.
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("_score", round_to)), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col("id").alias(id_col),
+            F.round("_score", round_to).alias("score"),
+            "rank",
+        )
+    )

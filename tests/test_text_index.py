@@ -1,0 +1,63 @@
+"""Persisted inverted text index: search must be row-identical to the
+in-memory bm25_rank operator, and the probe must reach the parquet scans as
+partition filters on the term-hash buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.corpus import bm25_rank
+from koby_s_ai_vector_db_spark.queries.corpus_q import BM25_QUERIES
+from koby_s_ai_vector_db_spark.sources.text_index import (
+    build_text_index,
+    search_text_index,
+)
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_DIRS
+
+SF_DIR = SF_DIRS["t2"]
+
+
+def _queries(spark):
+    return spark.createDataFrame(BM25_QUERIES, "query_id bigint, query_text string")
+
+
+@pytest.fixture(scope="module")
+def idx_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("textidx") / "index")
+    docs = load_table(spark, SF_DIR, "documents")
+    info = build_text_index(docs, path)
+    assert info["n_docs"] == docs.count()
+    assert info["n_terms"] > 0
+    return path
+
+
+@pytest.mark.parametrize("prune", ["static", "dynamic"])
+def test_index_search_matches_inline_bm25(spark, idx_path, prune):
+    idx = search_text_index(spark, idx_path, _queries(spark), k=10, prune=prune)
+    inline = bm25_rank(
+        load_table(spark, SF_DIR, "documents"), _queries(spark), k=10
+    )
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_static_prune_reaches_partition_filters(spark, idx_path):
+    """bucket IN (...) must land as PartitionFilters on the postings scan —
+    unprobed buckets' files are never opened."""
+    df = search_text_index(spark, idx_path, _queries(spark), k=10, prune="static")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    pruned = [
+        ln for ln in scans
+        if "PartitionFilters" in ln and "bucket" in ln.split("PartitionFilters")[1]
+        and "IN" in ln.split("PartitionFilters")[1].upper()
+    ]
+    assert pruned, plan
+
+
+def test_unindexed_terms_return_nothing(spark, idx_path):
+    oov = spark.createDataFrame(
+        [(9, "qqqz zzzq xyzzy")], "query_id bigint, query_text string"
+    )
+    assert search_text_index(spark, idx_path, oov, k=10).count() == 0
