@@ -22,4 +22,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     relational_q,
     corpus_q,
     asof_q,
+    range_q,
 )

@@ -43,8 +43,10 @@ def a5_sliding_live_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sessionize by 30-min inactivity: a new session starts when the gap from
 # the previous event is >= 1800 s (Spark session_window end-exclusive
-# semantics); session end = last event + gap.
-_A6S_ORACLE = """
+# semantics); session end = last event + gap. The CTE chain is shared with
+# the range-join query (queries/range_q.py), which re-joins events back
+# into these windows.
+SESSION_WINDOWS_CTE = """
 WITH o AS (
     SELECT user_id, ts,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -60,12 +62,17 @@ s AS (
            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid
     FROM m
-)
-SELECT user_id,
-       epoch_us(min(ts)) AS session_start_us,
-       epoch_us(max(ts)) + 1800000000 AS session_end_us,
-       count(*) AS n_events
-FROM s GROUP BY user_id, sid
+),
+sess AS (
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+)"""
+
+_A6S_ORACLE = SESSION_WINDOWS_CTE + """
+SELECT user_id, session_start_us, session_end_us, n_events FROM sess
 """
 
 
