@@ -14,6 +14,7 @@ FIXTURES.md determinism contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.operators.analytics import (
     active_sessions,
@@ -242,3 +243,39 @@ SELECT user_id, last_activity, n_events, rank FROM ranked WHERE rank <= 10
 def a11_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 (views.py:1637-1654): top-10 live sessions by last activity."""
     return active_sessions(_events(spark, sf_dir), limit=10)
+
+
+# Exact linear-interpolation percentiles (SQL-standard PERCENTILE_CONT):
+# Spark `percentile` and DuckDB `quantile_cont` share the definition
+# (index = p·(n-1), interpolate between floor/ceil neighbors), so the
+# values agree to float rounding; scores round at 6dp like every other
+# continuous output. Exact percentiles are a holistic aggregate — at
+# 100 TB swap in approx_percentile (t-digest, mergeable map-side sketch)
+# and keep this exact form as the small-scale oracle tier, the same
+# exact-vs-scale split as dedup_embedding_cosine vs the LSH tiers.
+_A14_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("a14_value_quantiles", _A14_ORACLE)
+def a14_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value distribution: exact p50/p90/p99."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), pct.alias("_p"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
+            F.round(F.element_at("_p", 3), 6).alias("p99"),
+        )
+    )
