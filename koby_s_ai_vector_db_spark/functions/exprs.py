@@ -22,15 +22,7 @@ re-splitting the document per shingle (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
-
 def bind_once(bound_sql: str, body_sql: str, var: str = "nv") -> str:
     """SQL fragment evaluating ``bound_sql`` once per row, exposed to
     ``body_sql`` as the lambda variable ``var``."""
     return f"element_at(transform(array({bound_sql}), {var} -> {body_sql}), 1)"
-
-
-def bind_once_col(bound_sql: str, body_sql: str, var: str = "nv") -> Column:
-    return F.expr(bind_once(bound_sql, body_sql, var))

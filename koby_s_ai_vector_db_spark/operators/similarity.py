@@ -31,12 +31,6 @@ from koby_s_ai_vector_db_spark.functions.partitioning import spread
 from koby_s_ai_vector_db_spark.functions.vectors import dot, l2_normalize
 
 
-def normalized_corpus(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """T3: the write-time normalize pass (utils.py:126-135). Materialize
-    this once (parquet/cache); every query then uses plain dot products."""
-    return embeddings.withColumn(vec_col, l2_normalize(vec_col))
-
-
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,

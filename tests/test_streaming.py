@@ -101,6 +101,31 @@ def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
     assert batch.filter("n_copies > 1").count() > 0  # planted dups found
 
 
+def test_docs_stream_reader_dedup_equals_batch(spark):
+    """The production docs-stream entry point (read_docs_stream over the
+    fixture glob) feeds streaming_exact_dedup to the same state table the
+    batch form computes."""
+    from koby_s_ai_vector_db_spark.streaming.dedup import (
+        read_docs_stream,
+        streaming_exact_dedup,
+    )
+
+    name = f"s_docsrd_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(read_docs_stream(spark, SF_DIR))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = spark.sql(f"SELECT * FROM {name}")
+    batch = streaming_exact_dedup(load_table(spark, SF_DIR, "documents"))
+    assert _rows(stream_out) == _rows(batch)
+    assert stream_out.count() > 0
+
+
 def test_emit_first_seen_bounded_passthrough(spark, tmp_path):
     """dropDuplicatesWithinWatermark forwards exactly one row per content
     hash; which physical row survives is arrival-dependent, so assert the
