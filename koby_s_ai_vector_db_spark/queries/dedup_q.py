@@ -128,6 +128,44 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_exact_dedup(_docs_dd(spark, sf_dir))
 
 
+# Sketch-catalog twin: the same words→hash→bit-vote→sign-pack chain the
+# dedup_simhash oracle uses, grouped into the (sketch, canonical, count)
+# state table instead of joined into pairs.
+_SKETCH_STREAM_ORACLE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL}),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM docs_dd
+),
+tok AS (
+    SELECT doc_id, unnest(list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) AS h
+    FROM words WHERE len(w) > 0
+),
+bits AS (
+    SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) _b
+    GROUP BY doc_id, b
+),
+sh AS (
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+    FROM bits GROUP BY doc_id
+)
+SELECT sh AS sketch, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM sh GROUP BY sh
+"""
+
+
+@register("dedup_sketch_stream", _SKETCH_STREAM_ORACLE)
+def dedup_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup sketch catalog (batch twin): one state row per
+    32-bit SimHash sketch — sketch-identical near-dups collapse in-stream;
+    the hamming ≤ 3 pair join stays a periodic batch pass over this
+    catalog (streaming/dedup.py::streaming_sketch_dedup)."""
+    from koby_s_ai_vector_db_spark.streaming.dedup import streaming_sketch_dedup
+
+    return streaming_sketch_dedup(_docs_dd(spark, sf_dir))
+
+
 _SIG_DUCK = "[" + ", ".join(
     f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in HASH_PARAMS
 ) + "]"

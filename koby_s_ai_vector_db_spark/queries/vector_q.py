@@ -380,6 +380,34 @@ def q2_ann_ivfpq_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q2_ann_ivf_idx", None)
+def q2_ann_ivf_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the persisted LEARNED k-means IVF index (sources/ivf.py):
+    seeded MLlib k-means lists written partitionBy(list), probed with
+    static partition pruning — the pgvector `CREATE INDEX ivfflat` +
+    probes analogue. Registered WITHOUT an oracle: iterative float
+    k-means is engine-specific, so the driver records the weaker
+    rows-only check while value-level semantics are covered by the
+    deterministic q2_ann* family and tests/test_ivf_index.py (recall,
+    self-match@1, partition-prune plan assertions)."""
+    from koby_s_ai_vector_db_spark.sources.ivf import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_path(
+        spark, sf_dir, "ivf",
+        lambda p: build_ivf_index(emb.select("vec_id", "embedding"), p, n_lists=10),
+    )
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_index_search(
+        spark, path, queries, k=K, n_probe=N_PROBE, prune="static"
+    )
+
+
 _KNN_ORACLE = (
     _NORM_CTE
     + """

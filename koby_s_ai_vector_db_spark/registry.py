@@ -51,7 +51,8 @@ _PRIORITY: list[str] = [
     # (a) no r4 driver row
     "ta_token_count", "ta_fingerprint", "mm_binary_features", "mm_decode",
     "mm_resize", "mm_frames", "dedup_exact", "dedup_exact_stream",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
     "q8_faiss_quality", "q9_contribution_quality", "q10_prioritize",
     "q11_sources", "q12_context_assembly", "q13_effectiveness",
@@ -63,10 +64,10 @@ _PRIORITY: list[str] = [
     "a14_value_quantiles",
     "a5_sliding_live_users", "a6_session_windows",
     "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
+    "q2_ann_ivf_idx",
     # (c) flagships (remaining window)
     "q1_topk_cosine", "q2_ann", "knn_self_join", "t3_normalize",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus", "q7_fusion",
-    "rollup_events", "s8_ingest",
 ]
 
 

@@ -57,6 +57,32 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_sketch_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """NEAR-dup-capable streaming state: (sketch, canonical_id, n_copies)
+    keyed by the 32-bit SimHash sketch (operators/dedup.simhash_expr)
+    instead of the exact content hash — re-encodings, whitespace variants,
+    and token-reordered copies that keep the same sketch collapse into one
+    state row even though their md5 differs. Same arrival-order-independent
+    min/count shape as `streaming_exact_dedup`, so batch ≡ streaming holds
+    and the batch form is value-checkable against the md5-chain oracle.
+
+    Scope: this tier catches sketch-IDENTICAL near-dups in-stream (hamming
+    0). The hamming ≤ 3 tier needs the byte-block candidate JOIN
+    (`simhash_near_dup_pairs`) — a batch pass over the sketch catalog this
+    state table feeds, which is exactly the 100 TB split: cheap exactish
+    dedup inline in the ingest stream, the blocked near-dup join as a
+    periodic batch job over the (tiny) sketch table."""
+    from koby_s_ai_vector_db_spark.operators.dedup import simhash_expr, words_expr
+
+    return (
+        docs.filter(F.size(words_expr(text_col)) > 0)
+        .groupBy(simhash_expr(text_col).alias("sketch"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
 def emit_first_seen(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

@@ -101,6 +101,58 @@ def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
     assert batch.filter("n_copies > 1").count() > 0  # planted dups found
 
 
+def test_streaming_sketch_dedup_equals_batch(spark, tmp_path):
+    """The SimHash sketch catalog built over two forced microbatches must
+    equal the batch GROUP BY — and sketch-identical near-dups arriving in
+    DIFFERENT batches must collapse into one state row."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        streaming_sketch_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # Exact text copies under new ids: same sketch, different id. The odd
+    # offset flips parity, so each copy lands in the OPPOSITE half from its
+    # original and the state merge is genuinely cross-microbatch.
+    dd = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_001
+        )
+    )
+    src = str(tmp_path / "docs_sketch_split")
+    dd.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
+    dd.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
+
+    stream_in = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    name = f"s_sketch_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sketch_dedup(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "sketch state was never exercised across batches"
+
+    stream_out = spark.sql(f"SELECT * FROM {name}")
+    batch = streaming_sketch_dedup(dd)
+    assert _rows(stream_out) == _rows(batch)
+    # A planted copy and its original differ by parity, so they landed in
+    # different microbatches yet share a sketch row.
+    assert stream_out.filter("n_copies > 1").count() > 0
+
+
 def test_docs_stream_reader_dedup_equals_batch(spark):
     """The production docs-stream entry point (read_docs_stream over the
     fixture glob) feeds streaming_exact_dedup to the same state table the
