@@ -51,31 +51,46 @@ def ivfpq_topk(
     label_col: str = "label",
     round_to: int | None = 6,
     dim: int = 64,
+    cache_key=None,
 ) -> DataFrame:
     """IVF probe -> PQ ADC shortlist -> exact re-rank.
 
     Returns (query_id, corpus_id, sim, rank) with EXACT re-ranked scores.
     Recall is bounded above by the IVF probe (rows outside probed cells are
     invisible) and tuned within it by `shortlist`.
-    """
+
+    `cache_key` memo-persists the centroid table and the encoded
+    (label, id, codes) subtree per session — the per-call costs that the
+    persisted artifact (sources/pq_index.py) eliminates durably."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    spark = corpus.sparkSession
     c = spread(corpus).select(
         F.col(corpus_id), F.col(label_col), l2_normalize(vec_col).alias("v")
     )
+
     # Coarse centroids: per-label mean as dim parallel avg() aggregates —
     # one map-side-combined shuffle of n_lists x dim scalars (the same
     # shape as operators/similarity.py::ivf_topk, see the note there).
+    def _centroids():
+        return (
+            c.groupBy(label_col)
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                label_col,
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            )
+        )
+
     centroids = (
-        c.groupBy(label_col)
-        .agg(
-            *[
-                F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_c{i}")
-                for i in range(dim)
-            ]
-        )
-        .select(
-            label_col,
-            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
-        )
+        memo_persist(spark, ("ivfpq_centroids", cache_key), _centroids)
+        if cache_key is not None
+        else _centroids()
     )
 
     q = queries.select(
@@ -97,8 +112,16 @@ def ivfpq_topk(
     # probe join becomes partition pruning — codes of unprobed cells are
     # never read.
     cbdf = codebook_df(corpus.sparkSession)
-    codes = c.join(F.broadcast(cbdf)).select(
-        label_col, corpus_id, pq_encode("v").alias("codes")
+
+    def _codes():
+        return c.join(F.broadcast(cbdf)).select(
+            label_col, corpus_id, pq_encode("v").alias("codes")
+        )
+
+    codes = (
+        memo_persist(spark, ("ivfpq_codes", cache_key), _codes)
+        if cache_key is not None
+        else _codes()
     )
     dtab = q.join(F.broadcast(cbdf)).select(
         query_id, pq_distance_table("qv").alias("dtab")

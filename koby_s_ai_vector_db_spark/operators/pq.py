@@ -173,22 +173,38 @@ def pq_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
     round_to: int | None = 6,
+    cache_key=None,
 ) -> DataFrame:
     """PQ ANN: compressed-code scan -> ADC shortlist -> exact re-rank.
 
     Returns (query_id, corpus_id, sim, rank) with EXACT cosine scores
     (re-ranked), rank in 1..k. Recall vs exact top-k is measured in
     tests/test_ann_recall.py; it rises monotonically with `shortlist`.
-    """
+
+    `cache_key` memo-persists the encoded (id, codes) subtree per session
+    (same convention as the minhash shingle table): the encode — 1024
+    codebook reads per corpus row — then runs once per session instead of
+    once per call. The durable form of the same idea is
+    sources/pq_index.py, which persists the codes to parquet."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
     c = spread(corpus).select(
         F.col(corpus_id), l2_normalize(vec_col).alias("v")
     )
     cbdf = codebook_df(corpus.sparkSession)
+
     # The compressed index: at scale this projection is what you PERSIST
-    # (like sources/ivf.py persists list-partitioned vectors); the ADC scan
-    # then never touches the float arrays.
-    codes = c.join(F.broadcast(cbdf)).select(
-        corpus_id, pq_encode("v").alias("codes")
+    # (sources/pq_index.py does exactly that); the ADC scan then never
+    # touches the float arrays.
+    def _codes():
+        return c.join(F.broadcast(cbdf)).select(
+            corpus_id, pq_encode("v").alias("codes")
+        )
+
+    codes = (
+        memo_persist(corpus.sparkSession, ("pq_codes", cache_key), _codes)
+        if cache_key is not None
+        else _codes()
     )
 
     q = queries.select(

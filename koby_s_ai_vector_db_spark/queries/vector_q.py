@@ -209,7 +209,8 @@ def q2_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_topk(
-        emb.select("vec_id", "embedding"), queries, k=K, shortlist=SHORTLIST
+        emb.select("vec_id", "embedding"), queries, k=K, shortlist=SHORTLIST,
+        cache_key=sf_dir,
     )
 
 
@@ -301,6 +302,7 @@ def q2_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
         n_probe_labels=N_PROBE,
         shortlist=SHORTLIST,
+        cache_key=sf_dir,
     )
 
 
