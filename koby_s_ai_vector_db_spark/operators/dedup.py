@@ -303,13 +303,27 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    cache_key=None,
 ) -> DataFrame:
     """SimHash blocking: 4 byte-blocks per 32-bit signature; any pair
     within Hamming distance 3 shares at least one identical block
     (pigeonhole), so blocking loses nothing at max_hamming <= 3.
-    Returns (doc_id_a, doc_id_b, hamming), a < b."""
-    sigs = _spread(docs).select(
-        F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh")
+    Returns (doc_id_a, doc_id_b, hamming), a < b.
+
+    `cache_key` memo-persists the per-doc sketch table (the O(tokens·32)
+    vote aggregate — the dominant map cost) per session, like the shingle
+    table."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    def _sigs():
+        return _spread(docs).select(
+            F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh")
+        )
+
+    sigs = (
+        memo_persist(docs.sparkSession, ("simhash_sigs", cache_key), _sigs)
+        if cache_key is not None
+        else _sigs()
     )
     blocks = sigs.select(
         "_id",

@@ -252,11 +252,22 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 
 @register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash32 + byte-block LSH (exact for Hamming ≤ 3 by pigeonhole)."""
+    """SimHash32 + byte-block LSH (exact for Hamming ≤ 3 by pigeonhole).
+
+    Cost note (r5 profile): this is the most expensive dedup query at
+    sf0.1 (~4-5s) and that is DATA-inherent, not plan: the fixture's
+    31-word vocabulary clusters sketches (5795 docs → only 660 occupied
+    byte-block buckets, max bucket 1538, ~7.4M co-bucketed candidates)
+    and the true answer is itself ~106k pairs within hamming ≤ 3. On a
+    natural-vocabulary corpus block keys spread and the same plan is
+    cheap; the scale knob stays key entropy (wider sketch/blocks), per
+    the operator's no-BUCKET_CAP note."""
     docs = _docs_dd(spark, sf_dir).filter(
         F.size(F.expr("array_remove(split(lower(text), '\\\\s+'), '')")) > 0
     )
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, cache_key=("docs_dd", sf_dir)
+    )
 
 
 _NGRAM_ORACLE = _GRAMS_CTE + f"""
