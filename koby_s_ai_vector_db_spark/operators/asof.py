@@ -62,7 +62,10 @@ def asof_join(
 
     Returns all left columns plus right's payload columns (everything but
     the key and ``right_ts``), plus ``matched_ts_col`` (the matched
-    right_ts) if requested. Column names must be disjoint."""
+    right_ts) if requested. Column names must be disjoint. ``tolerance``
+    uses INTERVAL arithmetic and therefore requires timestamp ts columns —
+    int64-epoch inputs fail loudly at analysis time (convert upstream or
+    filter on ``matched_ts_col`` arithmetic instead)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
