@@ -78,16 +78,28 @@ def asof_join(
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
 
+    # Duplicate-right guard: a second right row at the same (key, ts)
+    # makes the as-of pick order-dependent and therefore engine-dependent.
+    # The check is LAZY — a window count folded into the plan with
+    # raise_error on violation — so it costs one extra exchange of the
+    # (small) right side within the same action, never a separate eager
+    # job at DataFrame-construction time.
+    rt_col = F.col(right_ts)
     if not assume_deduped:
-        dupes = (
-            right.groupBy(*key, right_ts).count().filter(F.col("count") > 1).limit(1).count()
-        )
-        if dupes:
-            raise ValueError(
-                f"right side has duplicate ({key}, {right_ts}) rows — the "
-                "as-of pick would be nondeterministic; dedupe upstream "
-                "(e.g. max_by) or pass assume_deduped=True"
+        wdup = Window.partitionBy(*key, right_ts)
+        rt_col = (
+            F.when(
+                F.count("*").over(wdup) > 1,
+                F.raise_error(
+                    F.lit(
+                        f"asof_join: duplicate ({key}, {right_ts}) rows on the "
+                        "right side — the as-of pick would be nondeterministic; "
+                        "dedupe upstream (e.g. max_by) or pass assume_deduped=True"
+                    )
+                ).cast(rtypes[right_ts]),
             )
+            .otherwise(F.col(right_ts))
+        )
 
     l2 = left.select(
         *key,
@@ -103,7 +115,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
         *[F.col(c) for c in rpay],
-        F.col(right_ts).alias("_rt"),
+        rt_col.alias("_rt"),
     )
 
     w = (

@@ -64,15 +64,22 @@ def range_join(
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
 
     l2 = left.withColumn("_rb", F.expr(f"{point_col} div {bucket_width}"))
-    i2 = intervals.withColumn(
-        "_rb",
-        F.explode(
-            # end-exclusive: the last covered bucket is (end-1) div W
-            F.sequence(
-                F.expr(f"{start_col} div {bucket_width}"),
-                F.expr(f"({end_col} - 1) div {bucket_width}"),
-            )
-        ),
+    i2 = (
+        # Empty/inverted intervals (end <= start) match nothing by the
+        # containment predicate, but without this filter F.sequence would
+        # run BACKWARDS for them (implicit step -1), exploding one corrupt
+        # row into start/W bucket rows before the residual removes them.
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_rb",
+            F.explode(
+                # end-exclusive: the last covered bucket is (end-1) div W
+                F.sequence(
+                    F.expr(f"{start_col} div {bucket_width}"),
+                    F.expr(f"({end_col} - 1) div {bucket_width}"),
+                )
+            ),
+        )
     )
     keys = [*on, "_rb"]
     if n_salt > 1:

@@ -80,9 +80,13 @@ def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _TEXT_IDX_PATHS.get(key)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="koby_textidx_") + "/index"
+        scratch = tempfile.mkdtemp(prefix="koby_textidx_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        path = scratch + "/index"
         build_text_index(load_table(spark, sf_dir, "documents"), path)
         _TEXT_IDX_PATHS[key] = path
     queries = spark.createDataFrame(

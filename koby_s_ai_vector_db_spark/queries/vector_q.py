@@ -322,9 +322,15 @@ def _index_path(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     path = _IDX_PATHS.get(key)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix=f"koby_{kind}_") + "/index"
+        scratch = tempfile.mkdtemp(prefix=f"koby_{kind}_")
+        # Scratch indexes die with the process — without this, every run
+        # leaves a full vectors+codes copy of the corpus in the temp dir.
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        path = scratch + "/index"
         builder(path)
         _IDX_PATHS[key] = path
     return path

@@ -175,6 +175,34 @@ def build_ivfpq_index(
     return {"n_lists": n_lists, "n_vectors": n_vectors, "path": path}
 
 
+def _exact_rerank(
+    data: DataFrame,
+    sl: DataFrame,
+    q_norm: DataFrame,
+    k: int,
+    corpus_id: str,
+    query_id: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Shared re-rank tail: fetch the shortlist's full vectors from the
+    index table (broadcast semi-join — |queries|·shortlist rows), exact
+    dot, top-k. Both search paths must go through here so a tie-break or
+    rounding change can never diverge them."""
+    rer = (
+        F.broadcast(sl)
+        .join(data.select(corpus_id, "vec"), corpus_id)
+        .join(F.broadcast(q_norm), query_id)
+        .withColumn("sim", dot("vec", "qv"))
+    )
+    w_k = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
+    return (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim.alias("sim"), "rank")
+    )
+
+
 def _adc_rerank(
     data: DataFrame,
     queries_dtab: DataFrame,
@@ -196,19 +224,7 @@ def _adc_rerank(
         .filter(F.col("srank") <= shortlist)
         .select(query_id, corpus_id)
     )
-    rer = (
-        F.broadcast(sl)
-        .join(data.select(corpus_id, "vec"), corpus_id)
-        .join(F.broadcast(q_norm), query_id)
-        .withColumn("sim", dot("vec", "qv"))
-    )
-    w_k = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
-    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
-    return (
-        rer.withColumn("rank", F.row_number().over(w_k))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim.alias("sim"), "rank")
-    )
+    return _exact_rerank(data, sl, q_norm, k, corpus_id, query_id, round_to)
 
 
 def pq_index_search(
@@ -293,16 +309,4 @@ def ivfpq_index_search(
     )
     # Re-rank fetch by id across all partitions (shortlist rows only). The
     # unpartitioned-column read is fine: |queries|·shortlist lookups.
-    rer = (
-        F.broadcast(sl)
-        .join(data.select(corpus_id, "vec"), corpus_id)
-        .join(F.broadcast(q), query_id)
-        .withColumn("sim", dot("vec", "qv"))
-    )
-    w_k = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
-    sim = F.round("sim", round_to) if round_to is not None else F.col("sim")
-    return (
-        rer.withColumn("rank", F.row_number().over(w_k))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim.alias("sim"), "rank")
-    )
+    return _exact_rerank(data, sl, q, k, corpus_id, query_id, round_to)

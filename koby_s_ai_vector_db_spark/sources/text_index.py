@@ -64,37 +64,49 @@ def build_text_index(
     """Tokenize + invert once; persist bucket-partitioned postings/terms
     and the corpus-scalar sidecar. Returns {"n_docs", "n_terms", "path"}."""
     spark = docs.sparkSession
-    post = term_postings(docs, id_col, text_col)
-    dl = doc_lengths(docs, id_col, text_col)
-
-    postings = (
-        post.join(dl, "_id")
-        .select(
-            _bucket("term", n_buckets).alias("bucket"),
-            "term",
-            F.col("_id").alias("id"),
-            "tf",
-            "dl",
+    # The tokenize+explode pass is the dominant build cost; persist it so
+    # the four consumers below (postings write, terms aggregate, dl join,
+    # stats) re-read the exploded rows instead of re-tokenizing the corpus
+    # once each.
+    post = term_postings(docs, id_col, text_col).persist()
+    dl = doc_lengths(docs, id_col, text_col).persist()
+    try:
+        postings = (
+            post.join(dl, "_id")
+            .select(
+                _bucket("term", n_buckets).alias("bucket"),
+                "term",
+                F.col("_id").alias("id"),
+                "tf",
+                "dl",
+            )
         )
-    )
-    # One writer task per bucket: a probed partition is O(1) files.
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/{POSTINGS_SUBDIR}")
+        # One writer task per bucket: a probed partition is O(1) files.
+        postings.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/{POSTINGS_SUBDIR}")
 
-    terms = (
-        post.groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
-        .select(_bucket("term", n_buckets).alias("bucket"), "term", "df")
-    )
-    terms.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/{TERMS_SUBDIR}")
+        terms = (
+            post.groupBy("term")
+            .agg(F.count("*").cast("double").alias("df"))
+            .select(_bucket("term", n_buckets).alias("bucket"), "term", "df")
+        )
+        terms.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/{TERMS_SUBDIR}")
 
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{STATS_SUBDIR}")
+        # n_buckets is part of the ON-DISK layout (it defines which
+        # partition a term lives in), so it is persisted with the stats and
+        # read back at search time — a caller-supplied mismatch would
+        # silently hash query terms into the wrong partitions.
+        stats = dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ).withColumn("n_buckets", F.lit(n_buckets))
+        stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{STATS_SUBDIR}")
+    finally:
+        post.unpersist()
+        dl.unpersist()
 
     n_terms = spark.read.parquet(f"{path}/{TERMS_SUBDIR}").count()
     n_docs = int(
@@ -109,7 +121,6 @@ def search_text_index(
     path: str,
     queries: DataFrame,
     k: int = 10,
-    n_buckets: int = DEFAULT_BUCKETS,
     query_id: str = "query_id",
     query_text: str = "query_text",
     id_col: str = "doc_id",
@@ -118,7 +129,9 @@ def search_text_index(
     round_to: int = 6,
     prune: str = "static",
 ) -> DataFrame:
-    """BM25 top-k per query over the persisted index.
+    """BM25 top-k per query over the persisted index. The bucket count is
+    read from the index's stats sidecar (it defines the partition layout —
+    never caller-supplied at search time).
 
     ``prune="static"`` collects the query terms' bucket ids (bounded by the
     number of distinct query terms — not a data collect) and pushes
@@ -127,6 +140,15 @@ def search_text_index(
     broadcast join for runtime partition pruning."""
     if prune not in ("static", "dynamic"):
         raise ValueError(f"prune must be 'static' or 'dynamic', got {prune!r}")
+
+    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+    stats_row = stats.head()
+    if "n_buckets" not in stats.columns:
+        raise ValueError(
+            f"{path}/{STATS_SUBDIR} has no n_buckets column — index built "
+            "by an older build_text_index; rebuild it"
+        )
+    n_buckets = int(stats_row["n_buckets"])
 
     qterms = queries.select(
         F.col(query_id),
@@ -142,15 +164,13 @@ def search_text_index(
         postings = postings.filter(F.col("bucket").isin(buckets))
         terms = terms.filter(F.col("bucket").isin(buckets))
 
-    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
-
     # df per query term: both sides of this join are tiny after pruning;
     # the result (≤ distinct query terms rows) is broadcast into scoring.
     q_df = qterms.join(terms, ["bucket", "term"]).select(query_id, "term", "df")
 
     scored = (
         postings.join(F.broadcast(q_df), ["term"])
-        .join(F.broadcast(stats))
+        .join(F.broadcast(stats.select("n_docs", "avgdl")))
         .withColumn(
             "_idf",
             F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),

@@ -60,18 +60,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     pattern = f"{sf_dir}/events*.parquet"
-    ts_types = {
-        f: dict(spark.read.parquet(f).dtypes).get("ts")
-        for f in sorted(_glob.glob(pattern))
-    }
-    if not ts_types:
-        raise FileNotFoundError(f"no files match {pattern}")
-    if len(set(ts_types.values())) > 1:
-        raise ValueError(
-            f"mixed ts physical types under {pattern}: {ts_types} — "
-            "a single declared stream schema cannot read both vintages"
+    local_files = sorted(_glob.glob(pattern))
+    if local_files:
+        # Local path: sniff each matching file so a directory mixing
+        # vintages is rejected loudly instead of one vintage's ts being
+        # silently mis-read under the other's declared schema.
+        ts_types = {
+            f: dict(spark.read.parquet(f).dtypes).get("ts") for f in local_files
+        }
+        if len(set(ts_types.values())) > 1:
+            raise ValueError(
+                f"mixed ts physical types under {pattern}: {ts_types} — "
+                "a single declared stream schema cannot read both vintages"
+            )
+        legacy = next(iter(ts_types.values())) == "bigint"
+    else:
+        # Remote URI (hdfs://, s3a://, ...): Python glob cannot list it;
+        # let Spark resolve the same glob in one batch read. Parquet schema
+        # merging surfaces a vintage mix as a merge error rather than
+        # silently, which is acceptable for the non-local fallback.
+        legacy = (
+            dict(spark.read.parquet(pattern).dtypes).get("ts") == "bigint"
         )
-    legacy = next(iter(ts_types.values())) == "bigint"
     # Glob, not a bare file path: FileStreamSource requires a directory
     # basePath and treats the leaf pattern as the file filter.
     raw = (

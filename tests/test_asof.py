@@ -70,10 +70,13 @@ def test_matched_ts_exposed(spark):
 
 
 def test_duplicate_right_rows_raise(spark):
+    """The guard is lazy (in-plan raise_error): building the DataFrame is
+    free, executing it surfaces the violation."""
     left, right = _frames(spark)
     dup = right.union(right.limit(1))
-    with pytest.raises(ValueError, match="nondeterministic"):
-        asof_join(left, dup, ["k"], "ts", "uts")
+    df = asof_join(left, dup, ["k"], "ts", "uts")  # no job yet
+    with pytest.raises(Exception, match="nondeterministic"):
+        df.collect()
 
 
 def test_single_shuffle_plan(spark):

@@ -62,13 +62,22 @@ def test_every_query_checked_within_one_round():
 
 def test_latest_record_was_green():
     """A query rotated OUT of the window must have left on a green row —
-    rotating out a red query would hide a known regression."""
+    rotating out a red query would hide a known regression. Queries
+    registered WITHOUT an oracle get the driver's weaker rows-only check,
+    so hash_match is only demanded where an oracle exists."""
     path, record = _latest_correctness()
     window = set(list(registry.queries())[: registry.WINDOW])
+    with_oracle = set(registry.oracle_sql())
+
+    def green(n, row):
+        if row.get("err"):
+            return False
+        if not row.get("rows_match"):
+            return False
+        return row.get("hash_match", False) or n not in with_oracle
+
     bad = {
-        n: row
-        for n, row in record.items()
-        if n not in window
-        and not (row.get("rows_match") and row.get("hash_match") and not row.get("err"))
+        n: row for n, row in record.items()
+        if n not in window and not green(n, row)
     }
     assert not bad, f"queries rotated out of the window with non-green rows in {path}: {bad}"

@@ -56,6 +56,19 @@ def test_static_prune_reaches_partition_filters(spark, idx_path):
     assert pruned, plan
 
 
+def test_bucket_count_read_from_sidecar(spark, tmp_path_factory):
+    """n_buckets is part of the on-disk layout: search must use whatever
+    the build wrote (here 16, not the default 64) — a mismatch would hash
+    query terms into the wrong partitions and silently return nothing."""
+    path = str(tmp_path_factory.mktemp("textidx16") / "index")
+    docs = load_table(spark, SF_DIR, "documents")
+    info = build_text_index(docs, path, n_buckets=16)
+    assert info["n_buckets"] == 16
+    idx = search_text_index(spark, path, _queries(spark), k=10)
+    inline = bm25_rank(docs, _queries(spark), k=10)
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, inline.collect()))
+
+
 def test_unindexed_terms_return_nothing(spark, idx_path):
     oov = spark.createDataFrame(
         [(9, "qqqz zzzq xyzzy")], "query_id bigint, query_text string"
