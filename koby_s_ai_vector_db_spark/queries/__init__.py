@@ -23,4 +23,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     corpus_q,
     asof_q,
     range_q,
+    hybrid_q,
 )
