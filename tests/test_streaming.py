@@ -178,6 +178,75 @@ def test_docs_stream_reader_dedup_equals_batch(spark):
     assert stream_out.count() > 0
 
 
+def test_stateful_asof_enrich_equals_batch(spark, tmp_path):
+    """Streaming temporal join (streaming/temporal.py): over a
+    TIME-PARTITIONED source (each batch newer than the last — the append-
+    log shape) the stateful enrichment must equal the batch asof_join
+    exactly, including state carried across the batch boundary."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.asof import asof_join
+    from koby_s_ai_vector_db_spark.queries.asof_q import _updates
+    from koby_s_ai_vector_db_spark.streaming.temporal import (
+        NO_MATCH,
+        stateful_asof_enrich,
+        tag_streams,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    upd = _updates(spark, SF_DIR).select(
+        "user_id",
+        F.unix_micros(F.col("upd_ts").cast("timestamp")).alias("up_ts"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    tagged = tag_streams(ev, upd.withColumnRenamed("up_ts", "ts_us"))
+    cut = tagged.agg(F.expr("percentile(ts_us, 0.5)")).head()[0]
+    src = str(tmp_path / "tagged_split")
+    tagged.filter(F.col("ts_us") < cut).coalesce(1).write.parquet(f"{src}/half=0")
+    _time.sleep(0.1)  # distinct mtimes → file-source processes halves in order
+    tagged.filter(F.col("ts_us") >= cut).coalesce(1).write.parquet(f"{src}/half=1")
+
+    stream_in = (
+        spark.readStream.schema(tagged.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    name = f"s_asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_asof_enrich(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "temporal state was never exercised across batches"
+
+    stream_out = spark.sql(f"SELECT * FROM {name}")
+    batch = asof_join(
+        ev, upd, ["user_id"], "ts_us", "up_ts",
+        how="left", matched_ts_col="matched_ts", assume_deduped=True,
+    ).select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce("price", F.lit(NO_MATCH)).alias("price"),
+        F.coalesce("matched_ts", F.lit(-1)).alias("matched_ts"),
+    )
+    assert _rows(stream_out) == _rows(batch)
+    # Non-degenerate: some events precede any update, most are enriched.
+    assert stream_out.filter(f"price = {NO_MATCH}").count() > 0
+    assert stream_out.filter(f"price != {NO_MATCH}").count() > 0
+
+
 def test_emit_first_seen_bounded_passthrough(spark, tmp_path):
     """dropDuplicatesWithinWatermark forwards exactly one row per content
     hash; which physical row survives is arrival-dependent, so assert the
