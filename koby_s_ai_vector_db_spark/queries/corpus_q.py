@@ -175,6 +175,96 @@ GROUP BY tid, bid
 """
 
 
+# End-to-end training-mix pipeline: the composition a real corpus build
+# runs — per-language rate sampling → exact dedup (keep min id per
+# content hash) → benchmark decontamination (drop anything sharing a
+# 3-gram with the eval set) → per-language mix profile. Each stage is an
+# already-oracled operator; the value of this query is checking the
+# COMPOSITION end-to-end on both engines.
+_MIX_ORACLE = f"""
+WITH sampled AS (
+    SELECT doc_id, text, lang FROM documents
+    WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", seed=SAMPLE_SEED)} % 1000000
+          < CAST(round({stratified_sample_oracle_case(SAMPLE_RATES, "lang", SAMPLE_DEFAULT)} * 1000000) AS BIGINT)
+),
+deduped AS (
+    SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+    FROM sampled GROUP BY text
+),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS g
+    FROM words WHERE len(w) >= {CONTAM_N}
+),
+b_post AS (SELECT DISTINCT g FROM (SELECT unnest(g) AS g FROM grams WHERE doc_id % {CONTAM_MOD} = 0)),
+d_words AS (
+    SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM deduped
+),
+contaminated AS (
+    SELECT DISTINCT dp.doc_id FROM (
+        SELECT d.doc_id, unnest(list_distinct([d.w[i] || ' ' || d.w[i+1] || ' ' || d.w[i+2]
+                                               for i in range(1, len(d.w) - 1)])) AS g
+        FROM d_words d WHERE len(d.w) >= {CONTAM_N}
+    ) dp JOIN b_post USING (g)
+    WHERE dp.doc_id % {CONTAM_MOD} <> 0
+),
+mix AS (
+    SELECT d.doc_id, d.lang, len(d.w) AS n_tokens
+    FROM d_words d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND d.doc_id % {CONTAM_MOD} <> 0
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM mix GROUP BY lang
+"""
+
+
+@register("curate_training_mix", _MIX_ORACLE)
+def curate_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-build pipeline: stratified sample → exact dedup →
+    3-gram benchmark decontamination (benchmark docs themselves are also
+    excluded from the mix) → per-language document/token profile. Plan:
+    one map-only sample filter, one dedup shuffle on text, one broadcast
+    postings join, one final groupBy — no stage materializes more than
+    the surviving rows."""
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs.select("doc_id", "text", "lang"),
+        SAMPLE_RATES,
+        strata_col="lang",
+        default_rate=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    )
+    deduped = sampled.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    flagged = (
+        ngram_contamination(deduped, bench, n=CONTAM_N)
+        .filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .select("doc_id")
+        .distinct()
+    )
+    mix = (
+        deduped.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.size(words_expr("text")).alias("n_tokens"))
+    )
+    return mix.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
 @register("ngram_contamination", _CONTAM_ORACLE)
 def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag train docs sharing ≥1 word 3-gram

@@ -61,12 +61,12 @@ _PRIORITY: list[str] = [
     # (b) new or changed this round
     "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
     "ngram_contamination", "asof_enrich_events", "range_session_assign",
-    "a14_value_quantiles", "hybrid_rrf",
+    "a14_value_quantiles", "hybrid_rrf", "curate_training_mix",
     "a5_sliding_live_users", "a6_session_windows",
     "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
     "q2_ann_ivf_idx",
     # (c) flagships (remaining window)
-    "q1_topk_cosine", "q2_ann", "knn_self_join",
+    "q1_topk_cosine", "q2_ann",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus", "q7_fusion",
 ]
 
