@@ -175,6 +175,50 @@ def build_ivfpq_index(
     return {"n_lists": n_lists, "n_vectors": n_vectors, "path": path}
 
 
+def append_to_ivfpq_index(
+    new_corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to an EXISTING IVF+PQ index without a
+    rebuild: each new vector is assigned to its nearest existing coarse
+    centroid (the FAISS `add` semantics — centroids and codebook are
+    frozen at train time), encoded with the persisted codebook, and
+    appended to its list partition (parquet append touches only the
+    affected partitions' directories).
+
+    This is the scale upgrade over the reference's wholesale re-index
+    (embed_pdfs.py rebuilds the whole FAISS file per ingest): appending N
+    vectors costs O(N · n_lists) centroid dots + N code encodes, never a
+    corpus rescan. Centroid drift accumulates as data distribution moves —
+    the rebuild knob stays `build_ivfpq_index`, exactly like pgvector's
+    REINDEX guidance. Returns {"n_appended", "path"}."""
+    spark = new_corpus.sparkSession
+    cbdf = spark.read.parquet(f"{path}/{CODEBOOK_SUBDIR}")
+    centroids = spark.read.parquet(f"{path}/{CENTROIDS_SUBDIR}")
+
+    c = spread(new_corpus).select(
+        F.col(corpus_id), l2_normalize(vec_col).alias("vec")
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("csim"), F.asc("list"))
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .withColumn("csim", dot("vec", "centroid"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("list", corpus_id, "vec")
+    )
+    data = assigned.join(F.broadcast(cbdf)).select(
+        "list", F.col(corpus_id), pq_encode("vec").alias("codes"), "vec"
+    )
+    data.repartition("list").write.mode("append").partitionBy("list").parquet(
+        f"{path}/{DATA_SUBDIR}"
+    )
+    n_appended = assigned.count()
+    return {"n_appended": n_appended, "path": path}
+
+
 def _exact_rerank(
     data: DataFrame,
     sl: DataFrame,

@@ -112,6 +112,43 @@ def test_ivfpq_static_prune_reaches_partition_filters(spark, ivfpq_path):
     assert any("IN (" in ln.split("PartitionFilters")[1] or "in(" in ln.split("PartitionFilters")[1].lower() for ln in pruned), plan
 
 
+def test_incremental_append_equals_full_build(spark, tmp_path_factory):
+    """Appending the second half of the corpus into an index built on the
+    first half must yield the same search results as one label-built index
+    over everything: with the fixture's label lists, nearest-per-label-mean
+    assignment of the appended rows equals their labels only if centroids
+    are honored — instead we assert the STRUCTURAL contract: all rows
+    present, appended rows encoded with the frozen codebook (self-search
+    finds them at rank 1 with exact sim 1.0)."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.sources.pq_index import append_to_ivfpq_index
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = str(tmp_path_factory.mktemp("pqidx") / "incr")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    info = build_ivfpq_index(first, path, n_lists=10)
+    assert info["n_vectors"] == first.count()
+    app = append_to_ivfpq_index(second, path)
+    assert app["n_appended"] == second.count()
+    data = spark.read.parquet(path + "/data")
+    assert data.count() == emb.count()
+    assert data.select("vec_id").distinct().count() == emb.count()
+
+    # Appended vectors are searchable: querying an appended (odd-id) vector
+    # finds itself at rank 1 with exact re-ranked sim 1.0 — its own cell is
+    # by construction its nearest centroid, so the probe always covers it.
+    qs = emb.filter(F.col("vec_id").isin([1, 3, 5, 7])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivfpq_index_search(spark, path, qs, k=K, n_probe=N_PROBE, shortlist=SHORTLIST)
+    top1 = {r.query_id: (r.vec_id, r.sim) for r in res.collect() if r.rank == 1}
+    assert set(top1) == {1, 3, 5, 7}
+    for qid, (vid, sim) in top1.items():
+        assert vid == qid and sim == pytest.approx(1.0, abs=1e-6)
+
+
 def test_learned_kmeans_build_recall(spark, tmp_path_factory):
     """The k-means build path (no list_col) is engine-specific float
     iteration — recall-tested like sources/ivf.py: searching the index must
