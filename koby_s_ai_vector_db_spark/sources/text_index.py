@@ -64,10 +64,30 @@ def build_text_index(
     """Tokenize + invert once; persist bucket-partitioned postings/terms
     and the corpus-scalar sidecar. Returns {"n_docs", "n_terms", "path"}."""
     spark = docs.sparkSession
-    # The tokenize+explode pass is the dominant build cost; persist it so
-    # the four consumers below (postings write, terms aggregate, dl join,
-    # stats) re-read the exploded rows instead of re-tokenizing the corpus
-    # once each.
+    _write_segment(docs, path, n_buckets, id_col, text_col, mode="overwrite")
+    n_terms = (
+        spark.read.parquet(f"{path}/{TERMS_SUBDIR}")
+        .select("term").distinct().count()
+    )
+    n_docs = int(
+        spark.read.parquet(f"{path}/{STATS_SUBDIR}").head()["n_docs"]
+    )
+    return {"n_docs": n_docs, "n_terms": n_terms, "path": path,
+            "n_buckets": n_buckets}
+
+
+def _write_segment(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    mode: str,
+) -> None:
+    """Write one index segment (postings + per-segment term df + one stats
+    row). Every aggregate the search needs is ADDITIVE across segments
+    (df, n_docs, sum_dl), so append-mode segments compose exactly —
+    the Lucene-segment idea without the merge daemon."""
     post = term_postings(docs, id_col, text_col).persist()
     dl = doc_lengths(docs, id_col, text_col).persist()
     try:
@@ -82,7 +102,7 @@ def build_text_index(
             )
         )
         # One writer task per bucket: a probed partition is O(1) files.
-        postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        postings.repartition("bucket").write.mode(mode).partitionBy(
             "bucket"
         ).parquet(f"{path}/{POSTINGS_SUBDIR}")
 
@@ -91,7 +111,7 @@ def build_text_index(
             .agg(F.count("*").cast("double").alias("df"))
             .select(_bucket("term", n_buckets).alias("bucket"), "term", "df")
         )
-        terms.repartition("bucket").write.mode("overwrite").partitionBy(
+        terms.repartition("bucket").write.mode(mode).partitionBy(
             "bucket"
         ).parquet(f"{path}/{TERMS_SUBDIR}")
 
@@ -101,19 +121,31 @@ def build_text_index(
         # silently hash query terms into the wrong partitions.
         stats = dl.agg(
             F.count("*").cast("double").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
         ).withColumn("n_buckets", F.lit(n_buckets))
-        stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{STATS_SUBDIR}")
+        stats.coalesce(1).write.mode(mode).parquet(f"{path}/{STATS_SUBDIR}")
     finally:
         post.unpersist()
         dl.unpersist()
 
-    n_terms = spark.read.parquet(f"{path}/{TERMS_SUBDIR}").count()
-    n_docs = int(
-        spark.read.parquet(f"{path}/{STATS_SUBDIR}").head()["n_docs"]
-    )
-    return {"n_docs": n_docs, "n_terms": n_terms, "path": path,
-            "n_buckets": n_buckets}
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally add documents to an existing index as a new SEGMENT:
+    postings/terms/stats rows are parquet-appended; search sums the
+    per-segment df and corpus scalars, which is exact because every BM25
+    global (df, N, total length) is additive. No old data is rescanned —
+    the upgrade over the reference's wholesale re-embed per ingest.
+    The bucket count is read from the index (layout-frozen at build)."""
+    spark = docs.sparkSession
+    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+    n_buckets = int(stats.head()["n_buckets"])
+    _write_segment(docs, path, n_buckets, id_col, text_col, mode="append")
+    return {"n_appended": docs.count(), "path": path, "n_buckets": n_buckets}
 
 
 def search_text_index(
@@ -141,14 +173,18 @@ def search_text_index(
     if prune not in ("static", "dynamic"):
         raise ValueError(f"prune must be 'static' or 'dynamic', got {prune!r}")
 
-    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
-    stats_row = stats.head()
-    if "n_buckets" not in stats.columns:
+    seg_stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+    if "n_buckets" not in seg_stats.columns:
         raise ValueError(
             f"{path}/{STATS_SUBDIR} has no n_buckets column — index built "
             "by an older build_text_index; rebuild it"
         )
-    n_buckets = int(stats_row["n_buckets"])
+    n_buckets = int(seg_stats.head()["n_buckets"])
+    # Segments are additive: N = Σ n_docs, avgdl = Σ sum_dl / N.
+    stats = seg_stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
 
     qterms = queries.select(
         F.col(query_id),
@@ -164,9 +200,11 @@ def search_text_index(
         postings = postings.filter(F.col("bucket").isin(buckets))
         terms = terms.filter(F.col("bucket").isin(buckets))
 
-    # df per query term: both sides of this join are tiny after pruning;
-    # the result (≤ distinct query terms rows) is broadcast into scoring.
-    q_df = qterms.join(terms, ["bucket", "term"]).select(query_id, "term", "df")
+    # df per query term, summed across segments: both sides of this join
+    # are tiny after pruning; the result (≤ distinct query terms rows) is
+    # broadcast into scoring.
+    term_df = terms.groupBy("bucket", "term").agg(F.sum("df").alias("df"))
+    q_df = qterms.join(term_df, ["bucket", "term"]).select(query_id, "term", "df")
 
     scored = (
         postings.join(F.broadcast(q_df), ["term"])

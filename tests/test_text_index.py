@@ -69,6 +69,27 @@ def test_bucket_count_read_from_sidecar(spark, tmp_path_factory):
     assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, inline.collect()))
 
 
+def test_incremental_append_equals_full_build(spark, tmp_path_factory):
+    """Segment append must be EXACTLY equivalent to a one-shot build:
+    every BM25 global (df, N, total length) is additive across segments,
+    so build(half) + append(half) and build(full) return identical
+    rankings and scores."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.sources.text_index import append_to_text_index
+
+    docs = load_table(spark, SF_DIR, "documents")
+    incr = str(tmp_path_factory.mktemp("textidx") / "incr")
+    full = str(tmp_path_factory.mktemp("textidx") / "full")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), incr)
+    app = append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), incr)
+    assert app["n_appended"] == docs.filter("doc_id % 2 = 1").count()
+    build_text_index(docs, full)
+    a = search_text_index(spark, incr, _queries(spark), k=10)
+    b = search_text_index(spark, full, _queries(spark), k=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_unindexed_terms_return_nothing(spark, idx_path):
     oov = spark.createDataFrame(
         [(9, "qqqz zzzq xyzzy")], "query_id bigint, query_text string"
