@@ -26,7 +26,7 @@ at the output edge, candidate generation by equi-join on inverted postings
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
@@ -252,6 +252,83 @@ def stratified_sample_oracle_case(
         f"WHEN {strata_col} = '{s}' THEN {r!r}" for s, r in sorted(rates.items())
     )
     return f"(CASE {whens} ELSE {default_rate!r} END)"
+
+
+def sliding_shingles_expr(col: str, n: int) -> Column:
+    """Positional (NON-distinct) word n-gram shingles: one entry per
+    window position, so downstream counts measure contaminated POSITIONS
+    rather than distinct gram types. Rows with < n words yield an empty
+    array. Same bind-once tokenization as `shingles_expr`."""
+    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+
+    w = _WORDS.format(col=col)
+    # The short-row branch must be an explicit CASE: Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0], whose i=0 then blows up
+    # slice(nv, 0, n) — greatest(..., 0) alone does not make it empty.
+    body = (
+        f"CASE WHEN size(nv) >= {n} THEN"
+        f" transform(sequence(1, size(nv) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(nv, i, {n})))"
+        f" ELSE array() END"
+    )
+    return F.expr(bind_once(w, body))
+
+
+def ngram_contamination_sliding(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Decontamination at the published-pipeline n (13-gram sliding
+    window): for each (train doc, benchmark doc) pair, count how many of
+    the train doc's sliding 13-gram POSITIONS appear in the benchmark
+    doc, and the contaminated fraction of the train doc those positions
+    represent → (doc_id, bench_id, n_shared, contaminated_frac).
+
+    Differs from `ngram_contamination` (distinct shingles, n=3) in two
+    ways that matter for the train-side report: the window slides without
+    dedup, so a repeated passage counts every occurrence, and the
+    fraction gives the downstream drop/keep policy a thresholdable
+    signal (e.g. drop if >0.2 of the doc is benchmark text). The
+    benchmark side IS deduped per doc — a gram repeated in the eval doc
+    must not double-count a single train position.
+
+    Same 100 TB shape as the n=3 tier: candidates come from the postings
+    equi-join against the BROADCAST benchmark side, never all-pairs; the
+    train side is map-only until the per-pair count aggregation.
+    """
+    t_post = (
+        train.select(
+            F.col(id_col).alias("_tid"),
+            sliding_shingles_expr(text_col, n).alias("_g"),
+        )
+        .filter(F.size("_g") > 0)
+        .select("_tid", F.size("_g").alias("_n_g"), F.explode("_g").alias("g"))
+    )
+    b_post = (
+        benchmark.select(
+            F.col(bench_id).alias("_bid"), shingles_expr(text_col, n).alias("_g")
+        )
+        .filter(F.size("_g") > 0)
+        .select("_bid", F.explode("_g").alias("g"))
+    )
+    return (
+        t_post.join(F.broadcast(b_post), "g")
+        .groupBy("_tid", "_bid", "_n_g")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            F.col("_tid").alias(id_col),
+            F.col("_bid").alias(bench_id),
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_n_g"), round_to).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
 
 
 def ngram_contamination(

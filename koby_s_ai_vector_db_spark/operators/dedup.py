@@ -93,9 +93,14 @@ def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
     from koby_s_ai_vector_db_spark.functions.exprs import bind_once
 
     w = _WORDS.format(col=col)
+    # Explicit CASE for short rows: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0], and its i=0 errors inside slice(nv, 0, n) —
+    # greatest(..., 0) alone does not yield an empty shingle array.
     body = (
-        f"array_distinct(transform(sequence(1, greatest(size(nv) - {n - 1}, 0)),"
+        f"CASE WHEN size(nv) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size(nv) - {n - 1}),"
         f" i -> concat_ws(' ', slice(nv, i, {n}))))"
+        f" ELSE array() END"
     )
     return F.expr(bind_once(w, body))
 

@@ -21,6 +21,7 @@ from koby_s_ai_vector_db_spark.operators.corpus import (
     bm25_oracle_sql,
     bm25_rank,
     ngram_contamination,
+    ngram_contamination_sliding,
     stratified_sample,
     stratified_sample_oracle_case,
     vocab_stats,
@@ -263,6 +264,68 @@ def curate_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
+
+
+# --- n=13 sliding-window tier -------------------------------------------
+# The published-pipeline decontamination n. The fixture vocabulary is 31
+# words, so naturally-shared 13-grams would only come from exact/near
+# duplicates; to exercise the operator the benchmark side is PLANTED: the
+# first 20 words of every 37th doc stand in for an eval set excerpted from
+# training text (the realistic leak shape — a benchmark question copied
+# from a crawled page). Every sampled doc therefore overlaps itself by
+# construction, and its exact/near duplicates are flagged too.
+CONTAM13_N = 13
+CONTAM13_BENCH_WORDS = 20
+
+
+def _gram13(var: str) -> str:
+    """DuckDB 13-term concat `var[i] || ' ' || ... || var[i+12]`."""
+    return " || ' ' || ".join(
+        f"{var}[i+{j}]" if j else f"{var}[i]" for j in range(CONTAM13_N)
+    )
+
+
+_CONTAM13_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+t_post AS (
+    SELECT tid, len(g) AS n_g, unnest(g) AS g
+    FROM (SELECT doc_id AS tid,
+                 [{_gram13('w')} for i in range(1, len(w) - {CONTAM13_N - 2})] AS g
+          FROM words WHERE len(w) >= {CONTAM13_N})
+),
+b_post AS (
+    SELECT bid, unnest(list_distinct(
+               [{_gram13('bw')} for i in range(1, len(bw) - {CONTAM13_N - 2})])) AS g
+    FROM (SELECT doc_id AS bid, w[1:{CONTAM13_BENCH_WORDS}] AS bw
+          FROM words WHERE doc_id % {CONTAM_MOD} = 0)
+    WHERE len(bw) >= {CONTAM13_N}
+)
+SELECT tid AS doc_id, bid AS bench_id, count(*) AS n_shared,
+       round(count(*) * 1.0 / n_g, 6) AS contaminated_frac
+FROM t_post JOIN b_post USING (g)
+GROUP BY tid, bid, n_g
+"""
+
+
+@register("ngram_contamination_13", _CONTAM13_ORACLE)
+def ngram_contamination_13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram sliding-window decontamination (the published-pipeline n)
+    against a planted eval set: first-20-word excerpts of every 37th doc.
+    Reports contaminated positions AND the thresholdable fraction of each
+    train doc (operators/corpus.py::ngram_contamination_sliding)."""
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(words_expr("text"), 1, CONTAM13_BENCH_WORDS)
+        ).alias("text"),
+    )
+    return ngram_contamination_sliding(docs, bench, n=CONTAM13_N)
 
 
 @register("ngram_contamination", _CONTAM_ORACLE)

@@ -60,14 +60,15 @@ _PRIORITY: list[str] = [
     "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
     # (b) new or changed this round
     "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
-    "ngram_contamination", "asof_enrich_events", "range_session_assign",
+    "ngram_contamination", "ngram_contamination_13",
+    "asof_enrich_events", "range_session_assign",
     "a14_value_quantiles", "hybrid_rrf", "curate_training_mix",
     "a5_sliding_live_users", "a6_session_windows",
     "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
     "q2_ann_ivf_idx",
     # (c) flagships (remaining window)
     "q1_topk_cosine", "q2_ann",
-    "dedup_minhash_lsh", "dedup_groups", "curate_corpus", "q7_fusion",
+    "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
 ]
 
 

@@ -123,3 +123,56 @@ def test_bm25_and_contamination_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in cplan
     assert "CartesianProduct" not in cplan
+
+
+def test_sliding_contamination_counts_positions_and_fraction(spark):
+    """Hand-computed 13-gram sliding check: a doc that embeds the
+    benchmark excerpt twice counts BOTH positions (non-distinct window);
+    a doc with fewer than 13 words is excluded; fractions divide by the
+    doc's own sliding-gram count."""
+    from koby_s_ai_vector_db_spark.operators.corpus import (
+        ngram_contamination_sliding,
+    )
+
+    words = [f"w{i}" for i in range(13)]
+    excerpt = " ".join(words)  # exactly one 13-gram
+    train = spark.createDataFrame(
+        [
+            # doc 1: excerpt twice, back to back -> 26 words, 14 sliding
+            # grams, of which positions 1 and 14 equal the excerpt.
+            (1, excerpt + " " + excerpt),
+            # doc 2: 12 words -> no grams, excluded.
+            (2, " ".join(words[:12])),
+            # doc 3: 13 unrelated words -> 1 gram, no overlap.
+            (3, " ".join(f"z{i}" for i in range(13))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(10, excerpt)], "bench_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination_sliding(train, bench, n=13).collect()
+    }
+    assert set(rows) == {1}
+    assert rows[1].n_shared == 2
+    assert abs(rows[1].contaminated_frac - round(2 / 14, 6)) < 1e-12
+
+
+def test_sliding_contamination_short_rows_yield_empty(spark):
+    """sequence(1, 0)-descending regression guard: rows shorter than n
+    words must produce an empty shingle array, not a slice(…, 0) error —
+    for both the sliding and the distinct shingle expressions."""
+    from koby_s_ai_vector_db_spark.operators.corpus import (
+        sliding_shingles_expr,
+    )
+    from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
+
+    df = spark.createDataFrame(
+        [("one two",), ("",), ("a b c d e",)], "text string"
+    )
+    out = df.select(
+        F.size(sliding_shingles_expr("text", 4)).alias("s"),
+        F.size(shingles_expr("text", 4)).alias("d"),
+    ).collect()
+    assert [r.s for r in out] == [0, 0, 2]
+    assert [r.d for r in out] == [0, 0, 2]
