@@ -74,6 +74,24 @@ def main() -> int:
             print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
     total = round(time.perf_counter() - wall0, 3)
 
+    # Same-run repeat of the heaviest queries (outside `total`): every
+    # query was warmed, so the timed loop already measured steady state —
+    # a second timing of the same plan in the same process differs only by
+    # host noise. The per-query delta lets a reader separate shared-host
+    # variance (BASELINE.md documents ±40% drift on this box) from real
+    # plan regressions without needing a cross-round baseline.
+    repeat: dict[str, float] = {}
+    for name in sorted(per_query, key=per_query.get, reverse=True)[:REPEATS]:
+        q0 = time.perf_counter()
+        try:
+            entry_mod.queries()[name](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            repeat[name] = round(time.perf_counter() - q0, 3)
+        except Exception as exc:  # pragma: no cover - noise probe only
+            print(f"[bench] repeat {name} failed: {exc}", file=sys.stderr)
+    print(f"[bench] repeat pass: {repeat}", file=sys.stderr)
+
     result = {
         "metric": "total_wall_sec",
         "value": total,
@@ -81,6 +99,8 @@ def main() -> int:
         "queries": per_query,
         "sf": _sf_from_dir(sf_dir),
     }
+    if repeat:
+        result["repeat"] = repeat
     if failures:
         result["failures"] = failures
 
@@ -109,6 +129,8 @@ ANCHORS = {
     "q1_topk_cosine", "t3_normalize", "knn_self_join",
 }
 BUDGET = 1800
+# Heaviest-N queries re-timed once after the main loop (noise check).
+REPEATS = 8
 
 
 def encoded(res: dict) -> str:
@@ -124,6 +146,11 @@ def slim_line(
 ) -> dict:
     slim = dict(result)
     slim["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+    if "repeat" in result:
+        # The noise-check repeats ride along (small, heavy-query-only);
+        # under budget pressure the query-timing fill below adapts around
+        # them — repeat deltas outrank timings of the fastest queries.
+        slim["repeat"] = {k: round(v, 2) for k, v in result["repeat"].items()}
     if failures:
         slim["failures"] = {k: v[:60] for k, v in failures.items()}
 

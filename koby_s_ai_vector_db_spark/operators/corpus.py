@@ -71,10 +71,9 @@ def doc_lengths(
     )
 
 
-def bm25_rank(
+def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id: str = "query_id",
@@ -83,14 +82,18 @@ def bm25_rank(
     b: float = BM25_B,
     round_to: int = 6,
 ) -> DataFrame:
-    """Okapi BM25 top-k per query.
+    """Per-(query, doc) Okapi BM25 scores for every matching document —
+    no top-k truncation. `bm25_rank` layers ranking on top; curation-style
+    consumers aggregate these into a per-doc relevance signal instead.
 
     score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
 
     N/avgdl are exact corpus scalars computed as a 1-row aggregate and
     cross-broadcast (at 100 TB: two doubles). Query terms are distinct
-    (standard BM25 bag-of-query simplification) and broadcast.
+    (standard BM25 bag-of-query simplification) and broadcast. Scores are
+    rounded at the edge: the per-(query, doc) sum folds floats in shuffle
+    order, so raw doubles may differ by ~1e-15 across engines/runs.
     """
     post = term_postings(docs, id_col, text_col)
     dl = doc_lengths(docs, id_col, text_col)
@@ -126,22 +129,37 @@ def bm25_rank(
         .groupBy(query_id, "_id")
         .agg(F.sum("_w").alias("_score"))
     )
-    # Rank on the ROUNDED score: the per-(query, doc) sum folds floats in
-    # shuffle order (engine- and run-dependent), so raw scores may differ by
-    # ~1e-15 across engines; ranking on the rounded value with a doc-id
-    # tiebreak makes the top-k deterministic and cross-engine stable.
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc(F.round("_score", round_to)), F.asc("_id")
+    return scored.select(
+        query_id,
+        F.col("_id").alias(id_col),
+        F.round("_score", round_to).alias("score"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id,
-            F.col("_id").alias(id_col),
-            F.round("_score", round_to).alias("score"),
-            "rank",
-        )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k per query (formula in `bm25_scores`).
+
+    Ranks on the ROUNDED score with a doc-id tiebreak: the per-(query,
+    doc) sum folds floats in shuffle order (engine- and run-dependent),
+    so ranking on the raw value would make the top-k boundary
+    engine-dependent."""
+    scored = bm25_scores(
+        docs, queries, id_col, text_col, query_id, query_text, k1, b, round_to
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -336,6 +336,150 @@ def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_bm25_oracle() -> str:
+    # Near-dup groups (recursive-CTE transitive closure, as in
+    # curate_corpus_neardup) + per-doc BM25 relevance over the SAME dd
+    # corpus, argmax per multi-member group.
+    from koby_s_ai_vector_db_spark.operators.corpus import BM25_B, BM25_K1
+    from koby_s_ai_vector_db_spark.queries.corpus_q import BM25_QUERIES
+    from koby_s_ai_vector_db_spark.queries.dedup_q import (
+        DOCS_DD_SQL,
+        _MINHASH_ORACLE,
+    )
+
+    values = ", ".join(f"({qid}, '{txt}')" for qid, txt in BM25_QUERIES)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+groups AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+),
+dd AS ({DOCS_DD_SQL}),
+q(query_id, query_text) AS (VALUES {values}),
+words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM dd
+),
+post AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM post GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM words),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qt AS (
+    SELECT query_id, unnest(list_distinct(list_filter(
+        string_split_regex(lower(query_text), '\\s+'), t -> t <> ''))) AS term
+    FROM q
+),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum(ln(1 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))), 6) AS score
+    FROM tf JOIN qt USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN df_t ON df_t.term = tf.term
+            CROSS JOIN stats
+    GROUP BY qt.query_id, tf.doc_id
+),
+rel AS (SELECT doc_id, round(sum(score), 6) AS relevance FROM scored GROUP BY doc_id),
+members AS (
+    SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+    FROM dd d LEFT JOIN groups g ON d.doc_id = g.doc_id
+),
+multi AS (
+    SELECT group_id, count(*) AS n_members FROM members
+    GROUP BY group_id HAVING count(*) >= 2
+),
+cand AS (
+    SELECT m.group_id, m.doc_id, coalesce(r.relevance, 0.0) AS relevance
+    FROM members m JOIN multi USING (group_id) LEFT JOIN rel r USING (doc_id)
+),
+win AS (
+    SELECT group_id, doc_id, relevance,
+           row_number() OVER (PARTITION BY group_id
+                              ORDER BY relevance DESC, doc_id ASC) AS rn
+    FROM cand
+)
+SELECT w.group_id, w.doc_id AS kept_doc_id, w.relevance, mu.n_members
+FROM win w JOIN multi mu USING (group_id) WHERE rn = 1
+"""
+
+
+@register("curate_corpus_bm25", _curate_bm25_oracle())
+def curate_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with a BM25 keep-decision: near-dup groups keep their most
+    RELEVANT member (summed BM25 against the curation query set) instead
+    of the arbitrary min-id canonical — the production form of "when
+    collapsing near-duplicates, keep the best copy". Emits one row per
+    multi-member group: (group_id, kept_doc_id, relevance, n_members).
+
+    Plan shape: the group side reuses the memoized MinHash pair/groups
+    subtree (one signature build per session); BM25 relevance is the
+    postings-vs-broadcast-query-terms join aggregated per doc; the
+    argmax is a WindowGroupLimit-able row_number over groups bounded by
+    docs that HAVE a near-dup."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.operators.corpus import bm25_scores
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_groups,
+    )
+    from koby_s_ai_vector_db_spark.queries.corpus_q import BM25_QUERIES
+    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
+
+    docs = _docs_dd(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, cache_key=("docs_dd", sf_dir)
+    )
+    groups = near_dup_groups(pairs)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    rel = (
+        bm25_scores(docs, queries)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 6).alias("relevance"))
+    )
+    members = docs.join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+    )
+    multi = (
+        members.groupBy("group_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    cand = (
+        members.join(multi, "group_id")
+        .join(rel, "doc_id", "left")
+        .withColumn("relevance", F.coalesce("relevance", F.lit(0.0)))
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("relevance"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "relevance",
+            "n_members",
+        )
+    )
+
+
 _MM_DEC_CTE = f"""
 WITH dec AS (
     SELECT doc_id AS media_id,

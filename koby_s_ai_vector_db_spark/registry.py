@@ -63,12 +63,13 @@ _PRIORITY: list[str] = [
     "ngram_contamination", "ngram_contamination_13",
     "asof_enrich_events", "range_session_assign",
     "a14_value_quantiles", "hybrid_rrf", "curate_training_mix",
+    "curate_corpus_bm25",
     "a5_sliding_live_users", "a6_session_windows",
     "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
     "q2_ann_ivf_idx",
     # (c) flagships (remaining window)
     "q1_topk_cosine", "q2_ann",
-    "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
+    "dedup_minhash_lsh", "dedup_groups",
 ]
 
 

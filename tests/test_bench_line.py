@@ -71,3 +71,16 @@ def test_anchors_always_survive():
     result["queries"] = pq
     slim = bench.slim_line(result, pq, fl)
     assert bench.ANCHORS <= set(slim["queries"])
+
+
+def test_repeat_deltas_survive_trimming():
+    """The noise-check repeats (heavy-query re-timings) must survive the
+    query-timing trim — they outrank fast-query timings."""
+    result, pq, fl = _mk(200, 0)
+    result["repeat"] = {k: pq[k] + 0.01 for k in list(pq)[:8]}
+    slim = bench.slim_line(result, pq, fl)
+    line = bench.encoded(slim)
+    assert len(line) <= bench.BUDGET
+    assert json.loads(line)["repeat"] == {
+        k: round(v, 2) for k, v in result["repeat"].items()
+    }
