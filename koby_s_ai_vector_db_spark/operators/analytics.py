@@ -163,3 +163,75 @@ def pending_count(feedback: DataFrame) -> DataFrame:
     return feedback.filter(F.col("status") == "pending").agg(
         F.count("*").alias("pending_count")
     )
+
+
+def funnel_conversion(events: DataFrame, stages: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached each stage IN
+    ORDER (stage k counts users whose earliest stage-k event follows
+    their earliest qualifying stage-(k-1) event) → (stage, stage_ord,
+    n_users). The reference has no funnel surface; this is the
+    session-tracking tier's (core/session_utils.py:152-211) natural
+    product-analytics extension.
+
+    100 TB shape: one groupBy(user_id) per stage plus a user_id-keyed
+    join per stage — every shuffle in the chain shares the user_id key,
+    so the exchange is planned once and reused; per-stage state is one
+    timestamp per surviving user (monotonically shrinking)."""
+    reached = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    counts = [reached.agg(F.count("*").alias("n")).select(
+        F.lit(stages[0]).alias("stage"),
+        F.lit(1).cast("int").alias("stage_ord"),
+        F.col("n").alias("n_users"),
+    )]
+    for ord_, stage in enumerate(stages[1:], start=2):
+        nxt = events.filter(F.col("event_type") == stage).alias("e")
+        reached = (
+            nxt.join(
+                reached.alias("r"),
+                (F.col("e.user_id") == F.col("r.user_id"))
+                & (F.col("e.ts") > F.col("r.ts")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min(F.col("e.ts")).alias("ts"))
+        )
+        counts.append(
+            reached.agg(F.count("*").alias("n")).select(
+                F.lit(stage).alias("stage"),
+                F.lit(ord_).cast("int").alias("stage_ord"),
+                F.col("n").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by the Monday-truncated week of
+    their FIRST event; for each (cohort_week, week_offset) the count of
+    cohort users active that many whole weeks later →
+    (cohort_week timestamp, week_offset, n_users).
+
+    100 TB shape: first-event table is one groupBy(user_id); the join
+    back to events is user_id-keyed (same exchange); the final rollup
+    is a (cohort, offset)-keyed count distinct — cohort cardinality is
+    weeks × offsets, tiny."""
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = events.join(first, "user_id").select(
+        "user_id",
+        # Stays a TIMESTAMP (not DATE): both engines then surface the
+        # same pandas dtype at the oracle-compare boundary.
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date"))
+            / 7
+        ).alias("week_offset"),
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )

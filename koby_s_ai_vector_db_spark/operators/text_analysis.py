@@ -114,3 +114,82 @@ def fingerprints(col: str, k: int = 8, keep_mod: int = 8) -> Column:
         f" i -> CAST(conv(substr(md5(substring({col}, i, {k})), 1, 8), 16, 10) AS BIGINT)),"
         f" h -> h % {keep_mod} = 0)"
     )
+
+
+# --- Gopher-style repetition rules (Rae et al. 2021, §A1.1) ---------------
+# Per-document repetition stats: published pipelines drop documents whose
+# mass concentrates in one token or one 2-gram. All map-only — per-doc
+# stats need no cross-document state, so at 100 TB this is a single
+# projection over the scan (no shuffle at all); the alternative
+# explode+groupBy formulation would shuffle the full token stream.
+MAX_TOP_TOKEN_FRAC = 0.14
+MAX_TOP_BIGRAM_FRAC = 0.08
+
+
+def gopher_repetition(
+    col: str,
+    max_top_token_frac: float = MAX_TOP_TOKEN_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+) -> dict[str, Column]:
+    """Repetition-quality stat columns over a text column: token count,
+    most-frequent-token mass fraction, most-frequent-bigram mass
+    fraction, mean word length, and the keep/drop gate. Each stat binds
+    its token (and bigram) array once per row (functions/exprs.py) — the
+    counting lambdas read them as values, not re-evaluated subtrees."""
+    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+
+    w = _tokens(col)
+    top_frac = (
+        "round(array_max(transform(array_distinct(nv),"
+        " t -> size(filter(nv, x -> x = t)))) / size(nv), 6)"
+    )
+    bigrams = "transform(sequence(1, size(nv) - 1), i -> concat_ws(' ', slice(nv, i, 2)))"
+    top_bigram = bind_once(
+        bigrams,
+        "round(array_max(transform(array_distinct(bv),"
+        " t -> size(filter(bv, x -> x = t)))) / size(bv), 6)",
+        var="bv",
+    )
+    cols = {
+        "n_tokens": F.expr(f"cast(size({w}) as bigint)"),
+        "top_token_frac": F.expr(bind_once(w, top_frac)),
+        "top_bigram_frac": F.expr(
+            bind_once(
+                w,
+                f"CASE WHEN size(nv) >= 2 THEN {top_bigram}"
+                " ELSE cast(0.0 as double) END",
+            )
+        ),
+        "mean_word_len": F.expr(
+            bind_once(
+                w,
+                "round(aggregate(nv, 0L, (a, x) -> a + length(x))"
+                " / cast(size(nv) as double), 6)",
+            )
+        ),
+    }
+    cols["keep"] = (cols["top_token_frac"] <= max_top_token_frac) & (
+        cols["top_bigram_frac"] <= max_top_bigram_frac
+    )
+    return cols
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# Patterns deliberately restricted to syntax Java regex and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \b.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+
+def pii_scrub(col: Column) -> dict[str, Column]:
+    """Redact emails/phones from a text column and count what was
+    removed: {clean_text, n_emails, n_phones}. Map-only JVM expressions
+    (regexp_count / regexp_replace) — no UDF, no shuffle; the 100 TB
+    form is this projection fused into the ingest scan."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(col, F.lit(PHONE_RE)).cast("bigint"),
+        "clean_text": F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+    }

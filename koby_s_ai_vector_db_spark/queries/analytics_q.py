@@ -279,3 +279,63 @@ def a14_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("_p", 3), 6).alias("p99"),
         )
     )
+
+
+# --- a15: ordered funnel ---------------------------------------------------
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+_A15_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS ts FROM events e
+    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS ts FROM events e
+    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, CAST(1 AS INTEGER) AS stage_ord, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 'click', CAST(2 AS INTEGER), count(*) FROM s2
+UNION ALL
+SELECT 'purchase', CAST(3 AS INTEGER), count(*) FROM s3
+"""
+
+
+@register("a15_funnel", _A15_ORACLE)
+def a15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel: users counted at a stage
+    only if they reached it AFTER their previous stage
+    (operators/analytics.py::funnel_conversion)."""
+    from koby_s_ai_vector_db_spark.operators.analytics import funnel_conversion
+
+    return funnel_conversion(_events(spark, sf_dir), FUNNEL_STAGES)
+
+
+# --- a16: weekly retention cohorts ----------------------------------------
+_A16_ORACLE = """
+WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+act AS (
+    SELECT e.user_id,
+           date_trunc('week', f.first_ts) AS cohort_week,
+           CAST(floor(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+    FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+"""
+
+
+@register("a16_retention", _A16_ORACLE)
+def a16_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: (first-event cohort week, whole weeks
+    since first event, active-user count)
+    (operators/analytics.py::retention_cohorts)."""
+    from koby_s_ai_vector_db_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))

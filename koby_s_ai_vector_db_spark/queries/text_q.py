@@ -533,3 +533,118 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(decode_media(media_table(docs)))
+
+
+# --- Gopher-style repetition filter ---------------------------------------
+_GOPHER_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
+wb AS (
+    SELECT doc_id, w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
+    FROM words WHERE len(w) >= 1
+),
+stats AS (
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(list_max(list_transform(list_distinct(w),
+                 t -> len(list_filter(w, x -> x = t)))) * 1.0 / len(w), 6) AS top_token_frac,
+           CASE WHEN len(w) >= 2 THEN
+               round(list_max(list_transform(list_distinct(bg),
+                     t -> len(list_filter(bg, x -> x = t)))) * 1.0 / len(bg), 6)
+           ELSE 0.0 END AS top_bigram_frac,
+           round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6) AS mean_word_len
+    FROM wb
+)
+SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, mean_word_len,
+       (top_token_frac <= 0.14 AND top_bigram_frac <= 0.08) AS keep
+FROM stats
+"""
+
+
+@register("ta_gopher_repetition", _GOPHER_ORACLE)
+def ta_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    per-doc most-frequent-token / most-frequent-bigram mass fractions and
+    the keep/drop gate. Map-only — one projection over the scan, zero
+    shuffles (operators/text_analysis.py::gopher_repetition)."""
+    from koby_s_ai_vector_db_spark.operators.text_analysis import (
+        gopher_repetition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = gopher_repetition("text")
+    out = docs.filter(F.expr("size(array_remove(split(lower(text), '\\\\s+'), '')) >= 1"))
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    return out.select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac",
+        "mean_word_len", "keep",
+    )
+
+
+# --- PII scrub over planted identifiers -----------------------------------
+# The fixture vocabulary has no PII, so the query PLANTS deterministic
+# emails/phones (identically in both engines) and the operator scrubs
+# them: docs get an email unless doc_id % 3 = 0, a phone when
+# doc_id % 2 = 0, and a second email when doc_id % 15 = 0.
+_PII_PLANT_DUCK = """
+text
+|| (CASE WHEN doc_id % 3 <> 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'
+         ELSE '' END)
+|| (CASE WHEN doc_id % 2 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END)
+|| (CASE WHEN doc_id % 15 = 0 THEN ' alt admin@corp.example.org' ELSE '' END)
+"""
+
+_PII_ORACLE = f"""
+WITH planted AS (SELECT doc_id, {_PII_PLANT_DUCK} AS txt FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '\\b555-[0-9]{{4}}\\b')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                      '\\b555-[0-9]{{4}}\\b', '<PHONE>', 'g') AS clean_text
+FROM planted
+"""
+
+
+@register("ta_pii_scrub", _PII_ORACLE)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: plant deterministic emails/phones, then scrub with
+    engine-portable regexes and count removals — map-only JVM
+    expressions, no UDF (operators/text_analysis.py::pii_scrub)."""
+    from koby_s_ai_vector_db_spark.operators.text_analysis import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@"),
+                    F.col("source"),
+                    F.lit(".example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 15 == 0, F.lit(" alt admin@corp.example.org")
+            ).otherwise(""),
+        ).alias("txt"),
+    )
+    cols = pii_scrub(F.col("txt"))
+    return planted.select(
+        "doc_id", cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        cols["clean_text"].alias("clean_text"),
+    )

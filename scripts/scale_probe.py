@@ -1,0 +1,180 @@
+"""sf1 scale probe: does the dedup + ANN tier scale ~linearly to 10× data?
+
+Generates a 10×-sf0.1 synthetic corpus (50k documents, 20k embeddings)
+under /tmp with the same shape as the driver fixtures — 31-word
+vocabulary, U[10,100] word lengths, the sf0.1 language mix, ~0.16% exact
+duplicates, unit-norm 64-dim embeddings — then times the heavy
+dedup/ANN/corpus queries at sf0.1 and at the generated sf1 and prints
+the wall-time ratio per query. The dedup family's near-dup structure is
+planted by the queries' own docs_dd view (+1e6 exact copies of every
+17th doc, +2e6 truncated copies of every 10th), so it scales with the
+base table by construction.
+
+Steady-state timing mirrors bench.py: each query is run once untimed
+(JIT/codegen/scratch-index build/memoized persists), then timed — the
+probe measures the plan, not first-touch warm-up. Results go to stdout
+and BASELINE.md's scaling table is transcribed from a run of this file.
+
+Usage: python scripts/scale_probe.py [--sf1-dir /tmp/koby_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = 50_000
+N_VECS = 20_000
+SEED = 7
+SF01 = "/root/testdata/sf0.1"
+
+# sf0.1 empirical language mix (5000 docs).
+LANG_P = {"en": 0.41, "zh": 0.15, "es": 0.15, "fr": 0.15, "de": 0.14}
+DUP_RATE = 0.0016  # 8 duplicated texts per 5000 docs at sf0.1
+
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "dedup_embedding_ivf",
+    "dedup_groups",
+    "curate_corpus",
+    "curate_corpus_neardup",
+    "curate_corpus_bm25",
+    "curate_training_mix",
+    "ngram_contamination",
+    "ngram_contamination_13",
+    "bm25_rank",
+    "bm25_rank_idx",
+    "vocab_stats",
+    "q1_topk_cosine",
+    "q2_ann",
+    "q2_ann_pq",
+    "q2_ann_ivfpq",
+    "q2_ann_pq_idx",
+    "q2_ann_ivfpq_idx",
+    "knn_self_join",
+    "hybrid_rrf",
+]
+
+
+def vocabulary() -> list[str]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w "
+        f"FROM '{SF01}/documents.parquet' ORDER BY w"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def generate(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    vocab = np.array(vocabulary())
+    os.makedirs(out_dir, exist_ok=True)
+
+    lengths = rng.integers(10, 101, size=N_DOCS)
+    langs = rng.choice(list(LANG_P), size=N_DOCS, p=list(LANG_P.values()))
+    texts = [
+        " ".join(rng.choice(vocab, size=n)) for n in lengths
+    ]
+    # Exact duplicates at the fixture rate: late docs copy earlier ones.
+    for i in rng.choice(
+        np.arange(N_DOCS // 2, N_DOCS), size=int(N_DOCS * DUP_RATE), replace=False
+    ):
+        texts[i] = texts[int(rng.integers(0, N_DOCS // 2))]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs.tolist()),
+            "source": pa.array([f"src{i % 20}" for i in range(N_DOCS)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+
+    M = rng.standard_normal((N_VECS, 64)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in M], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 10 for i in range(N_VECS)], pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{out_dir}/embeddings.parquet")
+    print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs in {out_dir}",
+          file=sys.stderr)
+
+
+def time_queries(sf_dir: str) -> dict[str, float]:
+    from koby_s_ai_vector_db_spark import registry
+
+    # Drop the previous scale's memoized persists: the probe runs both
+    # scales in ONE local JVM, and carrying sf0.1's cached signature
+    # tables into the sf1 pass both skews memory and measures nothing.
+    _spark().catalog.clearCache()
+    qs = registry.queries()
+    out: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        spark = _spark()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"[probe] {sf_dir} {name}: {out[name]:.3f}s", file=sys.stderr)
+    return out
+
+
+def _spark():
+    from koby_s_ai_vector_db_spark.session import get_spark
+
+    spark = get_spark("koby-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> int:
+    # Both scales' working sets live in one local JVM (driver == executor
+    # in local mode): the default 8g heap OOMs during the sf1 dedup
+    # family. On a real cluster this is per-executor memory sizing; here
+    # one knob suffices.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1-dir", default="/tmp/koby_sf1")
+    args = ap.parse_args()
+    if not os.path.exists(f"{args.sf1_dir}/embeddings.parquet"):
+        generate(args.sf1_dir)
+
+    t01 = time_queries(SF01)
+    t1 = time_queries(args.sf1_dir)
+    table = {
+        n: {
+            "sf0.1_s": t01[n],
+            "sf1_s": t1[n],
+            "ratio": round(t1[n] / t01[n], 2) if t01[n] else None,
+        }
+        for n in PROBE_QUERIES
+    }
+    print(json.dumps({"scale_probe": table, "data_ratio": 10.0}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
