@@ -108,11 +108,18 @@ def fingerprints(col: str, k: int = 8, keep_mod: int = 8) -> Column:
     char k-gram, keeping hashes ≡ 0 (mod keep_mod) — 1/keep_mod of the
     positions survive, position-independent (the winnowing idea without
     window state). At production scale swap md5 for xxhash64; md5 keeps
-    the DuckDB oracle bit-identical (functions/hashing.py)."""
+    the DuckDB oracle bit-identical (functions/hashing.py).
+
+    The short-row branch is an explicit CASE: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0], and substring(col, 0, k) silently aliases
+    position 1 — a sub-k-length string would emit two duplicate hashes
+    where the oracle's range() emits none."""
     return F.expr(
-        f"filter(transform(sequence(1, greatest(length({col}) - {k - 1}, 0)),"
+        f"CASE WHEN length({col}) >= {k} THEN"
+        f" filter(transform(sequence(1, length({col}) - {k - 1}),"
         f" i -> CAST(conv(substr(md5(substring({col}, i, {k})), 1, 8), 16, 10) AS BIGINT)),"
         f" h -> h % {keep_mod} = 0)"
+        f" ELSE CAST(array() AS array<bigint>) END"
     )
 
 

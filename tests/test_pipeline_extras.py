@@ -94,3 +94,14 @@ def test_pii_scrub_redacts_and_counts(spark):
     ).collect()[0]
     assert (r.e, r.p) == (1, 1)
     assert r.c == "mail me at <EMAIL> or call <PHONE> now"
+
+
+def test_fingerprints_short_string_is_empty(spark):
+    """Sub-k strings emit NO fingerprints (sequence(1,0)-descending
+    regression guard, mirroring the oracle's empty range())."""
+    from koby_s_ai_vector_db_spark.operators.text_analysis import fingerprints
+
+    df = spark.createDataFrame([("short",), ("long enough text",)], "text string")
+    out = df.select(F.size(fingerprints("text")).alias("n")).collect()
+    assert out[0].n == 0
+    assert out[1].n >= 0  # executes without slice/substr aliasing
