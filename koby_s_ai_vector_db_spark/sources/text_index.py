@@ -237,3 +237,59 @@ def search_text_index(
             "rank",
         )
     )
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Merge all segments into one: per-(bucket, term) df rows are summed,
+    the stats sidecar collapses to a single row, and each bucket's
+    postings are rewritten as one coherent partition (one writer task per
+    bucket) instead of one file set per appended segment. Search results
+    are unchanged — compaction only moves the additive df/stats summing
+    from query time to write time and fixes small-file proliferation:
+    after S appends a probe opens O(S) files per bucket, after compaction
+    O(1). This is Lucene's segment merge as a batch job.
+
+    Locally the swap is rewrite-to-tmp + directory rename; on a real
+    cluster the same step writes a new index root and flips a manifest
+    pointer (parquet has no transactional overwrite-in-place).
+    Returns {"n_segments_before", "n_postings", "path"}.
+    """
+    import os
+    import shutil
+
+    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+    n_buckets = int(stats.head()["n_buckets"])
+    n_segments = stats.count()
+
+    merged_stats = stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).withColumn("n_buckets", F.lit(n_buckets))
+    merged_terms = (
+        spark.read.parquet(f"{path}/{TERMS_SUBDIR}")
+        .groupBy("bucket", "term")
+        .agg(F.sum("df").alias("df"))
+    )
+    postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+
+    tmp = f"{path}/.compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # Materialize the new segment fully before touching the old one.
+    postings.repartition("bucket").write.partitionBy("bucket").parquet(
+        f"{tmp}/{POSTINGS_SUBDIR}"
+    )
+    merged_terms.repartition("bucket").write.partitionBy("bucket").parquet(
+        f"{tmp}/{TERMS_SUBDIR}"
+    )
+    merged_stats.coalesce(1).write.parquet(f"{tmp}/{STATS_SUBDIR}")
+    n_postings = int(
+        spark.read.parquet(f"{tmp}/{POSTINGS_SUBDIR}").count()
+    )
+    for sub in (POSTINGS_SUBDIR, TERMS_SUBDIR, STATS_SUBDIR):
+        shutil.rmtree(f"{path}/{sub}")
+        os.rename(f"{tmp}/{sub}", f"{path}/{sub}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_segments_before": n_segments,
+        "n_postings": n_postings,
+        "path": path,
+    }

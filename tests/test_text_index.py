@@ -95,3 +95,41 @@ def test_unindexed_terms_return_nothing(spark, idx_path):
         [(9, "qqqz zzzq xyzzy")], "query_id bigint, query_text string"
     )
     assert search_text_index(spark, idx_path, oov, k=10).count() == 0
+
+
+def test_compaction_preserves_search_and_merges_segments(spark, tmp_path_factory):
+    """build(half) + append(half) + compact == build(full): identical
+    search results, ONE stats row, one df row per (bucket, term), and
+    fewer files per bucket partition than the segmented index."""
+    import glob as _glob
+
+    from koby_s_ai_vector_db_spark.sources.text_index import (
+        append_to_text_index,
+        compact_text_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("textidx_compact") / "index")
+    docs = load_table(spark, SF_DIR, "documents")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8)
+    append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+
+    before = search_text_index(spark, path, _queries(spark), k=10).collect()
+    files_before = len(_glob.glob(f"{path}/postings/bucket=*/*.parquet"))
+
+    info = compact_text_index(spark, path)
+    assert info["n_segments_before"] == 2
+
+    after = search_text_index(spark, path, _queries(spark), k=10)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before))
+    # Full-build equivalence (the additive-globals invariant, post-merge).
+    inline = bm25_rank(docs, _queries(spark), k=10)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, inline.collect()))
+
+    import pyspark.sql.functions as SF
+
+    stats = spark.read.parquet(f"{path}/stats")
+    assert stats.count() == 1
+    terms = spark.read.parquet(f"{path}/terms")
+    assert terms.groupBy("bucket", "term").count().filter("count > 1").count() == 0
+    files_after = len(_glob.glob(f"{path}/postings/bucket=*/*.parquet"))
+    assert files_after <= files_before
