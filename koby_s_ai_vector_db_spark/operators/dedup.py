@@ -287,18 +287,30 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash_expr(text_col: str) -> Column:
-    """32-bit SimHash over word tokens (with multiplicity), as a single
-    map-only aggregate expression: per-token md5-derived hash, bitwise
-    vote accumulated in an int array, majority → bit. No shuffle."""
+def simhash_expr(text_col: str, bits: int = 32) -> Column:
+    """SimHash over word tokens (with multiplicity), as a single map-only
+    aggregate expression: per-token md5-derived ``bits``-bit hash, bitwise
+    vote accumulated in an int array, majority → bit. No shuffle.
+
+    ``bits`` must be a multiple of 4 and ≤ 60 (the hash is the first
+    bits/4 md5 hex chars — 60 bits is the widest that stays positive in
+    a signed BIGINT on both engines). 32 is kept as the default for the
+    streaming first-seen catalog (streaming/dedup.py, whose oracle
+    mirrors it); the batch near-dup PAIRS path uses 60 — see
+    simhash_near_dup_pairs."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
     toks = _WORDS.format(col=text_col)
-    th = f"transform({toks}, t -> {_H32.format(x='t')})"
+    th = (
+        f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, {bits // 4}),"
+        f" 16, 10) AS BIGINT))"
+    )
     return F.expr(
-        f"aggregate({th}, array_repeat(0L, 32),"
+        f"aggregate({th}, array_repeat(0L, {bits}),"
         " (acc, h) -> zip_with(acc,"
-        "   transform(sequence(0, 31), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
+        f"   transform(sequence(0, {bits - 1}), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
         "   (a, x) -> a + x),"
-        " acc -> aggregate(zip_with(acc, sequence(0, 31),"
+        f" acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
         "   (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x))"
     )
 
@@ -309,24 +321,40 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     cache_key=None,
+    bits: int = 60,
 ) -> DataFrame:
-    """SimHash blocking: 4 byte-blocks per 32-bit signature; any pair
-    within Hamming distance 3 shares at least one identical block
-    (pigeonhole), so blocking loses nothing at max_hamming <= 3.
+    """SimHash blocking: (max_hamming + 1) equal blocks per signature; any
+    pair within Hamming distance max_hamming shares at least one identical
+    block (pigeonhole), so blocking loses nothing.
     Returns (doc_id_a, doc_id_b, hamming), a < b.
 
-    `cache_key` memo-persists the per-doc sketch table (the O(tokens·32)
-    vote aggregate — the dominant map cost) per session, like the shingle
-    table."""
+    ``bits`` defaults to 60 (15-bit blocks at max_hamming=3): the r5 sf1
+    scale probe showed the original 32-bit sketch's 8-bit blocks are a
+    SCALE BUG — 256-value keys make co-bucketed candidates grow as
+    N²/256 (10× data → ~100× pairs; the probe's sf1 run sat in the
+    candidate explode for minutes). 15-bit blocks give 32768-value keys
+    (128× fewer candidates at equal N) with the identical pigeonhole
+    guarantee, and the wider sketch also sharpens hamming≤3 into a
+    true near-duplicate criterion (60 agreeing majority votes, not 32).
+
+    `cache_key` memo-persists the per-doc sketch table (the
+    O(tokens·bits) vote aggregate — the dominant map cost) per session,
+    like the shingle table."""
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible into {n_blocks} blocks")
+    block_bits = bits // n_blocks
+    block_mask = (1 << block_bits) - 1
 
     def _sigs():
         return _spread(docs).select(
-            F.col(id_col).alias("_id"), simhash_expr(text_col).alias("sh")
+            F.col(id_col).alias("_id"), simhash_expr(text_col, bits).alias("sh")
         )
 
     sigs = (
-        memo_persist(docs.sparkSession, ("simhash_sigs", cache_key), _sigs)
+        memo_persist(docs.sparkSession, ("simhash_sigs", bits, cache_key), _sigs)
         if cache_key is not None
         else _sigs()
     )
@@ -334,7 +362,10 @@ def simhash_near_dup_pairs(
         "_id",
         "sh",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), j -> (sh >> (j * 8)) & 255L)")
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}),"
+                f" j -> (sh >> (j * {block_bits})) & {block_mask}L)"
+            )
         ).alias("block_id", "block_val"),
     )
     # Same single-shuffle bucket-pair generation as the MinHash path: group
@@ -344,14 +375,12 @@ def simhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("m"))
         .filter(F.size("m") > 1)
     )
-    # NO BUCKET_CAP here, deliberately: an 8-bit block key has only 256
-    # values, so large buckets are the NORMAL case, not a viral-content
-    # signal, and capping them would break the pigeonhole completeness
-    # guarantee (every pair within Hamming 3 shares a block). The scale
-    # knob for SimHash is key entropy — a 64-bit signature with 16-bit
-    # blocks keeps the same guarantee with 65536-value keys — whereas
-    # MinHash bands / hyperplane sketches already have high-entropy keys
-    # and get the cap (capped_bucket_pairs_expr).
+    # NO BUCKET_CAP here, deliberately: capping a block bucket would break
+    # the pigeonhole completeness guarantee (every pair within
+    # max_hamming shares a block). The scale knob for SimHash is key
+    # ENTROPY (bits / block_bits above) — whereas MinHash bands and
+    # hyperplane sketches already have high-entropy keys and get the cap
+    # (capped_bucket_pairs_expr).
     cand = (
         buckets.select(
             F.explode(

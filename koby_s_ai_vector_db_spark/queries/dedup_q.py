@@ -218,6 +218,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit sketch (15 md5 hex chars — widest that stays positive in a
+# signed BIGINT on both engines), 4 × 15-bit blocks for hamming ≤ 3.
+SIMHASH_BITS = 60
 _SIMHASH_ORACLE = f"""
 WITH docs_dd AS ({DOCS_DD_SQL}),
 words AS (
@@ -225,12 +228,12 @@ words AS (
     FROM docs_dd
 ),
 tok AS (
-    SELECT doc_id, unnest(list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) AS h
+    SELECT doc_id, unnest(list_transform(w, t -> ('0x' || substr(md5(t), 1, {SIMHASH_BITS // 4}))::BIGINT)) AS h
     FROM words
 ),
 bits AS (
     SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-    FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) _b
+    FROM tok CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) _b
     GROUP BY doc_id, b
 ),
 sh AS (
@@ -238,7 +241,7 @@ sh AS (
     FROM bits GROUP BY doc_id
 ),
 blocks AS (
-    SELECT doc_id, sh, j, (sh >> (j * 8)) & 255 AS bv
+    SELECT doc_id, sh, j, (sh >> (j * 15)) & 32767 AS bv
     FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j) _j
 ),
 cand AS (
@@ -252,21 +255,21 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 
 @register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash32 + byte-block LSH (exact for Hamming ≤ 3 by pigeonhole).
+    """SimHash60 + 15-bit-block LSH (exact for Hamming ≤ 3 by pigeonhole).
 
-    Cost note (r5 profile): this is the most expensive dedup query at
-    sf0.1 (~4-5s) and that is DATA-inherent, not plan: the fixture's
-    31-word vocabulary clusters sketches (5795 docs → only 660 occupied
-    byte-block buckets, max bucket 1538, ~7.4M co-bucketed candidates)
-    and the true answer is itself ~106k pairs within hamming ≤ 3. On a
-    natural-vocabulary corpus block keys spread and the same plan is
-    cheap; the scale knob stays key entropy (wider sketch/blocks), per
-    the operator's no-BUCKET_CAP note."""
+    Upgraded from 32-bit/8-bit blocks in r5: the sf1 scale probe showed
+    8-bit block keys (256 values) make co-bucketed candidates grow as
+    N²/256 — at 10× data the candidate explode dominated the probe.
+    15-bit keys cut candidates ~128× at equal N and the wider sketch
+    makes hamming ≤ 3 a true near-duplicate criterion on this
+    small-vocabulary fixture (the 32-bit answer at sf0.1 was ~106k
+    mostly-incidental pairs). MinHash remains the Jaccard-threshold
+    tier; SimHash is the sketch-distance tier."""
     docs = _docs_dd(spark, sf_dir).filter(
         F.size(F.expr("array_remove(split(lower(text), '\\\\s+'), '')")) > 0
     )
     return simhash_near_dup_pairs(
-        docs, max_hamming=3, cache_key=("docs_dd", sf_dir)
+        docs, max_hamming=3, cache_key=("docs_dd", sf_dir), bits=SIMHASH_BITS
     )
 
 

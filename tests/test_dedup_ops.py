@@ -70,3 +70,30 @@ def test_small_buckets_keep_all_pairs_semantics(spark):
     )
     pairs = minhash_near_dup_pairs(docs, threshold=0.5)
     assert pairs.count() == n * (n - 1) // 2
+
+
+def test_simhash60_finds_exact_copy_and_rejects_bad_bits(spark):
+    """60-bit sketch: an exact copy is hamming 0; an unrelated doc is not
+    paired; bits must divide into (max_hamming + 1) blocks and fit a
+    signed BIGINT."""
+    import pytest
+
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        simhash_expr,
+        simhash_near_dup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, bits=60).collect()
+    }
+    assert pairs == {(1, 2): 0}
+    with pytest.raises(ValueError):
+        simhash_expr("text", bits=64)  # > 60: sign-bit overflow risk
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, bits=58)  # not divisible by 4 blocks
