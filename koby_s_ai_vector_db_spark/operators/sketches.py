@@ -1,0 +1,152 @@
+"""Mergeable cardinality sketches — portable HyperLogLog.
+
+The reference counts distincts exactly (core/views.py analytics endpoints
+run COUNT(DISTINCT ...) per request); at 100 TB the production shape is a
+SKETCH: a fixed-size register array that partial-aggregates map-side,
+merges associatively across partitions/days/grains, and answers
+"how many distinct" without ever shuffling the raw keys. Spark ships
+``approx_count_distinct`` (HLL++), but its register layout is
+engine-internal — useless for a cross-engine oracle and unreadable as a
+stored artifact. This module builds HLL from scratch as DataFrame
+algebra on the repo's portable md5 hash (functions/hashing.py), so DuckDB
+computes the IDENTICAL registers and estimate, and the register table
+itself is a persistable, mergeable artifact (max() is the merge).
+
+Determinism across engines (the whole point):
+
+  - hash: md5 hex slice -> 40-bit integer, bit-identical everywhere;
+  - register index = top P bits, sub-hash w = low (40-P) bits;
+  - rho = leading-zero count of w + 1, computed as
+    ``(W_BITS + 1) - length(bin(w))`` — both engines' ``bin()`` renders
+    minimal binary, no float log anywhere;
+  - indicator sum  sum(2^-rho)  uses ``1.0 / (1 << rho)``: every term is
+    a dyadic rational with granularity 2^-(W_BITS+1) and the total is
+    < 2^P, so with P=10, W=30 every partial sum fits EXACTLY in a double
+    (range 2^41 < 2^53) — the sum is order-independent, no decimal crutch
+    needed;
+  - the only libm call is ln() in the small-range linear-counting branch;
+    estimates are rounded (caller-visible) so a last-ulp ln difference
+    cannot surface.
+
+Accuracy: standard HLL, sigma ~= 1.04/sqrt(m) ~ 3.3% at m=1024 in the
+raw-estimate regime; the linear-counting branch (raw <= 2.5m and empty
+registers remain) is near-exact at low cardinality.
+
+Scale shape: groupBy(group, register) max(rho) — map-side partial max,
+then a shuffle of at most |groups| * m tiny rows (m=1024), then a
+|groups|-row final aggregate. The raw keys never cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+H_HEX = 10                 # md5 hex chars consumed -> 40-bit hash
+H_BITS = 4 * H_HEX
+P = 10                     # register-index bits
+M = 1 << P                 # 1024 registers
+W_BITS = H_BITS - P        # 30-bit sub-hash scanned for leading zeros
+# Standard bias constant alpha_m for m >= 128. Embedded as a Python float
+# and rendered with repr() into the oracle SQL so both engines parse the
+# same 17-significant-digit literal.
+ALPHA_M = 0.7213 / (1 + 1.079 / M)
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: list[str], seed: str = "hll"
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., bucket, r).
+
+    The mergeable artifact: union two register tables and re-aggregate
+    max(r) to sketch the union of the underlying key sets.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key)), 1, H_HEX), 16, 10
+    ).cast("long")
+    bucket = F.shiftright(h, W_BITS)
+    w = h.bitwiseAND(F.lit((1 << W_BITS) - 1))
+    rho = (
+        F.when(w == 0, F.lit(W_BITS + 1))
+        .otherwise(F.lit(W_BITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to (group_cols..., n_registers_hit,
+    est_distinct). est_distinct is rounded to 2 decimals — the sketch's
+    resolution dwarfs that."""
+    agg = registers.groupBy(*group_cols).agg(
+        # 2^-r via integer shift: exact dyadic terms, order-independent
+        # sum. F.expr because the Python shiftleft wrapper only takes a
+        # literal shift amount; the SQL function takes expressions.
+        F.sum(F.expr("1.0d / cast(shiftleft(1L, r) as double)"))
+        .alias("sum_pow"),
+        F.count(F.lit(1)).alias("n_registers_hit"),
+    )
+    zeros = (F.lit(M) - F.col("n_registers_hit")).cast("double")
+    # Empty registers contribute 2^-0 = 1 each to the indicator sum.
+    raw = F.lit(ALPHA_M * M * M) / (F.col("sum_pow") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers_hit",
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def hll_oracle_cte(key_sql: str, group_sql: str, seed: str = "hll") -> str:
+    """DuckDB rendering of hll_registers + hll_estimate as chained CTEs.
+
+    ``key_sql`` / ``group_sql`` are SQL fragments over a relation named
+    ``hll_in`` that the caller defines upstream. Produces a relation
+    ``hll_out`` with (group..., n_registers_hit, est_distinct).
+    """
+    mask = (1 << W_BITS) - 1
+
+    def _d(x: float) -> str:
+        # DuckDB parses bare decimal literals as DECIMAL and overflows
+        # multiplying them by integers; force DOUBLE arithmetic.
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return f"""
+hll_h AS (
+    SELECT {group_sql} AS grp,
+           ('0x' || substr(md5('{seed}:' || {key_sql}), 1, {H_HEX}))::BIGINT AS h
+    FROM hll_in
+),
+hll_r AS (
+    SELECT grp, h >> {W_BITS} AS bucket,
+           max(CASE WHEN (h & {mask}) = 0 THEN {W_BITS + 1}
+                    ELSE {W_BITS + 1} - length(bin(h & {mask})) END) AS r
+    FROM hll_h GROUP BY grp, bucket
+),
+hll_agg AS (
+    SELECT grp,
+           sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << r AS DOUBLE))
+             AS sum_pow,
+           count(*) AS n_registers_hit
+    FROM hll_r GROUP BY grp
+),
+hll_out AS (
+    SELECT grp, n_registers_hit,
+           round(CASE WHEN {_d(ALPHA_M * M * M)}
+                           / (sum_pow + ({M} - n_registers_hit))
+                        <= {_d(2.5 * M)}
+                      AND n_registers_hit < {M}
+                      THEN {_d(float(M))}
+                           * ln({_d(float(M))} / ({M} - n_registers_hit))
+                      ELSE {_d(ALPHA_M * M * M)}
+                           / (sum_pow + ({M} - n_registers_hit)) END,
+                 2) AS est_distinct
+    FROM hll_agg
+)"""

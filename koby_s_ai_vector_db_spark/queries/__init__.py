@@ -24,4 +24,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     asof_q,
     range_q,
     hybrid_q,
+    sketch_q,
 )

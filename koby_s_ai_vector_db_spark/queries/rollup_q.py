@@ -37,6 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from koby_s_ai_vector_db_spark.operators.gapfill import (
+    gapfill,
+    gapfill_oracle_sql,
+)
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
 
@@ -110,4 +114,27 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "min_value",
         "max_value",
+    )
+
+
+_GAPFILL_ORACLE = f"""
+WITH gf_in AS (
+    SELECT event_type AS series, ts, value FROM events
+),
+{gapfill_oracle_sql().lstrip()}
+SELECT series AS event_type, bucket, n_events, is_gap,
+       locf_value, interp_value
+FROM gf_out
+"""
+
+
+@register("ts_gapfill", _GAPFILL_ORACLE)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-type value series: dense spine + LOCF +
+    linear interpolation (TimescaleDB time_bucket_gapfill/locf/
+    interpolate — the dashboard shape the reference approximates by
+    GROUP BY over whatever buckets exist, core/views.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill(ev, "event_type", "ts", "value").withColumnRenamed(
+        "series", "event_type"
     )

@@ -1,0 +1,80 @@
+"""Sketch-based analytics: portable HyperLogLog distinct counting.
+
+The reference's dashboards COUNT(DISTINCT ...) per request
+(core/views.py user/session analytics); at 100 TB, distinct user-days
+per event type is answered from a 1024-register mergeable sketch
+(operators/sketches.py) whose registers partial-aggregate map-side and
+whose raw keys never cross the shuffle. The registered query keeps an
+exact arm alongside for self-describing accuracy — production drops it
+(that is the entire point of the sketch), so the plan to copy is the
+est arm: scan -> map-side max per (type, register) -> 1024-row-per-type
+exchange -> scalar estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.sketches import (
+    hll_estimate,
+    hll_oracle_cte,
+    hll_registers,
+)
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+_HLL_ORACLE = f"""
+WITH hll_in AS (
+    SELECT event_type,
+           user_id::VARCHAR || ':' || strftime(ts, '%Y-%m-%d') AS k
+    FROM events
+),
+{hll_oracle_cte(key_sql="k", group_sql="event_type").lstrip()},
+exact AS (
+    SELECT event_type,
+           count(DISTINCT user_id::VARCHAR || ':' || strftime(ts, '%Y-%m-%d'))
+             AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT h.grp AS event_type,
+       e.exact_distinct,
+       h.n_registers_hit,
+       h.est_distinct,
+       round(abs(h.est_distinct - e.exact_distinct)
+             / e.exact_distinct * 100, 2) AS rel_err_pct
+FROM hll_out h JOIN exact e ON h.grp = e.event_type
+"""
+
+
+@register("a17_hll_distinct", _HLL_ORACLE)
+def a17_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active user-days per event type via a cross-engine
+    deterministic HyperLogLog (m=1024) — the sketch answer the reference
+    computes exactly per dashboard request (core/views.py analytics).
+    The exact arm rides along to exhibit the error; the est arm alone is
+    the 100 TB plan (no distinct shuffle of raw keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+    )
+    est = hll_estimate(
+        hll_registers(ev.select("event_type", key.alias("k")), F.col("k"),
+                      ["event_type"]),
+        ["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(key).alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n_registers_hit",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )

@@ -67,11 +67,11 @@ _PRIORITY: list[str] = [
     "ta_gopher_repetition", "ta_pii_scrub",
     "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
     "q2_ann_ivf_idx",
-    # (c) flagships (remaining window). Rotated out to make room (all
-    # r4-green with code unchanged since, still pytest-parity-checked
-    # in-repo every round): q7_fusion, curate_corpus, q1_topk_cosine,
-    # q2_ann, a5_sliding_live_users, a6_session_windows.
-    "dedup_minhash_lsh", "dedup_groups",
+    "a17_hll_distinct", "ts_gapfill",
+    # Rotated out to make room (all r4-green with code unchanged since,
+    # still pytest-parity-checked in-repo every round): q7_fusion,
+    # curate_corpus, q1_topk_cosine, q2_ann, a5_sliding_live_users,
+    # a6_session_windows, dedup_minhash_lsh, dedup_groups.
 ]
 
 

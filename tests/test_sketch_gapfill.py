@@ -1,0 +1,110 @@
+"""Unit tests for operators/sketches.py (portable HLL) and
+operators/gapfill.py (dense spine + LOCF + linear interpolation) on
+constructed inputs with hand-computable answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.gapfill import gapfill
+from koby_s_ai_vector_db_spark.operators.sketches import (
+    M,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_hll_accuracy_on_planted_cardinality(spark):
+    # 5000 distinct keys; HLL sigma at m=1024 is ~3.3%, so 15% is a
+    # generous, flake-free bound.
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    est = hll_estimate(
+        hll_registers(df, F.col("k"), ["g"]), ["g"]
+    ).collect()[0]
+    assert abs(est.est_distinct - 5000) / 5000 < 0.15
+    assert est.n_registers_hit <= M
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    # 100 distinct keys, each repeated 50x -> registers identical to the
+    # distinct set (max is idempotent), estimate near 100.
+    once = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    many = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 100).cast("string").alias("k")
+    )
+    r1 = {(r.bucket, r.r) for r in hll_registers(once, F.col("k"), ["g"]).collect()}
+    r2 = {(r.bucket, r.r) for r in hll_registers(many, F.col("k"), ["g"]).collect()}
+    assert r1 == r2
+    est = hll_estimate(hll_registers(many, F.col("k"), ["g"]), ["g"]).collect()[0]
+    assert abs(est.est_distinct - 100) / 100 < 0.15
+
+
+def test_hll_registers_merge_is_union(spark):
+    # The sketch is mergeable: max-merging the register tables of two
+    # disjoint halves equals the register table of the union.
+    a = spark.range(0, 1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    b = spark.range(1000, 2000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    merged = (
+        hll_registers(a, F.col("k"), ["g"])
+        .unionByName(hll_registers(b, F.col("k"), ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    union = hll_registers(a.unionByName(b), F.col("k"), ["g"])
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in union.collect()
+    }
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, 30)  # mid-hour observation
+
+
+def test_gapfill_locf_and_interpolation(spark):
+    # Series s: observations at hours 0 (v=10) and 3 (v=40); hours 1-2
+    # are gaps. Buckets are on the hour, observations mid-hour, so the
+    # interpolation x-axis runs on BUCKET epochs: hour1 = 10 + 30*(1/3)
+    # = 20, hour2 = 30.
+    df = spark.createDataFrame(
+        [("s", _ts(0), 10.0), ("s", _ts(3), 40.0)], ["series", "ts", "value"]
+    )
+    out = {r.bucket: r for r in gapfill(df, "series", "ts", "value").collect()}
+    assert len(out) == 4
+    assert out["2024-01-01 01:00:00"].is_gap == 1
+    assert out["2024-01-01 01:00:00"].n_events == 0
+    assert out["2024-01-01 01:00:00"].locf_value == 10.0
+    assert out["2024-01-01 01:00:00"].interp_value == 20.0
+    assert out["2024-01-01 02:00:00"].interp_value == 30.0
+    assert out["2024-01-01 00:00:00"].is_gap == 0
+    assert out["2024-01-01 03:00:00"].interp_value == 40.0
+
+
+def test_gapfill_head_backfill_and_tail_locf(spark):
+    # Series b starts later than series a: its head buckets (forced by
+    # a's earlier min) backfill from b's first observation; buckets after
+    # the last observation carry it forward. Output is null-free.
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1.0),
+            ("a", _ts(4), 5.0),
+            ("b", _ts(2), 7.0),
+        ],
+        ["series", "ts", "value"],
+    )
+    rows = gapfill(df, "series", "ts", "value").collect()
+    assert len(rows) == 10  # 2 series x 5 hourly buckets
+    b = {r.bucket: r for r in rows if r.series == "b"}
+    assert b["2024-01-01 00:00:00"].locf_value == 7.0  # head backfill
+    assert b["2024-01-01 00:00:00"].interp_value == 7.0
+    assert b["2024-01-01 04:00:00"].locf_value == 7.0  # tail LOCF
+    assert all(v is not None for r in rows for v in r)
