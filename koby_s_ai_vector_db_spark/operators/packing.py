@@ -1,0 +1,120 @@
+"""Sequence packing — mapping a document corpus onto fixed-length
+training sequences.
+
+The step between a curated corpus and a pretraining run: documents are
+concatenated into a token stream and the stream is cut every ``seq_len``
+tokens (the standard "concat and chunk" packing — every sequence is full,
+documents may straddle a boundary). The reference stops at retrieval and
+has no analogue; this completes the training-data pipeline tier
+(stratified_sample → dedup → decontamination → curate_training_mix →
+pack_sequences).
+
+Scale shape: a single global concatenation order would funnel the
+cumulative-sum window through one reducer, so packing is computed per
+OUTPUT SHARD — exactly how production pipelines write pretraining data
+(each shard file is packed independently; ordering across shards is not
+meaningful). Shard assignment is a portable md5 hash (reproducible in
+DuckDB for the oracle, swap for xxhash64 in production), the running
+offset is a window partitioned by shard — one exchange, parallel across
+shards; choose n_shards >= cluster parallelism at 100 TB and no task sees
+more than corpus_tokens / n_shards. Emitting the (doc, sequence) overlap
+rows is a map-only sequence()/explode over each doc's [offset, offset +
+n_tokens) interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32, sql_hash32
+from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to its training sequences.
+
+    Returns one row per (shard, sequence, document) overlap:
+    (shard, seq_id, doc_id, doc_offset, n_tokens) where ``doc_offset``
+    is the document's start position in the shard's token stream,
+    ``seq_id`` numbers the shard's seq_len-token windows from 0, and
+    ``n_tokens`` is how many of the document's tokens land in that
+    sequence (> 0; a doc spanning b boundaries yields b + 1 rows). Docs
+    with zero tokens are excluded. sum(n_tokens) over the result equals
+    the corpus token count — nothing dropped, nothing padded.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words_expr(text_col)).alias("_nt"),
+        (portable_hash32(F.col(id_col).cast("string"), seed=seed) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    ).filter(F.col("_nt") > 0)
+    by_shard = Window.partitionBy("shard").orderBy("doc_id")
+    with_off = toks.withColumn(
+        "_off", F.sum("_nt").over(by_shard) - F.col("_nt")
+    )
+    # Sequences touched: floor(off / L) .. floor((off + nt - 1) / L);
+    # tokens in sequence s = min(end, (s+1)L) - max(off, sL).
+    L = F.lit(seq_len)
+    return (
+        with_off.select(
+            "shard",
+            "doc_id",
+            F.col("_off").alias("doc_offset"),
+            "_nt",
+            # `div` keeps the bounds integral end-to-end — float division
+            # then cast would misround offsets beyond 2^53.
+            F.explode(
+                F.sequence(
+                    F.expr(f"_off div {seq_len}"),
+                    F.expr(f"(_off + _nt - 1) div {seq_len}"),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "doc_id",
+            "doc_offset",
+            (
+                F.least(F.col("doc_offset") + F.col("_nt"), (F.col("seq_id") + 1) * L)
+                - F.greatest(F.col("doc_offset"), F.col("seq_id") * L)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    seq_len: int, n_shards: int, seed: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB twin: same portable shard hash, same per-shard running
+    offset, generate_series over the touched sequence ids."""
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS nt,
+           CAST({h} % {n_shards} AS INT) AS shard
+    FROM {table}
+),
+with_off AS (
+    SELECT shard, doc_id, nt,
+           CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - nt AS BIGINT) AS off  -- DuckDB windowed sum() is HUGEINT
+    FROM toks WHERE nt > 0
+)
+SELECT shard, s.seq_id, doc_id, off AS doc_offset,
+       least(off + nt, (s.seq_id + 1) * {seq_len})
+         - greatest(off, s.seq_id * {seq_len}) AS n_tokens
+FROM with_off,
+     LATERAL (SELECT unnest(range(off // {seq_len}, (off + nt - 1) // {seq_len} + 1)) AS seq_id) s
+"""

@@ -1,0 +1,146 @@
+"""Repeated-substring detection — the exact-substring dedup tier.
+
+The published training-data hygiene step (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better") removes any token span that
+occurs more than once in the corpus, found there with a suffix array. The
+reference has no analogue (its dedup surface is the filename-keyed upsert,
+core/supabase_utils.py:203-248); this is the corpus-scale production form
+of that hygiene pass, complementing the document-level MinHash/SimHash
+tiers in operators/dedup.py: those flag *documents* that look alike, this
+flags the *positions* of text duplicated verbatim anywhere in the corpus,
+including inside otherwise-unique documents.
+
+Spark-first derivation (no suffix array — that is a single-machine data
+structure): a span of >= k tokens repeats verbatim iff every k-token
+window inside it repeats, so
+
+  1. positional k-gram windows per doc — map-only generate, one row per
+     token position (bind-once tokenization, the r4 CollapseProject
+     lesson: functions/exprs.py);
+  2. windows whose gram text occurs >= min_count times corpus-wide — ONE
+     count window partitioned by gram (no groupBy-plus-self-join: a
+     single exchange on the gram column does both the counting and the
+     filtering);
+  3. per-doc island detection — consecutive duplicated positions merge
+     into maximal spans via the pos - row_number() grouping trick, one
+     exchange on doc_id.
+
+Two shuffles total, each on a key with natural cardinality (gram text,
+doc id); no all-pairs joins, no candidate explosion: a gram occurring a
+million times contributes a count, never a pair list. At 100 TB the
+positional-gram table is ~n_tokens rows — the same order as the shingle
+postings the LSH tier already builds — and both exchanges are map-side
+combined by AQE-sized partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+from koby_s_ai_vector_db_spark.operators.dedup import _WORDS
+
+
+def positional_kgrams_expr(col: str, k: int) -> Column:
+    """array<struct<pos:int, g:string>> — one entry per k-token window
+    position (1-based), empty for rows with < k tokens. The tokenization
+    is bound once; the CASE guards Spark's descending sequence(1, 0) on
+    short rows (same edge as corpus.sliding_shingles_expr)."""
+    w = _WORDS.format(col=col)
+    body = (
+        f"CASE WHEN size(nv) >= {k} THEN"
+        f" transform(sequence(1, size(nv) - {k - 1}),"
+        f" i -> struct(i AS pos, concat_ws(' ', slice(nv, i, {k})) AS g))"
+        f" ELSE array() END"
+    )
+    return F.expr(bind_once(w, body))
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated token spans per document.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_windows): the
+    1-based token range [span_start, span_end] such that every k-token
+    window starting inside [span_start, span_end - k + 1] occurs at least
+    ``min_count`` times corpus-wide (across documents or repeated within
+    one), and the span is maximal — the windows just before and after do
+    not repeat. span_tokens = span_end - span_start + 1 >= k; a
+    downstream cleaner drops or rewrites exactly these ranges.
+    """
+    pos_grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            positional_kgrams_expr(text_col, k).alias("_pg"),
+        )
+        .filter(F.size("_pg") > 0)
+        .select("doc_id", F.explode("_pg").alias("_u"))
+        .select("doc_id", F.col("_u.pos").alias("pos"), F.col("_u.g").alias("g"))
+    )
+    # One exchange on the gram text counts AND filters (vs groupBy + join
+    # back = two scans of the postings through the same shuffle key).
+    dup_pos = (
+        pos_grams.withColumn("_n", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("_n") >= min_count)
+        .select("doc_id", "pos")
+    )
+    # Island detection: consecutive positions share (pos - row_number).
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(by_doc))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def repeated_substring_oracle_sql(
+    k: int = 8, min_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin: struct-list comprehension for positional windows,
+    the same count-over-gram filter and pos - row_number islands."""
+    return f"""
+WITH words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM {table}
+),
+pos_grams AS (
+    SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'g': array_to_string(w[i:i+{k - 1}], ' ')}}
+                       for i in range(1, len(w) - {k} + 2)]) AS u
+        FROM words WHERE len(w) >= {k})
+),
+dup_pos AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n FROM pos_grams)
+    WHERE n >= {min_count}
+),
+islands AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup_pos
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {k - 1} AS span_end,
+       max(pos) + {k - 1} - min(pos) + 1 AS span_tokens,
+       count(*) AS n_windows
+FROM islands GROUP BY doc_id, grp
+"""

@@ -25,4 +25,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     range_q,
     hybrid_q,
     sketch_q,
+    training_q,
 )

@@ -1,0 +1,81 @@
+"""Training-pipeline finishing queries: exact-substring hygiene and
+sequence packing.
+
+These close the corpus-build story that queries/corpus_q.py starts
+(sample → dedup → decontaminate → mix): `dedup_substring` is the
+position-level verbatim-duplication pass (the suffix-array step of
+published pipelines, re-derived as two-shuffle DataFrame algebra —
+operators/substrings.py), and `pack_sequences` maps the surviving corpus
+onto fixed-length training sequences per output shard
+(operators/packing.py). The reference has no analogue for either (its
+dedup surface is the filename-keyed upsert, core/supabase_utils.py:203-248);
+both are north-star pillars with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from koby_s_ai_vector_db_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_oracle_sql,
+)
+from koby_s_ai_vector_db_spark.operators.substrings import (
+    repeated_substring_oracle_sql,
+    repeated_substring_spans,
+)
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+# 8 tokens ≈ the 50-token published threshold scaled to the 31-word
+# fixture vocabulary: random 8-grams (31^8 combinations) never collide,
+# so every flagged span is genuinely copied text (planted near-dups).
+SUBSTR_K = 8
+
+_SUBSTR_ORACLE = f"""
+WITH base AS ({repeated_substring_oracle_sql(k=SUBSTR_K, min_count=2)})
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_tokens AS BIGINT) AS span_tokens, n_windows
+FROM base
+"""
+
+
+@register("dedup_substring", _SUBSTR_ORACLE)
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated >=8-token spans across `documents` — the
+    exact-substring dedup tier: one exchange on gram text (count-window,
+    no self-join), one on doc_id (island merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeated_substring_spans(docs, k=SUBSTR_K, min_count=2)
+    return out.select(
+        "doc_id",
+        out.span_start.cast("long").alias("span_start"),
+        out.span_end.cast("long").alias("span_end"),
+        out.span_tokens.cast("long").alias("span_tokens"),
+        "n_windows",
+    )
+
+
+# 64-token sequences, 8 shards: ~3.4 fixture docs per sequence, every
+# shard packed independently (the per-shard window is the scale story —
+# n_shards scales with the cluster, not the corpus).
+PACK_SEQ_LEN = 64
+PACK_SHARDS = 8
+PACK_SEED = 11
+
+_PACK_ORACLE = pack_sequences_oracle_sql(
+    seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=PACK_SEED
+)
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of `documents` into 64-token sequences
+    across 8 md5-assigned shards: (shard, seq_id, doc_id, doc_offset,
+    n_tokens) with sum(n_tokens) = corpus tokens (nothing dropped or
+    padded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=PACK_SEED
+    )

@@ -65,13 +65,18 @@ _PRIORITY: list[str] = [
     "a14_value_quantiles", "hybrid_rrf", "curate_training_mix",
     "curate_corpus_bm25", "a15_funnel", "a16_retention",
     "ta_gopher_repetition", "ta_pii_scrub",
-    "q2_ann_pq", "q2_ann_ivfpq", "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
+    "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
     "q2_ann_ivf_idx",
     "a17_hll_distinct", "ts_gapfill",
+    "dedup_substring", "pack_sequences",
     # Rotated out to make room (all r4-green with code unchanged since,
     # still pytest-parity-checked in-repo every round): q7_fusion,
     # curate_corpus, q1_topk_cosine, q2_ann, a5_sliding_live_users,
-    # a6_session_windows, dedup_minhash_lsh, dedup_groups.
+    # a6_session_windows, dedup_minhash_lsh, dedup_groups, and (late r5,
+    # displaced by dedup_substring/pack_sequences) q2_ann_pq /
+    # q2_ann_ivfpq — their operators stay exercised through the
+    # still-windowed persisted-index variants q2_ann_pq_idx /
+    # q2_ann_ivfpq_idx.
 ]
 
 

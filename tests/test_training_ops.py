@@ -1,0 +1,115 @@
+"""Hand-computed unit tests for the training-pipeline finishing
+operators: repeated-substring spans and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.packing import pack_sequences
+from koby_s_ai_vector_db_spark.operators.substrings import (
+    repeated_substring_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestRepeatedSubstringSpans:
+    def test_cross_doc_span_is_maximal(self, spark):
+        # "a b c d" (4 tokens) is shared; with k=3 its windows are
+        # "a b c" and "b c d". In d1 it sits at tokens [1,4], in d2 at
+        # [3,6]. No other 3-gram repeats.
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e f"),
+                (2, "x y a b c d z"),
+                (3, "q w e r t y"),
+            ],
+        )
+        out = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+            for r in repeated_substring_spans(docs, k=3).collect()
+        }
+        assert out == {(1, 1, 4, 4, 2), (2, 3, 6, 4, 2)}
+
+    def test_within_doc_repetition_counts(self, spark):
+        # Every "p p p" window repeats within the single doc: one
+        # maximal span covering the whole text.
+        docs = _docs(spark, [(7, "p p p p p")])
+        out = repeated_substring_spans(docs, k=3).collect()
+        assert [(r.doc_id, r.span_start, r.span_end, r.n_windows) for r in out] == [
+            (7, 1, 5, 3)
+        ]
+
+    def test_disjoint_islands_stay_separate(self, spark):
+        # d2 contains d1's prefix AND suffix but not the middle: two
+        # maximal spans, not one merged range.
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c m m m x y z"),
+                (2, "a b c q q q x y z"),
+            ],
+        )
+        out = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_substring_spans(docs, k=3).collect()
+        )
+        assert out == [(1, 1, 3), (1, 7, 9), (2, 1, 3), (2, 7, 9)]
+
+    def test_short_and_unique_docs_empty(self, spark):
+        docs = _docs(spark, [(1, "a b"), (2, "c d e f")])
+        assert repeated_substring_spans(docs, k=3).count() == 0
+
+
+class TestPackSequences:
+    def test_hand_computed_single_shard(self, spark):
+        # One shard makes the doc_id-ordered stream deterministic:
+        # token counts 5, 3, 4 at offsets 0, 5, 8 with seq_len=4 →
+        # d1 spans seqs 0 (4) and 1 (1); d2 fits in seq 1 (3);
+        # d3 starts exactly on the seq-2 boundary (4).
+        docs = _docs(
+            spark,
+            [
+                (1, "a a a a a"),
+                (2, "b b b"),
+                (3, "c c c c"),
+            ],
+        )
+        out = sorted(
+            (r.seq_id, r.doc_id, r.doc_offset, r.n_tokens)
+            for r in pack_sequences(docs, seq_len=4, n_shards=1).collect()
+        )
+        assert out == [(0, 1, 0, 4), (1, 1, 0, 1), (1, 2, 5, 3), (2, 3, 8, 4)]
+
+    def test_conservation_and_fullness(self, spark):
+        # Nothing dropped, nothing padded: per-doc contributions sum to
+        # the doc's token count, and every sequence except possibly the
+        # last of each shard holds exactly seq_len tokens.
+        rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 7))) for i in range(40)]
+        docs = _docs(spark, rows)
+        packed = pack_sequences(docs, seq_len=8, n_shards=4, seed=3)
+        per_doc = {
+            r.doc_id: r.s
+            for r in packed.groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()
+        }
+        assert per_doc == {i: 1 + i % 7 for i in range(40)}
+        per_seq = packed.groupBy("shard", "seq_id").agg(
+            F.sum("n_tokens").alias("s"), F.max("seq_id").alias("q")
+        )
+        last = {
+            r.shard: r.m
+            for r in packed.groupBy("shard").agg(F.max("seq_id").alias("m")).collect()
+        }
+        for r in per_seq.collect():
+            if r.seq_id < last[r.shard]:
+                assert r.s == 8, (r.shard, r.seq_id, r.s)
+            else:
+                assert 0 < r.s <= 8
+
+    def test_empty_docs_excluded(self, spark):
+        docs = _docs(spark, [(1, "   "), (2, "a b")])
+        out = pack_sequences(docs, seq_len=4, n_shards=1).collect()
+        assert [r.doc_id for r in out] == [2]
