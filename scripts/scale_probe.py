@@ -62,6 +62,8 @@ PROBE_QUERIES = [
     "q2_ann_ivfpq_idx",
     "knn_self_join",
     "hybrid_rrf",
+    "dedup_substring",
+    "pack_sequences",
 ]
 
 
@@ -122,7 +124,7 @@ def generate(out_dir: str) -> None:
           file=sys.stderr)
 
 
-def time_queries(sf_dir: str) -> dict[str, float]:
+def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     from koby_s_ai_vector_db_spark import registry
 
     # Drop the previous scale's memoized persists: the probe runs both
@@ -131,7 +133,7 @@ def time_queries(sf_dir: str) -> dict[str, float]:
     _spark().catalog.clearCache()
     qs = registry.queries()
     out: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         fn = qs[name]
         spark = _spark()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -158,19 +160,25 @@ def main() -> int:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1-dir", default="/tmp/koby_sf1")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES (default: all)",
+    )
     args = ap.parse_args()
     if not os.path.exists(f"{args.sf1_dir}/embeddings.parquet"):
         generate(args.sf1_dir)
+    names = args.queries.split(",") if args.queries else PROBE_QUERIES
 
-    t01 = time_queries(SF01)
-    t1 = time_queries(args.sf1_dir)
+    t01 = time_queries(SF01, names)
+    t1 = time_queries(args.sf1_dir, names)
     table = {
         n: {
             "sf0.1_s": t01[n],
             "sf1_s": t1[n],
             "ratio": round(t1[n] / t01[n], 2) if t01[n] else None,
         }
-        for n in PROBE_QUERIES
+        for n in names
     }
     print(json.dumps({"scale_probe": table, "data_ratio": 10.0}, indent=1))
     return 0

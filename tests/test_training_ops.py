@@ -113,3 +113,110 @@ class TestPackSequences:
         docs = _docs(spark, [(1, "   "), (2, "a b")])
         out = pack_sequences(docs, seq_len=4, n_shards=1).collect()
         assert [r.doc_id for r in out] == [2]
+
+
+# --- property tests: brute-force Python references ----------------------
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from koby_s_ai_vector_db_spark.operators.substrings import (  # noqa: E402
+    repeated_substring_spans as _spans_op,
+)
+
+_WORDS_ALPHABET = ["a", "b", "c", "d"]
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS_ALPHABET), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_spans(rows, k, min_count=2):
+    toks = {d: [w for w in t.lower().split() if w] for d, t in rows}
+    cnt: dict[tuple, int] = {}
+    for w in toks.values():
+        for i in range(len(w) - k + 1):
+            g = tuple(w[i : i + k])
+            cnt[g] = cnt.get(g, 0) + 1
+    out = set()
+    for d, w in toks.items():
+        dup = [
+            i + 1
+            for i in range(len(w) - k + 1)
+            if cnt[tuple(w[i : i + k])] >= min_count
+        ]
+        run: list[int] = []
+        for p in dup + [None]:
+            if p is not None and (not run or p == run[-1] + 1):
+                run.append(p)
+                continue
+            if run:
+                out.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+            run = [p] if p is not None else []
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_doc_texts, k=st.integers(2, 4))
+def test_substring_spans_match_bruteforce(spark, texts, k):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in _spans_op(df, k=k).collect()
+    }
+    assert got == _ref_spans(rows, k)
+
+
+def _h32(s: str, seed: int) -> int:
+    salted = f"{seed}:{s}" if seed else s
+    return int(hashlib.md5(salted.encode()).hexdigest()[:8], 16)
+
+
+def _ref_pack(rows, seq_len, n_shards, seed):
+    per_shard: dict[int, list[tuple[int, int]]] = {}
+    for d, t in rows:
+        nt = len([w for w in t.split() if w])
+        if nt:
+            per_shard.setdefault(_h32(str(d), seed) % n_shards, []).append((d, nt))
+    out = set()
+    for shard, docs in per_shard.items():
+        off = 0
+        for d, nt in sorted(docs):
+            for s in range(off // seq_len, (off + nt - 1) // seq_len + 1):
+                out.add(
+                    (
+                        shard,
+                        s,
+                        d,
+                        off,
+                        min(off + nt, (s + 1) * seq_len)
+                        - max(off, s * seq_len),
+                    )
+                )
+            off += nt
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=_doc_texts,
+    seq_len=st.integers(2, 9),
+    n_shards=st.integers(1, 4),
+    seed=st.integers(0, 3),
+)
+def test_pack_sequences_match_bruteforce(spark, texts, seq_len, n_shards, seed):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.shard, r.seq_id, r.doc_id, r.doc_offset, r.n_tokens)
+        for r in pack_sequences(
+            df, seq_len=seq_len, n_shards=n_shards, seed=seed
+        ).collect()
+    }
+    assert got == _ref_pack(rows, seq_len, n_shards, seed)
