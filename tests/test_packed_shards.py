@@ -1,0 +1,111 @@
+"""Persisted packed-shard artifact: round-trip fidelity, fullness, and
+shard partition pruning (sources/packed.py)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.operators.packing import pack_sequences
+from koby_s_ai_vector_db_spark.sources.packed import (
+    build_packed_shards,
+    read_packed_shards,
+)
+
+SEQ_LEN = 5
+N_SHARDS = 2
+SEED = 3
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(1 + (i * 3) % 8)))
+        for i in range(25)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    scratch = tempfile.mkdtemp(prefix="koby_packed_")
+    n = build_packed_shards(
+        corpus, scratch, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+    )
+    yield scratch, n
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_fullness_and_conservation(spark, corpus, built):
+    path, n_seqs = built
+    seqs = read_packed_shards(spark, path)
+    assert seqs.count() == n_seqs
+    total = corpus.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("s")
+    ).collect()[0].s
+    rows = seqs.select("shard", "seq_id", F.size("tokens").alias("n")).collect()
+    assert sum(r.n for r in rows) == total
+    last = {}
+    for r in rows:
+        last[r.shard] = max(last.get(r.shard, -1), r.seq_id)
+    for r in rows:
+        if r.seq_id < last[r.shard]:
+            assert r.n == SEQ_LEN, (r.shard, r.seq_id, r.n)
+        else:
+            assert 0 < r.n <= SEQ_LEN
+
+
+def test_stream_order_round_trip(spark, corpus, built):
+    """Concatenating a shard's sequences in seq_id order reproduces the
+    shard's doc_id-ordered token stream exactly — tokens are unique per
+    doc here, so equality is a strong ordering check."""
+    path, _ = built
+    assign = pack_sequences(
+        corpus, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+    )
+    shard_docs = {
+        r.doc_id: r.shard for r in assign.select("doc_id", "shard").distinct().collect()
+    }
+    words = {
+        r.doc_id: [w for w in r.text.split() if w]
+        for r in corpus.collect()
+    }
+    expected = {}
+    for d in sorted(words):
+        if d in shard_docs:
+            expected.setdefault(shard_docs[d], []).extend(words[d])
+    got = {}
+    for r in sorted(
+        read_packed_shards(spark, path).collect(),
+        key=lambda r: (r.shard, r.seq_id),
+    ):
+        got.setdefault(r.shard, []).extend(r.tokens)
+    assert got == expected
+
+
+def test_n_docs_matches_assignments(spark, corpus, built):
+    path, _ = built
+    assign = pack_sequences(corpus, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED)
+    exp = {
+        (r.shard, r.seq_id): r.n
+        for r in assign.groupBy("shard", "seq_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r.shard, r.seq_id): r.n_docs
+        for r in read_packed_shards(spark, path).collect()
+    }
+    assert got == exp
+
+
+def test_shard_subset_prunes_partitions(spark, built):
+    path, _ = built
+    df = read_packed_shards(spark, path, shards=[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and "PartitionFilters" in scan[0] and "shard" in scan[0].split(
+        "PartitionFilters"
+    )[1], scan
+    assert {r.shard for r in df.collect()} == {0}
