@@ -46,6 +46,21 @@ def build_packed_shards(
     """Materialize the packed corpus under ``path``; returns the number
     of sequences written. Output schema: (seq_id long, tokens
     array<string>, n_docs int, shard int[partition])."""
+    seqs = _assemble_sequences(docs, seq_len, n_shards, seed, id_col, text_col)
+    seqs.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(f"{path}/{DATA_SUBDIR}")
+    return docs.sparkSession.read.parquet(f"{path}/{DATA_SUBDIR}").count()
+
+
+def _assemble_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    seed: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
     assign = pack_sequences(
         docs, seq_len=seq_len, n_shards=n_shards, seed=seed,
         id_col=id_col, text_col=text_col,
@@ -86,10 +101,60 @@ def build_packed_shards(
         ).alias("tokens"),
         F.count("*").cast("int").alias("n_docs"),
     )
-    seqs.repartition("shard").write.mode("overwrite").partitionBy(
+    return seqs
+
+
+def append_to_packed_shards(
+    docs: DataFrame,
+    path: str,
+    seq_len: int,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Absorb a new document batch into an existing packed artifact —
+    the incremental form of `build_packed_shards`, mirroring
+    `append_to_ivfpq_index` / `append_to_text_index` (segment-style
+    append, no wholesale re-pack).
+
+    The batch is packed independently and its sequences are numbered
+    from each shard's current max(seq_id) + 1, so existing sequence
+    files are never rewritten (parquet append touches only the shard
+    partitions the batch lands in). Consequently each shard's previous
+    TAIL sequence stays partial — append creates a new boundary instead
+    of backfilling, exactly like a segment write; a `build_packed_shards`
+    re-pack is the compaction. Shard assignment uses the same hash, so a
+    doc appends into the shard the full rebuild would give it. Returns
+    the number of sequences appended.
+    """
+    spark = docs.sparkSession
+    # Materialize the per-shard bases up front (<= n_shards tiny rows):
+    # the append write must not lazily re-scan the very path it appends
+    # to, and the collected rows pin the pre-append state.
+    base_rows = (
+        spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+        .groupBy("shard")
+        .agg((F.max("seq_id") + 1).alias("_base"))
+        .collect()
+    )
+    base = spark.createDataFrame(
+        [(r.shard, r._base) for r in base_rows] or [(None, None)],
+        "shard int, _base bigint",
+    )
+    batch = _assemble_sequences(docs, seq_len, n_shards, seed, id_col, text_col)
+    shifted = (
+        batch.join(F.broadcast(base), "shard", "left")
+        .withColumn(
+            "seq_id", F.col("seq_id") + F.coalesce("_base", F.lit(0))
+        )
+        .drop("_base")
+    )
+    n = shifted.count()
+    shifted.repartition("shard").write.mode("append").partitionBy(
         "shard"
     ).parquet(f"{path}/{DATA_SUBDIR}")
-    return docs.sparkSession.read.parquet(f"{path}/{DATA_SUBDIR}").count()
+    return n
 
 
 def read_packed_shards(

@@ -109,3 +109,46 @@ def test_shard_subset_prunes_partitions(spark, built):
         "PartitionFilters"
     )[1], scan
     assert {r.shard for r in df.collect()} == {0}
+
+
+def test_append_segment_semantics(spark, corpus):
+    """build(half1) + append(half2): no seq_id collisions, conservation,
+    and every appended doc lands in the shard a full rebuild gives it.
+    The pre-append tail stays partial (segment boundary, documented)."""
+    from koby_s_ai_vector_db_spark.sources.packed import (
+        append_to_packed_shards,
+    )
+
+    half1 = corpus.filter("doc_id < 13")
+    half2 = corpus.filter("doc_id >= 13")
+    scratch = tempfile.mkdtemp(prefix="koby_packed_app_")
+    try:
+        n1 = build_packed_shards(
+            half1, scratch, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        n2 = append_to_packed_shards(
+            half2, scratch, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        seqs = read_packed_shards(spark, scratch).collect()
+        assert len(seqs) == n1 + n2
+        keys = [(r.shard, r.seq_id) for r in seqs]
+        assert len(keys) == len(set(keys)), "seq_id collision after append"
+        total = corpus.select(
+            F.sum(F.size(F.split("text", r"\s+"))).alias("s")
+        ).collect()[0].s
+        assert sum(len(r.tokens) for r in seqs) == total
+        # Shard placement matches the full rebuild (same portable hash).
+        full_assign = pack_sequences(
+            corpus, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        expected_shards = {
+            r.doc_id: r.shard
+            for r in full_assign.select("doc_id", "shard").distinct().collect()
+        }
+        app_assign = pack_sequences(
+            half2, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        for r in app_assign.select("doc_id", "shard").distinct().collect():
+            assert expected_shards[r.doc_id] == r.shard
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
