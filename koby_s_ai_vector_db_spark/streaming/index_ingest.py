@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from koby_s_ai_vector_db_spark.sources.packed import append_to_packed_shards
 from koby_s_ai_vector_db_spark.sources.pq_index import append_to_ivfpq_index
 from koby_s_ai_vector_db_spark.sources.text_index import append_to_text_index
 
@@ -81,6 +82,44 @@ def stream_docs_into_text_index(
         if batch.isEmpty():
             return
         append_to_text_index(batch, index_path)
+
+    return (
+        docs.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_docs_into_packed_shards(
+    spark: SparkSession,
+    source_glob: str,
+    artifact_path: str,
+    checkpoint: str,
+    seq_len: int,
+    n_shards: int,
+    seed: int = 0,
+) -> "object":
+    """Start a stream packing arriving documents into the persisted
+    packed-shard artifact (sources/packed.py), one appended segment per
+    micro-batch. Segment semantics: each micro-batch's sequences are
+    numbered after the shard's current tail, so earlier segments are
+    never rewritten and each batch's own tail stays partial — the
+    training corpus grows append-only; a periodic `build_packed_shards`
+    re-pack is the compaction, exactly like the text-index segment
+    merge."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_glob)
+    )
+
+    def absorb(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_to_packed_shards(
+            batch, artifact_path, seq_len=seq_len, n_shards=n_shards, seed=seed
+        )
 
     return (
         docs.writeStream.foreachBatch(absorb)

@@ -85,3 +85,53 @@ def test_stream_docs_into_text_index(spark, tmp_path_factory):
     idx = search_text_index(spark, path, queries, k=10)
     inline = bm25_rank(docs, queries, k=10)
     assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_stream_docs_into_packed_shards(spark, tmp_path_factory):
+    """Streamed micro-batches grow the packed artifact append-only:
+    conservation holds across all segments, (shard, seq_id) keys stay
+    unique, and one batch-append of the same data yields the same total
+    sequence count as the 3-micro-batch stream (segment boundaries align
+    because both paths append whole batches after the same base)."""
+    from koby_s_ai_vector_db_spark.sources.packed import (
+        append_to_packed_shards,
+        build_packed_shards,
+        read_packed_shards,
+    )
+    from koby_s_ai_vector_db_spark.streaming.index_ingest import (
+        stream_docs_into_packed_shards,
+    )
+
+    root = tmp_path_factory.mktemp("stream_packed")
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(seq_len=32, n_shards=4, seed=5)
+
+    streamed = str(root / "art_stream")
+    build_packed_shards(first, streamed, **kw)
+    src = str(root / "incoming")
+    # ONE file => one micro-batch: the batch-append twin below appends
+    # the same rows in one call, so final states must match exactly.
+    _stage_files(second, src, n_files=1)
+    q = stream_docs_into_packed_shards(
+        spark, src, streamed, checkpoint=str(root / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+
+    batched = str(root / "art_batch")
+    build_packed_shards(first, batched, **kw)
+    append_to_packed_shards(second, batched, **kw)
+
+    s_rows = read_packed_shards(spark, streamed).collect()
+    b_rows = read_packed_shards(spark, batched).collect()
+    key = lambda r: (r.shard, r.seq_id)
+    assert sorted(map(key, s_rows)) == sorted(map(key, b_rows))
+    assert len({key(r) for r in s_rows}) == len(s_rows)
+    assert {key(r): r.tokens for r in s_rows} == {
+        key(r): r.tokens for r in b_rows
+    }
+    total = docs.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("s")
+    ).collect()[0].s
+    assert sum(len(r.tokens) for r in s_rows) == total
