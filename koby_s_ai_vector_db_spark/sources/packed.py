@@ -45,7 +45,8 @@ def build_packed_shards(
 ) -> int:
     """Materialize the packed corpus under ``path``; returns the number
     of sequences written. Output schema: (seq_id long, tokens
-    array<string>, n_docs int, shard int[partition])."""
+    array<string>, doc_ids array<long> in stream order, n_docs int,
+    shard int[partition])."""
     seqs = _assemble_sequences(docs, seq_len, n_shards, seed, id_col, text_col)
     seqs.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
@@ -78,6 +79,7 @@ def _assemble_sequences(
             "shard",
             "seq_id",
             "doc_offset",
+            "doc_id",
             F.slice(
                 "_w",
                 (
@@ -92,13 +94,17 @@ def _assemble_sequences(
     # collect_list is unordered across tasks; array_sort on
     # struct(doc_offset, ...) restores stream order (offsets are unique —
     # each doc appears once per sequence and offsets strictly increase).
+    # doc_ids ride along in the same order: per-sequence provenance for
+    # attribution audits (e.g. tracing a contaminated sequence back to
+    # its source documents) without re-deriving the assignment table.
+    sorted_contrib = F.array_sort(
+        F.collect_list(F.struct("doc_offset", "doc_id", "_toks"))
+    )
     seqs = contrib.groupBy("shard", "seq_id").agg(
         F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_offset", "_toks"))),
-                lambda s: s["_toks"],
-            )
+            F.transform(sorted_contrib, lambda s: s["_toks"])
         ).alias("tokens"),
+        F.transform(sorted_contrib, lambda s: s["doc_id"]).alias("doc_ids"),
         F.count("*").cast("int").alias("n_docs"),
     )
     return seqs

@@ -152,3 +152,21 @@ def test_append_segment_semantics(spark, corpus):
             assert expected_shards[r.doc_id] == r.shard
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_doc_ids_provenance(spark, corpus, built):
+    """Every sequence carries its source doc ids in stream order —
+    matching the assignment table's docs for that sequence, ordered by
+    doc_offset."""
+    path, _ = built
+    assign = pack_sequences(corpus, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED)
+    exp = {}
+    for r in sorted(
+        assign.collect(), key=lambda r: (r.shard, r.seq_id, r.doc_offset)
+    ):
+        exp.setdefault((r.shard, r.seq_id), []).append(r.doc_id)
+    got = {
+        (r.shard, r.seq_id): list(r.doc_ids)
+        for r in read_packed_shards(spark, path).collect()
+    }
+    assert got == exp
