@@ -50,6 +50,10 @@ def pack_sequences(
     with zero tokens are excluded. sum(n_tokens) over the result equals
     the corpus token count — nothing dropped, nothing padded.
     """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words_expr(text_col)).alias("_nt"),

@@ -74,6 +74,10 @@ def repeated_substring_spans(
     not repeat. span_tokens = span_end - span_start + 1 >= k; a
     downstream cleaner drops or rewrites exactly these ranges.
     """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (a 1-gram span is a stopword list), got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
     pos_grams = (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -287,3 +287,17 @@ def test_excise_matches_bruteforce(spark, texts, k):
     ]
     got = {r.doc_id: r.text for r in excise_spans(df, spans_df).collect()}
     assert got == _ref_excise(rows, spans)
+
+
+def test_argument_validation(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_substring_spans(docs, k=1)
+    with _pytest.raises(ValueError):
+        repeated_substring_spans(docs, k=3, min_count=1)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0, n_shards=2)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=4, n_shards=0)
