@@ -61,7 +61,16 @@ def pack_sequences(
         .cast("int")
         .alias("shard"),
     ).filter(F.col("_nt") > 0)
-    by_shard = Window.partitionBy("shard").orderBy("doc_id")
+    # ROWS frame, not Spark's default RANGE: with RANGE, duplicate ids
+    # would each receive a cumulative sum including BOTH tied rows —
+    # overlapping offsets and a silent conservation break. The oracle
+    # pins ROWS too. (Stream order among duplicate ids is still
+    # undefined; ids are expected unique, as everywhere in this repo.)
+    by_shard = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     with_off = toks.withColumn(
         "_off", F.sum("_nt").over(by_shard) - F.col("_nt")
     )

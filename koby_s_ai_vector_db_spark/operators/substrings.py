@@ -105,7 +105,9 @@ def repeated_substring_spans(
             F.count("*").alias("n_windows"),
         )
         .select(
-            "doc_id",
+            # Surface the caller's id name so the output composes with
+            # substring_dup_stats / excise_spans under any id_col.
+            F.col("doc_id").alias(id_col),
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),

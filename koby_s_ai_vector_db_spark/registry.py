@@ -77,14 +77,16 @@ _PRIORITY: list[str] = [
     "q2_ann_ivf_idx",
     "a17_hll_distinct", "ts_gapfill",
     "dedup_substring", "pack_sequences",
-    # Rotated out to make room (all r4-green with code unchanged since,
-    # still pytest-parity-checked in-repo every round): q7_fusion,
-    # curate_corpus, q1_topk_cosine, q2_ann, a5_sliding_live_users,
-    # a6_session_windows, dedup_minhash_lsh, dedup_groups, and (late r5,
-    # displaced by dedup_substring/pack_sequences) q2_ann_pq /
-    # q2_ann_ivfpq — their operators stay exercised through the
-    # still-windowed persisted-index variants q2_ann_pq_idx /
-    # q2_ann_ivfpq_idx.
+    # Rotated out to make room (all r4-green, still pytest-parity-checked
+    # in-repo every round): q7_fusion, curate_corpus, q1_topk_cosine,
+    # q2_ann, a5_sliding_live_users, a6_session_windows,
+    # dedup_minhash_lsh, dedup_groups — code unchanged since r4 — and
+    # (late r5, displaced by dedup_substring/pack_sequences) q2_ann_pq /
+    # q2_ann_ivfpq. The PQ pair's shared operators DID change this round
+    # (the persisted-codes index work), so their external check this
+    # round rides the still-windowed q2_ann_pq_idx / q2_ann_ivfpq_idx,
+    # which execute the same encode/ADC/re-rank operators; the inline
+    # pair additionally passes the in-repo parity suite on current code.
 ]
 
 

@@ -20,13 +20,15 @@ Scale shape: the only exchange beyond pack_sequences' per-shard offset
 window is the (shard, seq_id) assembly groupBy — key cardinality is the
 number of output sequences, values are bounded at seq_len tokens, and
 the write is already partitioned by its read key. Every sequence except
-each shard's tail holds exactly seq_len tokens (asserted at build).
+each shard's tail holds exactly seq_len tokens (proven in
+tests/test_packed_shards.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 from koby_s_ai_vector_db_spark.operators.packing import pack_sequences
@@ -137,13 +139,18 @@ def append_to_packed_shards(
     spark = docs.sparkSession
     # Materialize the per-shard bases up front (<= n_shards tiny rows):
     # the append write must not lazily re-scan the very path it appends
-    # to, and the collected rows pin the pre-append state.
-    base_rows = (
-        spark.read.parquet(f"{path}/{DATA_SUBDIR}")
-        .groupBy("shard")
-        .agg((F.max("seq_id") + 1).alias("_base"))
-        .collect()
-    )
+    # to, and the collected rows pin the pre-append state. A missing
+    # artifact means this is the first batch — base 0 everywhere, so a
+    # stream can bootstrap a fresh path without a prior build.
+    try:
+        base_rows = (
+            spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+            .groupBy("shard")
+            .agg((F.max("seq_id") + 1).alias("_base"))
+            .collect()
+        )
+    except AnalysisException:
+        base_rows = []
     base = spark.createDataFrame(
         [(r.shard, r._base) for r in base_rows] or [(None, None)],
         "shard int, _base bigint",
@@ -156,10 +163,16 @@ def append_to_packed_shards(
         )
         .drop("_base")
     )
-    n = shifted.count()
-    shifted.repartition("shard").write.mode("append").partitionBy(
-        "shard"
-    ).parquet(f"{path}/{DATA_SUBDIR}")
+    # persist: count + write otherwise run the whole pack twice — per
+    # micro-batch, in the streaming path.
+    shifted.persist()
+    try:
+        n = shifted.count()
+        shifted.repartition("shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(f"{path}/{DATA_SUBDIR}")
+    finally:
+        shifted.unpersist()
     return n
 
 

@@ -166,9 +166,13 @@ def main() -> int:
         help="comma-separated subset of PROBE_QUERIES (default: all)",
     )
     args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else PROBE_QUERIES
+    unknown = [n for n in names if n not in PROBE_QUERIES]
+    if unknown:
+        # Fail in milliseconds, not after minutes of corpus generation.
+        ap.error(f"unknown --queries names: {unknown} (choose from PROBE_QUERIES)")
     if not os.path.exists(f"{args.sf1_dir}/embeddings.parquet"):
         generate(args.sf1_dir)
-    names = args.queries.split(",") if args.queries else PROBE_QUERIES
 
     t01 = time_queries(SF01, names)
     t1 = time_queries(args.sf1_dir, names)

@@ -170,3 +170,26 @@ def test_doc_ids_provenance(spark, corpus, built):
         for r in read_packed_shards(spark, path).collect()
     }
     assert got == exp
+
+
+def test_append_bootstraps_fresh_path(spark, corpus):
+    """First append against a never-built path starts every shard at
+    seq_id 0 — a stream can bootstrap without a prior build."""
+    from koby_s_ai_vector_db_spark.sources.packed import (
+        append_to_packed_shards,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="koby_packed_boot_")
+    try:
+        n = append_to_packed_shards(
+            corpus, scratch, seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        built = build_packed_shards(
+            corpus, scratch + "_ref", seq_len=SEQ_LEN, n_shards=N_SHARDS, seed=SEED
+        )
+        assert n == built
+        rows = read_packed_shards(spark, scratch).collect()
+        assert min(r.seq_id for r in rows) == 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(scratch + "_ref", ignore_errors=True)

@@ -301,3 +301,43 @@ def test_argument_validation(spark):
         pack_sequences(docs, seq_len=0, n_shards=2)
     with _pytest.raises(ValueError):
         pack_sequences(docs, seq_len=4, n_shards=0)
+
+
+def test_custom_id_col_composes(spark):
+    """Non-default id_col flows through spans -> stats -> excise."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y a b c d z")],
+        "page_id bigint, body string",
+    )
+    spans = repeated_substring_spans(docs, k=3, id_col="page_id", text_col="body")
+    assert spans.columns[0] == "page_id"
+    from koby_s_ai_vector_db_spark.operators.substrings import (
+        excise_spans,
+        substring_dup_stats,
+    )
+
+    stats = {
+        r.page_id: r.dup_tokens
+        for r in substring_dup_stats(
+            docs, spans, id_col="page_id", text_col="body"
+        ).collect()
+    }
+    assert stats == {1: 4, 2: 4}
+    out = {
+        r.page_id: r.body
+        for r in excise_spans(docs, spans, id_col="page_id", text_col="body").collect()
+    }
+    assert out == {1: "e f", 2: "x y z"}
+
+
+def test_pack_duplicate_ids_conserve_tokens(spark):
+    """Duplicate doc_ids (un-deduped corpus) must not break conservation:
+    the ROWS cumulative frame gives each tied row its own offset."""
+    docs = _docs(spark, [(1, "a b c"), (1, "d e"), (2, "f g h i")])
+    packed = pack_sequences(docs, seq_len=4, n_shards=1)
+    assert packed.groupBy().agg(F.sum("n_tokens").alias("s")).collect()[0].s == 9
+    offs = [
+        r.doc_offset
+        for r in packed.select("doc_id", "doc_offset").distinct().collect()
+    ]
+    assert len(offs) == len(set(offs)), "tied rows shared an offset"
