@@ -78,13 +78,20 @@ def vocabulary() -> list[str]:
     return [r[0] for r in rows]
 
 
-def generate(out_dir: str) -> None:
+def generate(out_dir: str, wide_vocab: int = 0) -> None:
+    """wide_vocab > 0 swaps the 31-word fixture vocabulary for a
+    synthetic one of that size — same row counts, same duplicate rate.
+    Comparing narrow vs wide at the SAME scale isolates the cost of
+    vocabulary crowding (every token-explode key drawn from 31 words)
+    from the cost of data volume."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(SEED)
-    vocab = np.array(vocabulary())
+    vocab = np.array(
+        [f"v{i}" for i in range(wide_vocab)] if wide_vocab else vocabulary()
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     lengths = rng.integers(10, 101, size=N_DOCS)
@@ -165,6 +172,14 @@ def main() -> int:
         default=None,
         help="comma-separated subset of PROBE_QUERIES (default: all)",
     )
+    ap.add_argument(
+        "--wide-vocab",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also generate an N-word-vocabulary twin corpus and report "
+        "narrow-vs-wide wall-time at the same sf1 scale (crowding cost)",
+    )
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else PROBE_QUERIES
     unknown = [n for n in names if n not in PROBE_QUERIES]
@@ -184,7 +199,27 @@ def main() -> int:
         }
         for n in names
     }
-    print(json.dumps({"scale_probe": table, "data_ratio": 10.0}, indent=1))
+    out = {"scale_probe": table, "data_ratio": 10.0}
+
+    if args.wide_vocab:
+        wide_dir = f"{args.sf1_dir}_wide{args.wide_vocab}"
+        if not os.path.exists(f"{wide_dir}/embeddings.parquet"):
+            generate(wide_dir, wide_vocab=args.wide_vocab)
+        tw = time_queries(wide_dir, names)
+        out["wide_vocab"] = {
+            "vocab_size": args.wide_vocab,
+            "per_query": {
+                n: {
+                    "narrow_sf1_s": t1[n],
+                    "wide_sf1_s": tw[n],
+                    "wide_over_narrow": (
+                        round(tw[n] / t1[n], 2) if t1[n] else None
+                    ),
+                }
+                for n in names
+            },
+        }
+    print(json.dumps(out, indent=1))
     return 0
 
 

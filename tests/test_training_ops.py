@@ -341,3 +341,27 @@ def test_pack_duplicate_ids_conserve_tokens(spark):
         for r in packed.select("doc_id", "doc_offset").distinct().collect()
     ]
     assert len(offs) == len(set(offs)), "tied rows shared an offset"
+
+
+def test_giant_document_no_cliff(spark):
+    """A single 100k-token document (the long-tail shape that breaks
+    per-doc collect-based implementations) flows through both operators:
+    the positional explode is linear rows, the pack emits one row per
+    crossed boundary, and nothing materializes the doc per-executor-core
+    beyond its own partition."""
+    n = 100_000
+    # Two half-overlapping repeats guarantee spans; the rest is unique.
+    body = " ".join(f"t{i}" for i in range(n - 200))
+    rep = " ".join(f"r{i % 50}" for i in range(200))
+    giant = body + " " + rep
+    docs = _docs(spark, [(1, giant), (2, rep)])
+    spans = repeated_substring_spans(docs, k=8).collect()
+    assert {r.doc_id for r in spans} == {1, 2}
+    for r in spans:
+        assert r.span_tokens >= 8
+    packed = pack_sequences(docs, seq_len=2048, n_shards=4)
+    agg = {r.doc_id: r.s for r in packed.groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()}
+    assert agg == {1: n, 2: 200}
+    # The giant doc crosses ~n/2048 boundaries -> that many +1 rows.
+    n_rows = packed.filter("doc_id = 1").count()
+    assert n_rows in (n // 2048, n // 2048 + 1, n // 2048 + 2)
