@@ -1,0 +1,397 @@
+"""Data-selection operators: DSIR importance scoring, LM-perplexity
+quality bucketing, and token-budget corpus mixing.
+
+These are the model-targeted data-SELECTION tier of the training-data
+pipeline, complementing the hygiene tier (dedup/decontamination,
+operators/dedup.py, operators/corpus.py) and the packing tier
+(operators/packing.py). The reference has no analogue — its quality
+signal is the per-answer token-overlap score
+(core/supabase_utils.py:250-367); these are the published-pipeline forms
+of "keep the data that looks like what you want the model to learn":
+
+- DSIR (hashed n-gram importance resampling, Xie et al. 2023,
+  arXiv:2302.03169): per-document log importance weight
+  log p_target(features) - log p_raw(features) under bag-of-hashed-ngram
+  unigram models of a target domain vs the raw corpus.
+- CCNet-style perplexity filtering (Wenzek et al. 2019,
+  arXiv:1911.00359): per-document perplexity under a bigram LM trained
+  on a high-quality subset, bucketed head/middle/tail by corpus
+  percentiles.
+- Token-budget mixing (the repeats/epochs arithmetic of
+  data-constrained training, Muennighoff et al. 2023, arXiv:2305.16264):
+  deterministic per-document copy counts that hit a target per-stratum
+  token mixture, with epochs > 1 expressing data repetition.
+
+Design rules are repo-wide: tokenization identical in both engines (the
+dedup `_WORDS` split), md5-portable hashing, ln/exp applied to
+identically-derived doubles with rounding at the output edge, candidate
+work by equi-join on broadcast model tables — never all-pairs, never a
+driver-side loop.
+
+100 TB shapes
+-------------
+- DSIR: the model is B buckets (B = 1024 here) — two map-side-combined
+  groupBy(bucket) aggregates produce it, a broadcast joins it back, and
+  the only full shuffle is the per-doc score sum keyed by doc id.
+- Perplexity: the LM tables are bounded by the (small, curated) LM
+  corpus — bigram and context counts broadcast; scoring is a map-only
+  explode + broadcast joins + one per-doc aggregation; the bucket
+  thresholds are a 1-row percentile aggregate cross-broadcast back.
+- Mixing: one tiny per-stratum aggregate broadcast back, then MAP-ONLY
+  per-row copy counts — no shuffle touches the corpus rows; the summary
+  re-aggregates per stratum (bounded output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+from koby_s_ai_vector_db_spark.operators.corpus import sliding_shingles_expr
+from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+DSIR_BUCKETS = 1024
+DSIR_SEED = 11
+SMOOTH_ALPHA = 1.0  # Laplace add-one: integer numerators/denominators
+
+
+def ngram_feature_expr(text_col: str) -> Column:
+    """Unigram + positional-bigram feature stream of a text column (the
+    DSIR feature map before hashing). Non-distinct: importance weights
+    count occurrences."""
+    return F.concat(
+        words_expr(text_col), sliding_shingles_expr(text_col, 2)
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    alpha: float = SMOOTH_ALPHA,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance score over hashed n-gram features.
+
+    score(d) = Σ_{f ∈ features(d)}  ln p_t(h(f)) − ln p_r(h(f))
+    p_x(b) = (count_x(b) + α) / (total_x + α·B)
+
+    ``target`` is a boolean Column marking the rows whose feature
+    distribution defines the TARGET domain (the raw distribution is the
+    whole input). Documents with zero features (empty text) are absent
+    from the output. Scores are rounded at the edge — the per-doc sum
+    folds doubles in shuffle order.
+
+    Positive score ⇒ the document looks more like the target domain than
+    like the average of the corpus; downstream selection keeps the top
+    fraction or samples ∝ exp(score/τ).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
+
+    feats = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        target.alias("_is_target"),
+        F.explode(ngram_feature_expr(text_col)).alias("_f"),
+    ).withColumn(
+        "_b", portable_hash32(F.col("_f"), seed=seed) % n_buckets
+    )
+
+    # The model: per-bucket raw + target occurrence counts (B-bounded
+    # result, map-side combined) with the two totals as a cross-broadcast
+    # 1-row aggregate folded in via window-free literal arithmetic.
+    cnt = feats.groupBy("_b").agg(
+        F.count("*").alias("_raw"),
+        F.sum(F.col("_is_target").cast("long")).alias("_tgt"),
+    )
+    totals = cnt.agg(
+        F.sum("_raw").alias("_n_raw"), F.sum("_tgt").alias("_n_tgt")
+    )
+    lam = (
+        cnt.join(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_tgt") + alpha) / (F.col("_n_tgt") + alpha * n_buckets))
+                - F.log((F.col("_raw") + alpha) / (F.col("_n_raw") + alpha * n_buckets))
+            ).alias("_lam"),
+        )
+    )
+
+    scored = (
+        feats.join(F.broadcast(lam), "_b")
+        .groupBy(id_col, *carry_cols)
+        .agg(F.count("*").alias("n_feat"), F.sum("_lam").alias("_s"))
+    )
+    return scored.select(
+        id_col,
+        *carry_cols,
+        "n_feat",
+        F.round("_s", round_to).alias("score"),
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    alpha: float = SMOOTH_ALPHA,
+    carry_cols: tuple[str, ...] = (),
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `dsir_scores` over ``table`` (doc_id, text, ...).
+    ``target_pred`` is a SQL boolean over the table's columns."""
+    from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+
+    carry = "".join(f", {c}" for c in carry_cols)
+    return f"""
+WITH words AS (
+    SELECT doc_id{carry}, ({target_pred}) AS is_target,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM {table}
+),
+feats AS (
+    SELECT doc_id{carry}, is_target,
+           {sql_hash32("f", seed=seed)} % {n_buckets} AS b
+    FROM (
+        SELECT doc_id{carry}, is_target,
+               unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS f
+        FROM words
+    )
+),
+cnt AS (
+    SELECT b, count(*) AS raw_n, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n
+    FROM feats GROUP BY b
+),
+totals AS (SELECT sum(raw_n) AS n_raw, sum(tgt_n) AS n_tgt FROM cnt),
+lam AS (
+    SELECT b, ln((tgt_n + {alpha}) / (n_tgt + {alpha} * {n_buckets}))
+            - ln((raw_n + {alpha}) / (n_raw + {alpha} * {n_buckets})) AS lam
+    FROM cnt CROSS JOIN totals
+)
+SELECT doc_id{carry}, count(*) AS n_feat, round(sum(lam), 6) AS score
+FROM feats JOIN lam USING (b)
+GROUP BY doc_id{carry}
+"""
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    alpha: float = SMOOTH_ALPHA,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under an add-α bigram LM trained on
+    ``lm_docs`` (the CCNet quality signal, with a bigram model standing
+    in for KenLM's 5-gram — same join shapes at any order).
+
+    p(w | prev) = (c2(prev, w) + α) / (c1(prev) + α·V)
+    nll(d) = −(1/n) Σ ln p,   ppl(d) = e^{nll}
+
+    c2 counts bigram occurrences in the LM corpus, c1 counts context
+    occurrences (= c2 summed over w), V = LM vocabulary + 1 (the unseen
+    token mass). Out-of-vocabulary events degrade smoothly: unseen bigram
+    → α/(c1 + αV); unseen context → 1/V. Documents with < 2 tokens have
+    no bigram events and are absent from the output.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
+
+    def bigrams(df: DataFrame, cols: list[Column]) -> DataFrame:
+        return df.select(
+            *cols, F.explode(sliding_shingles_expr(text_col, 2)).alias("g")
+        )
+
+    lm_post = bigrams(lm_docs, []).withColumn(
+        "prev", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    )
+    c2 = lm_post.groupBy("g").agg(F.count("*").alias("c2"))
+    c1 = lm_post.groupBy("prev").agg(F.count("*").alias("c1"))
+    vocab = lm_docs.select(
+        F.explode(words_expr(text_col)).alias("w")
+    ).agg((F.countDistinct("w") + 1).cast("double").alias("v"))
+
+    events = (
+        bigrams(docs, [F.col(id_col), *[F.col(c) for c in carry_cols]])
+        .withColumn("prev", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c2), "g", "left")
+        .join(F.broadcast(c1), "prev", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + alpha)
+                / (F.coalesce("c1", F.lit(0)) + alpha * F.col("v"))
+            ),
+        )
+    )
+    scored = events.groupBy(id_col, *carry_cols).agg(
+        F.count("*").alias("n_events"), F.sum("_lp").alias("_ll")
+    )
+    nll = -F.col("_ll") / F.col("n_events")
+    return scored.select(
+        id_col,
+        *carry_cols,
+        "n_events",
+        F.round(nll, round_to).alias("nll"),
+        F.round(F.exp(nll), round_to).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    head_q: float = 1.0 / 3.0,
+    middle_q: float = 2.0 / 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket by corpus-wide perplexity
+    percentiles (head = most fluent third). Thresholds are a 1-row exact
+    percentile aggregate over the ROUNDED ppl (both engines interpolate
+    from identical inputs), cross-broadcast back — bucketing itself is
+    map-only. Both the threshold aggregate and the bucket join consume
+    ``scored``: persist (or materialize) it so the corpus-sized scoring
+    pipeline runs once, not twice."""
+    if not 0 < head_q < middle_q < 1:
+        raise ValueError(
+            f"need 0 < head_q < middle_q < 1, got {head_q}, {middle_q}"
+        )
+    cuts = scored.agg(
+        F.round(
+            F.percentile(ppl_col, F.lit(head_q)), round_to
+        ).alias("_t_head"),
+        F.round(
+            F.percentile(ppl_col, F.lit(middle_q)), round_to
+        ).alias("_t_mid"),
+    )
+    out = scored.join(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("_t_head"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("_t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        *[c for c in scored.columns], bucket.alias("bucket")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic per-document copy counts hitting a target token
+    mixture: stratum s should contribute weight(s)·budget tokens; with
+    fewer available the data REPEATS (epochs > 1), with more it
+    downsamples — the data-constrained-training recipe.
+
+    n_copies(d) = ⌊epochs(s)⌋ + [hash_ppm(id) < frac(epochs(s))·10⁶]
+    epochs(s) = weight(s)·budget / available_tokens(s)
+
+    One tiny per-stratum aggregate is broadcast back; the per-row copy
+    count is MAP-ONLY (portable md5 ppm threshold — the
+    `stratified_sample` mechanism generalized past rate 1.0). Strata
+    absent from ``weights`` get weight 0 and drop out. In expectation
+    each stratum achieves its target exactly; a fixed corpus realizes it
+    to within the Bernoulli noise of the fractional part.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(words_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    avail = toks.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.count("*").alias("n_docs_in"),
+    )
+    w_expr = F.lit(0.0)
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(w_expr)
+    plan = avail.select(
+        strata_col,
+        "avail_tokens",
+        "n_docs_in",
+        (w_expr * token_budget).alias("target_tokens"),
+        (w_expr * token_budget / F.col("avail_tokens")).alias("epochs"),
+    )
+
+    h = portable_hash32(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    frac = F.col("epochs") - F.floor("epochs")
+    n_copies = F.floor("epochs").cast("long") + F.when(
+        h < F.round(frac * 1_000_000, 0).cast("long"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        toks.join(F.broadcast(plan), strata_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(id_col, strata_col, "n_tokens", "n_copies")
+    )
+
+
+def token_budget_mix_summary(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 23,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-stratum audit of `token_budget_mix`: available vs target vs
+    achieved tokens and the epoch (repeat) factor. Bounded output —
+    one row per stratum."""
+    mix = token_budget_mix(
+        docs, weights, token_budget, strata_col, id_col, text_col, seed
+    )
+    toks = docs.select(
+        F.col(strata_col),
+        F.size(words_expr(text_col)).cast("long").alias("_nt"),
+    )
+    avail = toks.groupBy(strata_col).agg(
+        F.sum("_nt").alias("avail_tokens"), F.count("*").alias("n_docs_in")
+    )
+    w_expr = F.lit(0.0)
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(w_expr)
+    achieved = mix.groupBy(strata_col).agg(
+        F.sum(F.col("n_tokens") * F.col("n_copies")).alias("achieved_tokens"),
+        F.sum("n_copies").alias("achieved_docs"),
+    )
+    return (
+        avail.join(achieved, strata_col, "left")
+        .select(
+            strata_col,
+            "n_docs_in",
+            "avail_tokens",
+            F.round(w_expr * token_budget, round_to).alias("target_tokens"),
+            F.round(
+                w_expr * token_budget / F.col("avail_tokens"), round_to
+            ).alias("epochs"),
+            F.coalesce("achieved_tokens", F.lit(0)).alias("achieved_tokens"),
+            F.coalesce("achieved_docs", F.lit(0)).alias("achieved_docs"),
+        )
+    )

@@ -26,4 +26,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     hybrid_q,
     sketch_q,
     training_q,
+    selection_q,
 )

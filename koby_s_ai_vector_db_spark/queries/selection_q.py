@@ -1,0 +1,177 @@
+"""Data-selection queries: DSIR importance scores, CCNet-style
+perplexity buckets, token-budget corpus mixing.
+
+The model-targeted selection tier of the training-data pipeline
+(operators/selection.py). The reference's only quality signal is the
+token-overlap answer scorer (core/supabase_utils.py:250-367); these are
+the published-pipeline "keep what looks like the target" forms. The
+fixture's `source = 'src0'` documents stand in for the curated target /
+LM-training domain (a Wikipedia-like reference corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+from koby_s_ai_vector_db_spark.operators.selection import (
+    DSIR_BUCKETS,
+    DSIR_SEED,
+    dsir_oracle_sql,
+    dsir_scores,
+    lm_perplexity,
+    perplexity_buckets,
+    token_budget_mix_summary,
+)
+from koby_s_ai_vector_db_spark.registry import register
+from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+TARGET_SOURCE = "src0"
+
+_DSIR_ORACLE = dsir_oracle_sql(
+    f"source = '{TARGET_SOURCE}'", carry_cols=("lang", "source")
+)
+
+
+@register("dsir_score", _DSIR_ORACLE)
+def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score of every document against the src0 target
+    domain: hashed unigram+bigram log-likelihood ratio. The model is a
+    1024-bucket table built by two map-side-combined aggregates and
+    broadcast back; the only corpus-sized shuffle is the per-doc score
+    sum (operators/selection.py::dsir_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs,
+        target=F.col("source") == TARGET_SOURCE,
+        carry_cols=("lang", "source"),
+        n_buckets=DSIR_BUCKETS,
+        seed=DSIR_SEED,
+    )
+
+
+_PPL_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+lm_post AS (
+    SELECT g, split_part(g, ' ', 1) AS prev
+    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM words WHERE source = '{TARGET_SOURCE}')
+),
+c2 AS (SELECT g, count(*) AS c2 FROM lm_post GROUP BY g),
+c1 AS (SELECT prev, count(*) AS c1 FROM lm_post GROUP BY prev),
+vocab AS (
+    SELECT (count(DISTINCT t) + 1)::DOUBLE AS v
+    FROM (SELECT unnest(w) AS t FROM words WHERE source = '{TARGET_SOURCE}')
+),
+events AS (
+    SELECT e.doc_id, e.lang,
+           ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * vocab.v)) AS lp
+    FROM (SELECT doc_id, lang,
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM words) e
+    LEFT JOIN c2 USING (g)
+    LEFT JOIN c1 ON c1.prev = split_part(e.g, ' ', 1)
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id, lang, count(*) AS n_events,
+           round(-sum(lp) / count(*), 6) AS nll,
+           round(exp(-sum(lp) / count(*)), 6) AS ppl
+    FROM events GROUP BY doc_id, lang
+),
+cuts AS (
+    SELECT round(quantile_cont(ppl, {1.0 / 3.0!r}), 6) AS t_head,
+           round(quantile_cont(ppl, {2.0 / 3.0!r}), 6) AS t_mid
+    FROM scored
+)
+SELECT doc_id, lang, n_events, nll, ppl,
+       CASE WHEN ppl <= t_head THEN 'head'
+            WHEN ppl <= t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cuts
+"""
+
+
+@register("ccnet_ppl_buckets", _PPL_ORACLE)
+def ccnet_ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per-document perplexity under an
+    add-one bigram LM trained on the src0 subset, split head/middle/tail
+    at the corpus 1/3 and 2/3 percentiles. LM tables are broadcast;
+    scoring is map-only explode + one per-doc aggregation; thresholds
+    are a 1-row percentile aggregate (operators/selection.py)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("source") == TARGET_SOURCE)
+    # The threshold aggregate and the bucket join both consume the
+    # per-doc scores; persist so the corpus-sized scoring pipeline runs
+    # once, not twice (at 100 TB: materialize the score table).
+    scored = memo_persist(
+        spark,
+        ("ccnet_scored", sf_dir),
+        lambda: lm_perplexity(docs, lm, carry_cols=("lang",)),
+    )
+    return perplexity_buckets(scored)
+
+
+# Mixture spec: en-heavy with deliberate repeat (epochs > 1) and
+# downsample (epochs < 1) regimes at sf0.01 token counts; 'fr' is
+# intentionally absent → weight 0 → dropped from the mix.
+MIX_WEIGHTS = {"en": 0.45, "de": 0.3, "zh": 0.15, "es": 0.1}
+MIX_BUDGET = 20_000
+MIX_SEED = 23
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
+)
+
+_MIXBUDGET_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
+    FROM documents
+),
+plan AS (
+    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
+           (CASE {_MIX_CASE} ELSE 0.0 END) * {MIX_BUDGET} AS target_tokens,
+           (CASE {_MIX_CASE} ELSE 0.0 END) * {MIX_BUDGET} / sum(n_tokens) AS epochs
+    FROM toks GROUP BY lang
+),
+mix AS (
+    SELECT t.lang, t.n_tokens,
+           CAST(floor(p.epochs) AS BIGINT)
+           + (CASE WHEN {sql_hash32("CAST(t.doc_id AS VARCHAR)", seed=MIX_SEED)} % 1000000
+                        < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+                   THEN 1 ELSE 0 END) AS n_copies
+    FROM toks t JOIN plan p USING (lang)
+),
+achieved AS (
+    SELECT lang, sum(n_tokens * n_copies) AS achieved_tokens,
+           sum(n_copies) AS achieved_docs
+    FROM mix GROUP BY lang
+)
+SELECT p.lang, p.n_docs_in, p.avail_tokens,
+       round(p.target_tokens, 6) AS target_tokens,
+       round(p.epochs, 6) AS epochs,
+       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
+       coalesce(a.achieved_docs, 0) AS achieved_docs
+FROM plan p LEFT JOIN achieved a USING (lang)
+"""
+
+
+@register("mix_token_budget", _MIXBUDGET_ORACLE)
+def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing audit: per-language available vs target
+    vs achieved tokens with the epoch (repeat) factor — epochs > 1 means
+    the stratum repeats, < 1 downsamples, weight-0 strata drop. Copy
+    counts are map-only after one broadcast per-stratum aggregate
+    (operators/selection.py::token_budget_mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix_summary(
+        docs, MIX_WEIGHTS, MIX_BUDGET, strata_col="lang", seed=MIX_SEED
+    )
