@@ -107,11 +107,14 @@ def dsir_scores(
 
     # The model: per-bucket raw + target occurrence counts (B-bounded
     # result, map-side combined) with the two totals as a cross-broadcast
-    # 1-row aggregate folded in via window-free literal arithmetic.
+    # 1-row aggregate folded in. cnt feeds BOTH totals and the λ table —
+    # localCheckpoint the ≤B-row result so the corpus-sized feats subtree
+    # runs once for the model build and once for scoring, not three
+    # times (the diamond otherwise re-derives feats per consumer).
     cnt = feats.groupBy("_b").agg(
         F.count("*").alias("_raw"),
         F.sum(F.col("_is_target").cast("long")).alias("_tgt"),
-    )
+    ).localCheckpoint()
     totals = cnt.agg(
         F.sum("_raw").alias("_n_raw"), F.sum("_tgt").alias("_n_tgt")
     )
@@ -294,11 +297,16 @@ def token_budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 23,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-document copy counts hitting a target token
     mixture: stratum s should contribute weight(s)·budget tokens; with
     fewer available the data REPEATS (epochs > 1), with more it
     downsamples — the data-constrained-training recipe.
+
+    ``tokens_col`` names a precomputed per-doc token-count column to use
+    instead of tokenizing ``text_col`` (pipeline composition: upstream
+    stages often already carry n_tokens).
 
     n_copies(d) = ⌊epochs(s)⌋ + [hash_ppm(id) < frac(epochs(s))·10⁶]
     epochs(s) = weight(s)·budget / available_tokens(s)
@@ -318,10 +326,13 @@ def token_budget_mix(
     if bad:
         raise ValueError(f"negative mixture weights: {bad}")
 
+    n_tok = (
+        F.col(tokens_col) if tokens_col else F.size(words_expr(text_col))
+    )
     toks = docs.select(
         F.col(id_col),
         F.col(strata_col),
-        F.size(words_expr(text_col)).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
     )
     avail = toks.groupBy(strata_col).agg(
         F.sum("n_tokens").alias("avail_tokens"),
@@ -360,16 +371,21 @@ def token_budget_mix_summary(
     text_col: str = "text",
     seed: int = 23,
     round_to: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum audit of `token_budget_mix`: available vs target vs
     achieved tokens and the epoch (repeat) factor. Bounded output —
     one row per stratum."""
     mix = token_budget_mix(
-        docs, weights, token_budget, strata_col, id_col, text_col, seed
+        docs, weights, token_budget, strata_col, id_col, text_col, seed,
+        tokens_col,
+    )
+    n_tok = (
+        F.col(tokens_col) if tokens_col else F.size(words_expr(text_col))
     )
     toks = docs.select(
         F.col(strata_col),
-        F.size(words_expr(text_col)).cast("long").alias("_nt"),
+        n_tok.cast("long").alias("_nt"),
     )
     avail = toks.groupBy(strata_col).agg(
         F.sum("_nt").alias("avail_tokens"), F.count("*").alias("n_docs_in")

@@ -175,3 +175,185 @@ def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix_summary(
         docs, MIX_WEIGHTS, MIX_BUDGET, strata_col="lang", seed=MIX_SEED
     )
+
+
+# --- end-to-end pretraining-corpus pipeline ---------------------------------
+# The full composition a pretraining corpus build runs, value-checked in
+# ONE oracle: stratified sample → exact dedup → 3-gram benchmark
+# decontamination → perplexity gate (drop the least-fluent tail third) →
+# token-budget mixing with repeats. Each stage is an already-oracled
+# operator; like curate_training_mix this query's value is checking the
+# COMPOSITION end-to-end on both engines — cross-stage wiring bugs
+# (wrong survivor set feeding the LM gate, thresholds computed over the
+# wrong population, mixing over pre-gate token counts) are exactly what
+# single-stage oracles cannot catch.
+PIPE_BUDGET = 10_000
+
+_PIPE_ORACLE = f"""
+WITH sampled AS (
+    SELECT doc_id, text, lang FROM documents
+    WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", seed=7)} % 1000000
+          < CAST(round((CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5
+                             WHEN lang = 'zh' THEN 0.1 ELSE 0.05 END) * 1000000) AS BIGINT)
+),
+deduped AS (
+    SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+    FROM sampled GROUP BY text
+),
+words_all AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+b_post AS (
+    SELECT DISTINCT g FROM (
+        SELECT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)])) AS g
+        FROM words_all WHERE doc_id % 37 = 0 AND len(w) >= 3
+    )
+),
+d_words AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM deduped
+),
+contaminated AS (
+    SELECT DISTINCT dp.doc_id FROM (
+        SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                             for i in range(1, len(w) - 1)])) AS g
+        FROM d_words WHERE len(w) >= 3
+    ) dp JOIN b_post USING (g)
+    WHERE dp.doc_id % 37 <> 0
+),
+surv AS (
+    SELECT doc_id, lang, w, len(w)::BIGINT AS n_tokens FROM d_words
+    WHERE doc_id % 37 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+lm_post AS (
+    SELECT g, split_part(g, ' ', 1) AS prev
+    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM words_all WHERE source = '{TARGET_SOURCE}')
+),
+c2 AS (SELECT g, count(*) AS c2 FROM lm_post GROUP BY g),
+c1 AS (SELECT prev, count(*) AS c1 FROM lm_post GROUP BY prev),
+vocab AS (
+    SELECT (count(DISTINCT t) + 1)::DOUBLE AS v
+    FROM (SELECT unnest(w) AS t FROM words_all WHERE source = '{TARGET_SOURCE}')
+),
+events AS (
+    SELECT e.doc_id, e.lang, e.n_tokens,
+           ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * vocab.v)) AS lp
+    FROM (SELECT doc_id, lang, n_tokens,
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM surv) e
+    LEFT JOIN c2 USING (g)
+    LEFT JOIN c1 ON c1.prev = split_part(e.g, ' ', 1)
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id, lang, n_tokens,
+           round(exp(-sum(lp) / count(*)), 6) AS ppl
+    FROM events GROUP BY doc_id, lang, n_tokens
+),
+cuts AS (
+    SELECT round(quantile_cont(ppl, {1.0 / 3.0!r}), 6) AS t_head,
+           round(quantile_cont(ppl, {2.0 / 3.0!r}), 6) AS t_mid
+    FROM scored
+),
+gated AS (
+    SELECT s.doc_id, s.lang, s.n_tokens FROM scored s CROSS JOIN cuts
+    WHERE s.ppl <= cuts.t_mid
+),
+plan AS (
+    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
+           (CASE {_MIX_CASE} ELSE 0.0 END) * {PIPE_BUDGET} AS target_tokens,
+           (CASE {_MIX_CASE} ELSE 0.0 END) * {PIPE_BUDGET} / sum(n_tokens) AS epochs
+    FROM gated GROUP BY lang
+),
+mix AS (
+    SELECT g.lang, g.n_tokens,
+           CAST(floor(p.epochs) AS BIGINT)
+           + (CASE WHEN {sql_hash32("CAST(g.doc_id AS VARCHAR)", seed=MIX_SEED)} % 1000000
+                        < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+                   THEN 1 ELSE 0 END) AS n_copies
+    FROM gated g JOIN plan p USING (lang)
+),
+achieved AS (
+    SELECT lang, sum(n_tokens * n_copies) AS achieved_tokens,
+           sum(n_copies) AS achieved_docs
+    FROM mix GROUP BY lang
+)
+SELECT p.lang, p.n_docs_in, p.avail_tokens,
+       round(p.target_tokens, 6) AS target_tokens,
+       round(p.epochs, 6) AS epochs,
+       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
+       coalesce(a.achieved_docs, 0) AS achieved_docs
+FROM plan p LEFT JOIN achieved a USING (lang)
+"""
+
+
+@register("curate_pretrain_pipeline", _PIPE_ORACLE)
+def curate_pretrain_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pretraining corpus build, stage-composed and value-checked
+    end-to-end: per-language stratified sample → exact dedup → 3-gram
+    benchmark decontamination → bigram-LM perplexity gate dropping the
+    tail third → token-budget mixing with repeats. Plan: one map-only
+    sample filter, one dedup shuffle, one broadcast postings join,
+    map-only LM scoring over broadcast model tables, one per-doc
+    aggregation (persisted — thresholds and mixing both consume it),
+    then per-stratum bounded aggregates."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.operators.corpus import (
+        ngram_contamination,
+        stratified_sample,
+    )
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+    from koby_s_ai_vector_db_spark.queries.corpus_q import (
+        CONTAM_MOD,
+        CONTAM_N,
+        SAMPLE_DEFAULT,
+        SAMPLE_RATES,
+        SAMPLE_SEED,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs.select("doc_id", "text", "lang"),
+        SAMPLE_RATES,
+        strata_col="lang",
+        default_rate=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    )
+    deduped = sampled.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    flagged = (
+        ngram_contamination(deduped, bench, n=CONTAM_N)
+        .filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .select("doc_id")
+        .distinct()
+    )
+    surv = (
+        deduped.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(flagged, "doc_id", "left_anti")
+        .withColumn("n_tokens", F.size(words_expr("text")).cast("long"))
+    )
+    lm = docs.filter(F.col("source") == TARGET_SOURCE)
+    scored = memo_persist(
+        spark,
+        ("pipe_scored", sf_dir),
+        lambda: lm_perplexity(surv, lm, carry_cols=("lang", "n_tokens")),
+    )
+    gated = perplexity_buckets(scored).filter(F.col("bucket") != "tail")
+    return token_budget_mix_summary(
+        gated,
+        MIX_WEIGHTS,
+        PIPE_BUDGET,
+        strata_col="lang",
+        seed=MIX_SEED,
+        tokens_col="n_tokens",
+    )

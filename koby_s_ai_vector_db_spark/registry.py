@@ -60,7 +60,7 @@ WINDOW = 50
 
 _PRIORITY: list[str] = [
     # (a) no r4 driver row
-    "ta_token_count", "ta_fingerprint", "mm_binary_features", "mm_decode",
+    "ta_fingerprint", "mm_binary_features", "mm_decode",
     "dedup_exact", "dedup_exact_stream",
     "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -70,7 +70,7 @@ _PRIORITY: list[str] = [
     "q14_fallback_routing", "t1_chunker", "a13_corpus_summary",
     # (b) new round-6 queries (data-selection + tokenizer tiers)
     "dsir_score", "ccnet_ppl_buckets", "mix_token_budget",
-    "bpe_train", "bpe_encode",
+    "bpe_train", "bpe_encode", "curate_pretrain_pipeline",
     # (c) round-5 queries that have never had a driver row (the skipped
     # r5 record would have covered them)
     "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
@@ -89,8 +89,9 @@ _PRIORITY: list[str] = [
     # a5_sliding_live_users, a6_session_windows, dedup_minhash_lsh,
     # dedup_groups, q2_ann_pq, q2_ann_ivfpq — see the r5 note in git
     # history for the PQ-pair rationale) and, new this round, m1/m2/m3 +
-    # mm_resize/mm_frames (r3-green, code unchanged, displaced by the
-    # selection + tokenizer tiers).
+    # mm_resize/mm_frames/ta_token_count (r3-green, code unchanged,
+    # displaced by the selection + tokenizer tiers and the end-to-end
+    # pretraining pipeline).
 ]
 
 

@@ -64,6 +64,9 @@ PROBE_QUERIES = [
     "hybrid_rrf",
     "dedup_substring",
     "pack_sequences",
+    "dsir_score",
+    "ccnet_ppl_buckets",
+    "mix_token_budget",
 ]
 
 

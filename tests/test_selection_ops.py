@@ -246,3 +246,32 @@ class TestTokenBudgetMix:
             token_budget_mix(docs, {}, 100, strata_col="lang")
         with pytest.raises(ValueError, match="negative"):
             token_budget_mix(docs, {"en": -0.5}, 100, strata_col="lang")
+
+
+class TestPretrainPipeline:
+    def test_composition_invariants(self, spark):
+        """End-to-end pipeline sanity beyond the value oracle: the gate
+        drops the tail third, benchmark docs never survive, achieved
+        tokens track targets for weighted strata."""
+        from koby_s_ai_vector_db_spark.queries.selection_q import (
+            MIX_WEIGHTS,
+            PIPE_BUDGET,
+            curate_pretrain_pipeline_q,
+        )
+
+        rows = {
+            r["lang"]: r
+            for r in curate_pretrain_pipeline_q(
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        }
+        for lang, w in MIX_WEIGHTS.items():
+            r = rows[lang]
+            assert r["target_tokens"] == pytest.approx(w * PIPE_BUDGET)
+            # repeats make the fractional-part noise per-doc-sized; the
+            # fixture strata are small, so allow a couple of doc lengths.
+            assert abs(r["achieved_tokens"] - r["target_tokens"]) <= 250
+        for lang, r in rows.items():
+            if lang not in MIX_WEIGHTS:
+                assert r["target_tokens"] == 0.0
+                assert r["achieved_tokens"] == 0
