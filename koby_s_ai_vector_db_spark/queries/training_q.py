@@ -129,3 +129,56 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _merges, vocab = _bpe_state(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode(docs, vocab)
+
+
+# --- shard manifest ---------------------------------------------------------
+# The audit table a training job reads before consuming packed shards:
+# per-shard sequence/doc/token counts and how many sequences are full
+# (every sequence but each shard's tail is exactly seq_len by
+# construction — the manifest PROVES it rather than assuming it).
+_MANIFEST_ORACLE = f"""
+WITH base AS ({pack_sequences_oracle_sql(seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=PACK_SEED)}),
+per_seq AS (
+    SELECT shard, seq_id, sum(n_tokens) AS seq_tokens
+    FROM base GROUP BY shard, seq_id
+),
+agg1 AS (
+    SELECT shard, count(*) AS n_seqs, sum(seq_tokens) AS n_tokens,
+           sum(CASE WHEN seq_tokens = {PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS n_full_seqs
+    FROM per_seq GROUP BY shard
+),
+agg2 AS (SELECT shard, count(DISTINCT doc_id) AS n_docs FROM base GROUP BY shard)
+SELECT shard, n_seqs, n_docs, n_tokens, n_full_seqs
+FROM agg1 JOIN agg2 USING (shard)
+"""
+
+
+@register("shard_manifest", _MANIFEST_ORACLE)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the packed training sequences: sequence,
+    document, and token counts plus the count of exactly-full sequences.
+    Two bounded aggregates (per-seq rollup then per-shard, both keyed by
+    the shard hash pack_sequences already shuffled on) joined on the
+    <=n_shards-row shard key."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = pack_sequences(
+        docs, seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=PACK_SEED
+    )
+    per_seq = seqs.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("_st")
+    )
+    agg1 = per_seq.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("_st").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_st") == PACK_SEQ_LEN, 1).otherwise(0)
+        ).alias("n_full_seqs"),
+    )
+    agg2 = seqs.groupBy("shard").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return agg1.join(agg2, "shard").select(
+        "shard", "n_seqs", "n_docs", "n_tokens", "n_full_seqs"
+    )

@@ -117,3 +117,27 @@ def test_training_ops_exchange_budget(spark):
     p = _plan(spark, "pack_sequences")
     assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
     assert "Join" not in p
+
+
+def test_selection_tier_plan_shapes(spark):
+    """The selection tier's scale design: model tables ride broadcasts,
+    the corpus pays exactly one keyed shuffle (the per-doc score
+    aggregation); mixing's per-doc copy counts are map-only after the
+    per-stratum aggregate comes back as a broadcast."""
+    p = _plan(spark, "dsir_score")
+    # per-doc score groupBy is the only corpus-sized exchange; the
+    # bucket-count model is a materialized (localCheckpointed) RDD scan.
+    assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
+    assert "Scan ExistingRDD" in p  # checkpointed <=1024-row model
+    assert "CartesianProduct" not in p
+
+    p = _plan(spark, "mix_token_budget")
+    # avail aggregate + achieved aggregate; the per-doc n_copies pass
+    # joins the broadcast plan table — no corpus shuffle for the mix.
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+    p = _plan(spark, "bpe_encode")
+    # vocab cache join is broadcast; one per-doc aggregation.
+    assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
+    assert "SortMergeJoin" not in p
