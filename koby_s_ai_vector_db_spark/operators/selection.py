@@ -411,3 +411,48 @@ def token_budget_mix_summary(
             F.coalesce("achieved_docs", F.lit(0)).alias("achieved_docs"),
         )
     )
+
+
+GUMBEL_SEED = 29
+
+
+def gumbel_topk_sample(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    tau: float = 1.0,
+    seed: int = GUMBEL_SEED,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic importance RESAMPLING — the "R" in DSIR: draw k
+    items without replacement with P ∝ exp(score/τ) via the Gumbel-top-k
+    trick (equivalently Efraimidis-Spirakis weighted reservoir
+    sampling), derandomized through the portable md5 hash so both
+    engines draw the SAME sample.
+
+    u(id)  = (hash_ppm(id) + 0.5) / 10⁶            ∈ (0, 1)
+    key(d) = score(d)/τ − ln(−ln u(id))            (Gumbel-max)
+    keep the k largest keys (rounded; id tiebreak).
+
+    τ → 0 approaches deterministic top-k by score; τ large approaches
+    uniform sampling. Plan shape: map-only key computation, then
+    orderBy+limit — TakeOrderedAndProject (per-partition heaps, no
+    global sort); the final rank window runs on the k-row result.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    from pyspark.sql import Window
+
+    u = (
+        portable_hash32(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    keyed = scored.withColumn(
+        "skey", F.round(F.col(score_col) / tau - F.log(-F.log(u)), round_to)
+    )
+    top = keyed.orderBy(F.desc("skey"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("skey"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

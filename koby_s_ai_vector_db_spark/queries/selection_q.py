@@ -40,14 +40,21 @@ def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain: hashed unigram+bigram log-likelihood ratio. The model is a
     1024-bucket table built by two map-side-combined aggregates and
     broadcast back; the only corpus-sized shuffle is the per-doc score
-    sum (operators/selection.py::dsir_scores)."""
+    sum (operators/selection.py::dsir_scores). The score table is
+    memo-persisted and shared with dsir_sample."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_scores(
-        docs,
-        target=F.col("source") == TARGET_SOURCE,
-        carry_cols=("lang", "source"),
-        n_buckets=DSIR_BUCKETS,
-        seed=DSIR_SEED,
+    return memo_persist(
+        spark,
+        ("dsir_scored", sf_dir),
+        lambda: dsir_scores(
+            docs,
+            target=F.col("source") == TARGET_SOURCE,
+            carry_cols=("lang", "source"),
+            n_buckets=DSIR_BUCKETS,
+            seed=DSIR_SEED,
+        ),
     )
 
 
@@ -357,3 +364,53 @@ def curate_pretrain_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=MIX_SEED,
         tokens_col="n_tokens",
     )
+
+
+# --- DSIR resampling (the "R") ----------------------------------------------
+# Gumbel-top-k draw of DSIR_K docs with P ∝ exp(score/τ), derandomized
+# via the portable hash so both engines draw the identical sample.
+DSIR_K = 64
+DSIR_TAU = 5.0
+from koby_s_ai_vector_db_spark.operators.selection import (  # noqa: E402
+    GUMBEL_SEED,
+    gumbel_topk_sample,
+)
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH scored AS ({_DSIR_ORACLE}),
+keyed AS (
+    SELECT doc_id, lang, source, n_feat, score,
+           round(score / {DSIR_TAU}
+                 - ln(-ln(({sql_hash32("CAST(doc_id AS VARCHAR)", seed=GUMBEL_SEED)} % 1000000 + 0.5) / 1000000.0)),
+                 6) AS skey
+    FROM scored
+)
+SELECT doc_id, lang, source, n_feat, score, skey,
+       row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rank
+FROM keyed
+QUALIFY rank <= {DSIR_K}
+"""
+
+
+@register("dsir_sample", _DSIR_SAMPLE_ORACLE)
+def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING: Gumbel-top-k draw of 64 documents
+    with P ∝ exp(score/5), derandomized through the portable md5 hash.
+    Map-only key computation over the memoized score table, then
+    orderBy+limit = TakeOrderedAndProject; the rank window runs on the
+    64-row result (operators/selection.py::gumbel_topk_sample)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = memo_persist(
+        spark,
+        ("dsir_scored", sf_dir),
+        lambda: dsir_scores(
+            docs,
+            target=F.col("source") == TARGET_SOURCE,
+            carry_cols=("lang", "source"),
+            n_buckets=DSIR_BUCKETS,
+            seed=DSIR_SEED,
+        ),
+    )
+    return gumbel_topk_sample(scored, k=DSIR_K, tau=DSIR_TAU)

@@ -275,3 +275,50 @@ class TestPretrainPipeline:
             if lang not in MIX_WEIGHTS:
                 assert r["target_tokens"] == 0.0
                 assert r["achieved_tokens"] == 0
+
+
+class TestGumbelSample:
+    def _scored(self, spark, n=50):
+        from koby_s_ai_vector_db_spark.operators.selection import (
+            gumbel_topk_sample,
+        )
+
+        rows = [(i, float(i)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id bigint, score double")
+        return df, gumbel_topk_sample
+
+    def test_small_tau_is_topk_by_score(self, spark):
+        df, sample = self._scored(spark)
+        # Gumbel noise is O(1); score/τ at τ=1e-3 spans thousands — the
+        # draw degenerates to deterministic top-k by score.
+        got = sorted(
+            r["doc_id"] for r in sample(df, k=5, tau=1e-3).collect()
+        )
+        assert got == [45, 46, 47, 48, 49]
+
+    def test_large_tau_mixes_ranks(self, spark):
+        df, sample = self._scored(spark)
+        # τ=1e6 flattens the weights: the draw is (hash-)uniform and
+        # should not be the top-5 by score.
+        got = sorted(
+            r["doc_id"] for r in sample(df, k=5, tau=1e6).collect()
+        )
+        assert got != [45, 46, 47, 48, 49]
+
+    def test_deterministic_and_ranked(self, spark):
+        df, sample = self._scored(spark)
+        a = [(r["doc_id"], r["rank"]) for r in sample(df, k=7).collect()]
+        b = [(r["doc_id"], r["rank"]) for r in sample(df, k=7).collect()]
+        assert a == b
+        assert sorted(r for _, r in a) == list(range(1, 8))
+
+    def test_k_exceeding_n_returns_all(self, spark):
+        df, sample = self._scored(spark, n=4)
+        assert sample(df, k=10).count() == 4
+
+    def test_degenerate_args(self, spark):
+        df, sample = self._scored(spark, n=3)
+        with pytest.raises(ValueError, match="k must"):
+            sample(df, k=0)
+        with pytest.raises(ValueError, match="tau"):
+            sample(df, k=1, tau=0.0)
