@@ -150,3 +150,112 @@ hll_out AS (
                  2) AS est_distinct
     FROM hll_agg
 )"""
+
+
+# --- count-min sketch -------------------------------------------------------
+# The frequency twin of the HLL above: a fixed D x W counter table that
+# partial-aggregates map-side, merges by cell-wise SUM, and answers
+# "about how often does key k occur" with one-sided error (estimate >=
+# truth, overshoot <= N*e/W with prob 1-(1/2)^D). Same portability
+# rules: md5 row hashes, integer counters, no floats anywhere — both
+# engines compute identical cells and identical estimates.
+#
+# Scale shape: the build is explode -> groupBy(d, bucket) — map-side
+# combinable into at most D*W rows regardless of corpus size; estimation
+# joins a CANDIDATE key set against the broadcast cell table. Candidates
+# at 100 TB come from a sample or a prior coarse pass, never "all keys"
+# (if you could enumerate all keys exactly you would not need the
+# sketch); the fixture query uses the full small vocabulary so the
+# one-sided-error property is checkable row by row.
+
+CM_SEEDS = (101, 102, 103, 104)   # D = 4 independent rows
+CM_W = 512                        # buckets per row
+
+
+def cm_cells(
+    df: DataFrame,
+    key: Column,
+    seeds: tuple[int, ...] = CM_SEEDS,
+    width: int = CM_W,
+) -> DataFrame:
+    """Count-min cell table (d, bucket, c) over key OCCURRENCES (one
+    increment per input row). Merge two sketches by unioning and
+    summing c per (d, bucket)."""
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                (portable_hash32(key, seed=s) % width).alias("bucket"),
+            )
+            for i, s in enumerate(seeds)
+        ]
+    )
+    return (
+        df.select(F.explode(arr).alias("p"))
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_estimate(
+    cells: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    seeds: tuple[int, ...] = CM_SEEDS,
+    width: int = CM_W,
+) -> DataFrame:
+    """Estimated occurrence count per candidate key: min over the D row
+    counters. The cell table (<= D*W rows) is broadcast; a candidate
+    hitting an absent cell has true count 0."""
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+
+    k = F.col(key_col)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                (portable_hash32(k, seed=s) % width).alias("bucket"),
+            )
+            for i, s in enumerate(seeds)
+        ]
+    )
+    probes = candidates.select(key_col, F.explode(arr).alias("p")).select(
+        key_col, "p.d", "p.bucket"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_n"))
+    )
+
+
+def cm_oracle_cte(
+    key_sql: str,
+    seeds: tuple[int, ...] = CM_SEEDS,
+    width: int = CM_W,
+) -> str:
+    """DuckDB rendering: given an upstream relation ``cm_in`` with one
+    row per key occurrence (column rendered by ``key_sql``), produces
+    ``cm_cells`` (d, bucket, c) and ``cm_est`` (key, est_n) over the
+    DISTINCT keys of cm_in."""
+    from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS d, {sql_hash32(key_sql, seed=s)} % {width} AS bucket,"
+        f" {key_sql} AS k FROM cm_in"
+        for i, s in enumerate(seeds)
+    )
+    return f"""
+cm_probes AS ({probe_rows}),
+cm_cells AS (
+    SELECT d, bucket, count(*) AS c FROM cm_probes GROUP BY d, bucket
+),
+cm_est AS (
+    SELECT k, min(coalesce(c, 0)) AS est_n
+    FROM (SELECT DISTINCT d, bucket, k FROM cm_probes) p
+    LEFT JOIN cm_cells USING (d, bucket)
+    GROUP BY k
+)"""

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.operators.sketches import (
+    cm_oracle_cte,
     hll_estimate,
     hll_oracle_cte,
     hll_registers,
@@ -77,4 +78,58 @@ def a17_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100,
             2,
         ).alias("rel_err_pct"),
+    )
+
+
+# --- a18: count-min heavy hitters -------------------------------------------
+HEAVY_TOP = 15
+
+_CM_ORACLE = f"""
+WITH cm_in AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+{cm_oracle_cte(key_sql="term").lstrip()},
+exact AS (SELECT term, count(*) AS exact_n FROM cm_in GROUP BY term)
+SELECT e.term, e.exact_n, c.est_n, c.est_n - e.exact_n AS overcount
+FROM cm_est c JOIN exact e ON c.k = e.term
+ORDER BY c.est_n DESC, e.term ASC
+LIMIT {HEAVY_TOP}
+"""
+
+
+@register("a18_heavy_hitters", _CM_ORACLE)
+def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} most frequent corpus terms via a cross-engine
+    deterministic count-min sketch (D=4 x W=512 integer cells, merge =
+    cell-wise sum): estimate >= truth always; the exact arm rides along
+    to exhibit the one-sided overcount. The 100 TB plan is the sketch
+    arm alone — the cell build is map-side combinable into <= D*W rows
+    no matter the corpus, and candidates come from a sample, not an
+    exact global count (which would defeat the sketch).""".format(
+        top=HEAVY_TOP
+    )
+    from koby_s_ai_vector_db_spark.operators.sketches import (
+        cm_cells,
+        cm_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    post = docs.select(F.explode(words_expr("text")).alias("term"))
+    cells = cm_cells(post, F.col("term"))
+    exact = post.groupBy("term").agg(F.count("*").alias("exact_n"))
+    est = cm_estimate(cells, exact.select("term"), "term")
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("term"))
+        .limit(HEAVY_TOP)
     )

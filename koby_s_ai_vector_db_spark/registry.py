@@ -50,12 +50,13 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-6 window: (a) the oldest-checked (r3-dated) queries, (b) the 8
+# Round-6 window: (a) the oldest-checked (r3-dated) queries, (b) the 9
 # new round-6 queries (selection tier + resampling, tokenizer tier,
-# end-to-end pretraining pipeline, shard manifest), (c) the 23 round-5
-# queries that have never had a driver row (the skipped r5 record would
-# have covered them). Displaced vs the r5 window (all r03-green, named
-# at the list tail): 8 slots' worth of trivial/stable r3-dated queries.
+# end-to-end pretraining pipeline, shard manifest, count-min heavy
+# hitters), (c) the 23 round-5 queries that have never had a driver row
+# (the skipped r5 record would have covered them). Displaced vs the r5
+# window (all r03-green, named at the list tail): 9 slots' worth of
+# trivial/stable r3-dated queries.
 WINDOW = 50
 
 _PRIORITY: list[str] = [
@@ -64,13 +65,13 @@ _PRIORITY: list[str] = [
     "dedup_exact_stream",
     "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
     "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
-    "q8_faiss_quality", "q9_contribution_quality", "q10_prioritize",
+    "q9_contribution_quality", "q10_prioritize",
     "q11_sources", "q12_context_assembly", "q13_effectiveness",
     "q14_fallback_routing", "t1_chunker", "a13_corpus_summary",
     # (b) new round-6 queries (data-selection + tokenizer tiers)
     "dsir_score", "ccnet_ppl_buckets", "mix_token_budget",
     "bpe_train", "bpe_encode", "curate_pretrain_pipeline",
-    "shard_manifest", "dsir_sample",
+    "shard_manifest", "dsir_sample", "a18_heavy_hitters",
     # (c) round-5 queries that have never had a driver row (the skipped
     # r5 record would have covered them)
     "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
@@ -93,9 +94,9 @@ _PRIORITY: list[str] = [
     # dedup_embedding_cosine (r3-green, code unchanged — dedup_exact's
     # md5-groupBy shape also rides in the still-windowed
     # dedup_exact_stream and curate_* queries; the cosine tier's
-    # operators ride in dedup_embedding_ivf/lsh and knn paths), displaced
-    # by the selection + tokenizer tiers, the end-to-end pretraining
-    # pipeline, and the packed-shard manifest.
+    # operators ride in dedup_embedding_ivf/lsh and knn paths;
+    # q8_faiss_quality's score projection rides in the windowed q9/q10
+    # fusion arms), displaced by the round-6 tiers listed in (b).
 ]
 
 

@@ -108,3 +108,53 @@ def test_gapfill_head_backfill_and_tail_locf(spark):
     assert b["2024-01-01 00:00:00"].interp_value == 7.0
     assert b["2024-01-01 04:00:00"].locf_value == 7.0  # tail LOCF
     assert all(v is not None for r in rows for v in r)
+
+
+class TestCountMin:
+    def _post(self, spark, n_keys=3000, skew_key="hot", hot=500):
+        # Way more distinct keys than W=512 buckets -> collisions happen,
+        # so the one-sided property is actually load-bearing here.
+        rows = [(f"k{i}",) for i in range(n_keys)] + [(skew_key,)] * hot
+        return spark.createDataFrame(rows, "term string")
+
+    def test_one_sided_and_heavy_hitter_found(self, spark):
+        from pyspark.sql import functions as F
+
+        from koby_s_ai_vector_db_spark.operators.sketches import (
+            cm_cells,
+            cm_estimate,
+        )
+
+        post = self._post(spark)
+        cells = cm_cells(post, F.col("term"))
+        exact = post.groupBy("term").agg(F.count("*").alias("exact_n"))
+        est = cm_estimate(cells, exact.select("term"), "term")
+        joined = exact.join(est, "term").collect()
+        # estimate >= truth for EVERY key, and collisions exist at
+        # 3001 keys over 512 buckets (sum of overcounts > 0).
+        assert all(r["est_n"] >= r["exact_n"] for r in joined)
+        assert sum(r["est_n"] - r["exact_n"] for r in joined) > 0
+        top = max(joined, key=lambda r: r["est_n"])
+        assert top["term"] == "hot"
+        # error bound sanity: overshoot of the hot key stays far below
+        # N*e/W (N ~ 3500, W=512 -> bound ~ 18.6 per row; min over 4
+        # rows is almost surely much smaller)
+        assert top["est_n"] - top["exact_n"] < 40
+
+    def test_merge_is_cellwise_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from koby_s_ai_vector_db_spark.operators.sketches import cm_cells
+
+        a = self._post(spark, n_keys=200, hot=50)
+        b = self._post(spark, n_keys=300, hot=70)
+        merged = (
+            cm_cells(a, F.col("term"))
+            .unionByName(cm_cells(b, F.col("term")))
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        direct = cm_cells(a.unionByName(b), F.col("term"))
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want
