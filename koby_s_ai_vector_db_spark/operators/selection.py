@@ -91,26 +91,54 @@ def dsir_scores(
     like the average of the corpus; downstream selection keeps the top
     fraction or samples ∝ exp(score/τ).
     """
+    lam = dsir_model(
+        docs, target, text_col=text_col, n_buckets=n_buckets, seed=seed,
+        alpha=alpha,
+    )
+    return dsir_apply(
+        docs, lam, id_col=id_col, text_col=text_col, carry_cols=carry_cols,
+        n_buckets=n_buckets, seed=seed, round_to=round_to,
+    )
+
+
+def _dsir_feats(
+    docs: DataFrame,
+    select_cols: list[Column],
+    text_col: str,
+    n_buckets: int,
+    seed: int,
+) -> DataFrame:
+    return docs.select(
+        *select_cols, F.explode(ngram_feature_expr(text_col)).alias("_f")
+    ).withColumn("_b", portable_hash32(F.col("_f"), seed=seed) % n_buckets)
+
+
+def dsir_model(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """The frozen DSIR model: the per-bucket log-likelihood-ratio table
+    (_b, _lam). Train once on a reference corpus, then `dsir_apply` it
+    to anything — including streams, where re-fitting per micro-batch
+    would make scores depend on arrival order.
+
+    Shape: per-bucket raw + target occurrence counts (B-bounded result,
+    map-side combined) with the two totals as a cross-broadcast 1-row
+    aggregate folded in. cnt feeds BOTH totals and the λ table —
+    localCheckpoint the ≤B-row result so the corpus-sized feature
+    subtree runs once for the model build (the diamond otherwise
+    re-derives it per consumer)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
-
-    feats = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        target.alias("_is_target"),
-        F.explode(ngram_feature_expr(text_col)).alias("_f"),
-    ).withColumn(
-        "_b", portable_hash32(F.col("_f"), seed=seed) % n_buckets
+    feats = _dsir_feats(
+        docs, [target.alias("_is_target")], text_col, n_buckets, seed
     )
-
-    # The model: per-bucket raw + target occurrence counts (B-bounded
-    # result, map-side combined) with the two totals as a cross-broadcast
-    # 1-row aggregate folded in. cnt feeds BOTH totals and the λ table —
-    # localCheckpoint the ≤B-row result so the corpus-sized feats subtree
-    # runs once for the model build and once for scoring, not three
-    # times (the diamond otherwise re-derives feats per consumer).
     cnt = feats.groupBy("_b").agg(
         F.count("*").alias("_raw"),
         F.sum(F.col("_is_target").cast("long")).alias("_tgt"),
@@ -118,7 +146,7 @@ def dsir_scores(
     totals = cnt.agg(
         F.sum("_raw").alias("_n_raw"), F.sum("_tgt").alias("_n_tgt")
     )
-    lam = (
+    return (
         cnt.join(F.broadcast(totals))
         .select(
             "_b",
@@ -129,10 +157,35 @@ def dsir_scores(
         )
     )
 
+
+def dsir_apply(
+    docs: DataFrame,
+    lam: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score documents against a prebuilt λ table (`dsir_model`): feature
+    explode, broadcast model join, per-doc score sum — the only
+    corpus-sized shuffle. Buckets absent from the model (possible when
+    scoring a stream against a frozen reference model) contribute 0."""
+    feats = _dsir_feats(
+        docs,
+        [F.col(id_col), *[F.col(c) for c in carry_cols]],
+        text_col,
+        n_buckets,
+        seed,
+    )
     scored = (
-        feats.join(F.broadcast(lam), "_b")
+        feats.join(F.broadcast(lam), "_b", "left")
         .groupBy(id_col, *carry_cols)
-        .agg(F.count("*").alias("n_feat"), F.sum("_lam").alias("_s"))
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.sum(F.coalesce("_lam", F.lit(0.0))).alias("_s"),
+        )
     )
     return scored.select(
         id_col,
@@ -208,15 +261,30 @@ def lm_perplexity(
     → α/(c1 + αV); unseen context → 1/V. Documents with < 2 tokens have
     no bigram events and are absent from the output.
     """
+    model = lm_model(lm_docs, text_col=text_col, alpha=alpha)
+    return lm_apply(
+        docs, model, id_col=id_col, text_col=text_col,
+        carry_cols=carry_cols, round_to=round_to,
+    )
+
+
+def _bigrams(df: DataFrame, cols: list[Column], text_col: str) -> DataFrame:
+    return df.select(
+        *cols, F.explode(sliding_shingles_expr(text_col, 2)).alias("g")
+    )
+
+
+def lm_model(
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = SMOOTH_ALPHA,
+) -> tuple[DataFrame, DataFrame, DataFrame, float]:
+    """The frozen bigram LM: (c2, c1, vocab, alpha) tables trained on
+    ``lm_docs``. Train once, `lm_apply` anywhere — including streams,
+    where the reference model must not drift with arriving batches."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive (smoothing), got {alpha}")
-
-    def bigrams(df: DataFrame, cols: list[Column]) -> DataFrame:
-        return df.select(
-            *cols, F.explode(sliding_shingles_expr(text_col, 2)).alias("g")
-        )
-
-    lm_post = bigrams(lm_docs, []).withColumn(
+    lm_post = _bigrams(lm_docs, [], text_col).withColumn(
         "prev", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
     )
     c2 = lm_post.groupBy("g").agg(F.count("*").alias("c2"))
@@ -224,9 +292,24 @@ def lm_perplexity(
     vocab = lm_docs.select(
         F.explode(words_expr(text_col)).alias("w")
     ).agg((F.countDistinct("w") + 1).cast("double").alias("v"))
+    return c2, c1, vocab, alpha
 
+
+def lm_apply(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under a prebuilt LM (`lm_model`): map-only
+    bigram explode, broadcast model joins, one per-doc aggregation."""
+    c2, c1, vocab, alpha = model
     events = (
-        bigrams(docs, [F.col(id_col), *[F.col(c) for c in carry_cols]])
+        _bigrams(
+            docs, [F.col(id_col), *[F.col(c) for c in carry_cols]], text_col
+        )
         .withColumn("prev", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
         .join(F.broadcast(c2), "g", "left")
         .join(F.broadcast(c1), "prev", "left")

@@ -67,6 +67,10 @@ PROBE_QUERIES = [
     "dsir_score",
     "ccnet_ppl_buckets",
     "mix_token_budget",
+    "dsir_sample",
+    "curate_pretrain_pipeline",
+    "shard_manifest",
+    "a18_heavy_hitters",
 ]
 
 

@@ -135,3 +135,58 @@ def test_stream_docs_into_packed_shards(spark, tmp_path_factory):
         F.sum(F.size(F.split("text", r"\s+"))).alias("s")
     ).collect()[0].s
     assert sum(len(r.tokens) for r in s_rows) == total
+
+
+class TestStreamingSelection:
+    def test_stream_equals_batch_gate(self, spark, tmp_path):
+        """Frozen-model streaming gate: the sink after the stream drains
+        equals one batch application of the same gate — micro-batch
+        boundaries are invisible because the models never re-fit."""
+        from pyspark.sql import functions as F
+
+        from koby_s_ai_vector_db_spark.operators.selection import (
+            dsir_model,
+            lm_model,
+        )
+        from koby_s_ai_vector_db_spark.sources.tables import load_table
+        from koby_s_ai_vector_db_spark.streaming.selection import (
+            select_batch,
+            stream_select_documents,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        lam = dsir_model(docs, target=F.col("source") == "src0")
+        lm = lm_model(docs.filter(F.col("source") == "src0"))
+
+        # Thresholds at the batch medians: both kept and dropped rows
+        # exist by construction, for any fixture vintage.
+        probe = select_batch(docs, lam, lm, -1e18, 1e18)
+        mid = probe.agg(
+            F.percentile("score", F.lit(0.5)).alias("s"),
+            F.percentile("ppl", F.lit(0.5)).alias("p"),
+        ).collect()[0]
+        min_score, max_ppl = float(mid["s"]), float(mid["p"])
+
+        src = str(tmp_path / "arriving")
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}.parquet")
+        sink = str(tmp_path / "curated")
+        q = stream_select_documents(
+            spark,
+            f"{src}/part*.parquet",
+            sink,
+            str(tmp_path / "ckpt"),
+            lam,
+            lm,
+            min_score=min_score,
+            max_ppl=max_ppl,
+        )
+        q.awaitTermination()
+
+        got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        want_df = select_batch(docs, lam, lm, min_score, max_ppl)
+        want = sorted(map(tuple, want_df.select(*spark.read.parquet(sink).columns).collect()))
+        assert got == want
+        assert 0 < len(got) < docs.count()
