@@ -124,7 +124,24 @@ def test_selection_tier_plan_shapes(spark):
     the corpus pays exactly one keyed shuffle (the per-doc score
     aggregation); mixing's per-doc copy counts are map-only after the
     per-stratum aggregate comes back as a broadcast."""
-    p = _plan(spark, "dsir_score")
+    # Pin the OPERATOR plan, not the registered query: dsir_score memo-
+    # persists its result, and once another test materializes the cache
+    # the query's plan string embeds the InMemoryRelation's cached plan
+    # (its exchange counted twice).
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.selection import dsir_scores
+    from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = (
+        dsir_scores(
+            docs, target=F.col("source") == "src0", carry_cols=("lang", "source")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # per-doc score groupBy is the only corpus-sized exchange; the
     # bucket-count model is a materialized (localCheckpointed) RDD scan.
     assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
