@@ -401,6 +401,27 @@ def token_budget_mix(
     each stratum achieves its target exactly; a fixed corpus realizes it
     to within the Bernoulli noise of the fractional part.
     """
+    toks, plan = _mix_parts(
+        docs, weights, token_budget, strata_col, id_col, text_col, tokens_col
+    )
+    return _mix_copies(toks, plan, strata_col, id_col, seed)
+
+
+def _mix_parts(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Validated shared pieces of the mix: (toks, plan). toks is the
+    per-doc token-count projection (ONE corpus tokenization pass, shared
+    by the copy-count join and the summary audit); plan is the bounded
+    per-stratum table. A stratum whose available token count is 0 (all
+    empty documents) has nothing to repeat or sample — its epochs are
+    defined as 0, so it drops from the mix instead of dividing by zero."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
     if not weights:
@@ -424,14 +445,31 @@ def token_budget_mix(
     w_expr = F.lit(0.0)
     for s, w in sorted(weights.items()):
         w_expr = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(w_expr)
+    epochs = F.when(
+        F.col("avail_tokens") > 0,
+        w_expr * token_budget / F.col("avail_tokens"),
+    ).otherwise(F.lit(0.0))
     plan = avail.select(
         strata_col,
         "avail_tokens",
         "n_docs_in",
         (w_expr * token_budget).alias("target_tokens"),
-        (w_expr * token_budget / F.col("avail_tokens")).alias("epochs"),
+        epochs.alias("epochs"),
     )
+    # plan is consumed by both the copy-count join and the summary's
+    # final select; localCheckpoint the per-stratum-bounded result so
+    # each consumer reads the materialized rows instead of re-running
+    # the corpus-sized avail aggregate (same diamond rule as dsir_model).
+    return toks, plan.localCheckpoint()
 
+
+def _mix_copies(
+    toks: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    id_col: str,
+    seed: int,
+) -> DataFrame:
     h = portable_hash32(F.col(id_col).cast("string"), seed=seed) % 1_000_000
     frac = F.col("epochs") - F.floor("epochs")
     n_copies = F.floor("epochs").cast("long") + F.when(
@@ -458,38 +496,24 @@ def token_budget_mix_summary(
 ) -> DataFrame:
     """Per-stratum audit of `token_budget_mix`: available vs target vs
     achieved tokens and the epoch (repeat) factor. Bounded output —
-    one row per stratum."""
-    mix = token_budget_mix(
-        docs, weights, token_budget, strata_col, id_col, text_col, seed,
-        tokens_col,
+    one row per stratum. Shares the toks/plan subtrees with the mix so
+    the corpus-sized tokenization pass runs once, not twice."""
+    toks, plan = _mix_parts(
+        docs, weights, token_budget, strata_col, id_col, text_col, tokens_col
     )
-    n_tok = (
-        F.col(tokens_col) if tokens_col else F.size(words_expr(text_col))
-    )
-    toks = docs.select(
-        F.col(strata_col),
-        n_tok.cast("long").alias("_nt"),
-    )
-    avail = toks.groupBy(strata_col).agg(
-        F.sum("_nt").alias("avail_tokens"), F.count("*").alias("n_docs_in")
-    )
-    w_expr = F.lit(0.0)
-    for s, w in sorted(weights.items()):
-        w_expr = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(w_expr)
+    mix = _mix_copies(toks, plan, strata_col, id_col, seed)
     achieved = mix.groupBy(strata_col).agg(
         F.sum(F.col("n_tokens") * F.col("n_copies")).alias("achieved_tokens"),
         F.sum("n_copies").alias("achieved_docs"),
     )
     return (
-        avail.join(achieved, strata_col, "left")
+        plan.join(achieved, strata_col, "left")
         .select(
             strata_col,
             "n_docs_in",
             "avail_tokens",
-            F.round(w_expr * token_budget, round_to).alias("target_tokens"),
-            F.round(
-                w_expr * token_budget / F.col("avail_tokens"), round_to
-            ).alias("epochs"),
+            F.round("target_tokens", round_to).alias("target_tokens"),
+            F.round("epochs", round_to).alias("epochs"),
             F.coalesce("achieved_tokens", F.lit(0)).alias("achieved_tokens"),
             F.coalesce("achieved_docs", F.lit(0)).alias("achieved_docs"),
         )
@@ -539,3 +563,103 @@ def gumbel_topk_sample(
     top = keyed.orderBy(F.desc("skey"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("skey"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# --- DuckDB oracle renderers ------------------------------------------------
+# Composable CTE fragments (the cm_oracle_cte convention): registered
+# oracles assemble these instead of duplicating SQL, so a smoothing or
+# rounding tweak cannot silently desync the standalone queries from the
+# end-to-end pipeline oracle.
+
+
+def lm_oracle_ctes(words_rel: str, lm_pred: str) -> str:
+    """CTEs ``lm_post``/``c2``/``c1``/``vocab`` — the frozen bigram LM —
+    over a relation ``words_rel`` carrying a tokenized column ``w``,
+    trained on the rows matching ``lm_pred``. Mirrors `lm_model`."""
+    return f"""lm_post AS (
+    SELECT g, split_part(g, ' ', 1) AS prev
+    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM {words_rel} WHERE {lm_pred})
+),
+c2 AS (SELECT g, count(*) AS c2 FROM lm_post GROUP BY g),
+c1 AS (SELECT prev, count(*) AS c1 FROM lm_post GROUP BY prev),
+vocab AS (
+    SELECT (count(DISTINCT t) + 1)::DOUBLE AS v
+    FROM (SELECT unnest(w) AS t FROM {words_rel} WHERE {lm_pred})
+)"""
+
+
+def ppl_scored_ctes(
+    doc_rel: str,
+    carry_cols: tuple[str, ...],
+    alpha: float = SMOOTH_ALPHA,
+    emit_nll: bool = True,
+) -> str:
+    """CTEs ``events``/``scored`` — per-doc perplexity under the LM CTEs
+    from `lm_oracle_ctes` — over a relation ``doc_rel`` carrying
+    (doc_id, carry_cols..., w). Mirrors `lm_apply`."""
+    carry = "".join(f", {c}" for c in carry_cols)
+    ecarry = "".join(f", e.{c}" for c in carry_cols)
+    nll = (
+        "count(*) AS n_events, round(-sum(lp) / count(*), 6) AS nll,\n           "
+        if emit_nll
+        else ""
+    )
+    return f"""events AS (
+    SELECT e.doc_id{ecarry},
+           ln((coalesce(c2.c2, 0) + {alpha}) / (coalesce(c1.c1, 0) + {alpha} * vocab.v)) AS lp
+    FROM (SELECT doc_id{carry},
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+          FROM {doc_rel}) e
+    LEFT JOIN c2 USING (g)
+    LEFT JOIN c1 ON c1.prev = split_part(e.g, ' ', 1)
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id{carry}, {nll}round(exp(-sum(lp) / count(*)), 6) AS ppl
+    FROM events GROUP BY doc_id{carry}
+)"""
+
+
+def mix_oracle_sql(
+    src_rel: str,
+    case_sql: str,
+    token_budget: int,
+    seed: int,
+    id_expr: str = "doc_id",
+) -> str:
+    """CTEs ``plan``/``mix``/``achieved`` + the final per-stratum summary
+    SELECT over a relation ``src_rel`` carrying (doc_id, lang,
+    n_tokens). ``case_sql`` is the per-stratum weight CASE expression
+    (e.g. `stratified_sample_oracle_case` style). Mirrors
+    `token_budget_mix_summary` including the zero-available guard."""
+    from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+
+    h = sql_hash32(f"CAST(t.{id_expr} AS VARCHAR)", seed=seed)
+    return f"""plan AS (
+    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
+           ({case_sql}) * {token_budget} AS target_tokens,
+           CASE WHEN sum(n_tokens) > 0
+                THEN ({case_sql}) * {token_budget} / sum(n_tokens)
+                ELSE 0.0 END AS epochs
+    FROM {src_rel} GROUP BY lang
+),
+mix AS (
+    SELECT t.lang, t.n_tokens,
+           CAST(floor(p.epochs) AS BIGINT)
+           + (CASE WHEN {h} % 1000000
+                        < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+                   THEN 1 ELSE 0 END) AS n_copies
+    FROM {src_rel} t JOIN plan p USING (lang)
+),
+achieved AS (
+    SELECT lang, sum(n_tokens * n_copies) AS achieved_tokens,
+           sum(n_copies) AS achieved_docs
+    FROM mix GROUP BY lang
+)
+SELECT p.lang, p.n_docs_in, p.avail_tokens,
+       round(p.target_tokens, 6) AS target_tokens,
+       round(p.epochs, 6) AS epochs,
+       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
+       coalesce(a.achieved_docs, 0) AS achieved_docs
+FROM plan p LEFT JOIN achieved a USING (lang)"""

@@ -1,5 +1,6 @@
-"""Data-selection queries: DSIR importance scores, CCNet-style
-perplexity buckets, token-budget corpus mixing.
+"""Data-selection queries: DSIR importance scores + Gumbel resampling,
+CCNet-style perplexity buckets, token-budget corpus mixing, and the
+end-to-end pretraining-corpus pipeline.
 
 The model-targeted selection tier of the training-data pipeline
 (operators/selection.py). The reference's only quality signal is the
@@ -7,6 +8,12 @@ token-overlap answer scorer (core/supabase_utils.py:250-367); these are
 the published-pipeline "keep what looks like the target" forms. The
 fixture's `source = 'src0'` documents stand in for the curated target /
 LM-training domain (a Wikipedia-like reference corpus).
+
+Every oracle here is ASSEMBLED from shared renderers
+(`lm_oracle_ctes`/`ppl_scored_ctes`/`mix_oracle_sql`/`dsir_oracle_sql`,
+plus corpus_q's `stratified_sample_oracle_case` and CONTAM constants) —
+the standalone queries and the composed pipeline provably run the same
+SQL fragments, so a smoothing/rounding tweak cannot desync them.
 """
 
 from __future__ import annotations
@@ -15,22 +22,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
+from koby_s_ai_vector_db_spark.operators.corpus import (
+    stratified_sample_oracle_case,
+)
 from koby_s_ai_vector_db_spark.operators.selection import (
     DSIR_BUCKETS,
     DSIR_SEED,
+    GUMBEL_SEED,
     dsir_oracle_sql,
     dsir_scores,
+    gumbel_topk_sample,
+    lm_oracle_ctes,
     lm_perplexity,
+    mix_oracle_sql,
     perplexity_buckets,
+    ppl_scored_ctes,
     token_budget_mix_summary,
 )
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
 
 TARGET_SOURCE = "src0"
+_LM_PRED = f"source = '{TARGET_SOURCE}'"
+
+# The tokenized-documents CTE every oracle starts from.
+_WORDS_CTE = """words AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+)"""
 
 _DSIR_ORACLE = dsir_oracle_sql(
-    f"source = '{TARGET_SOURCE}'", carry_cols=("lang", "source")
+    _LM_PRED, carry_cols=("lang", "source")
 )
 
 
@@ -59,38 +82,9 @@ def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PPL_ORACLE = f"""
-WITH words AS (
-    SELECT doc_id, lang, source,
-           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
-    FROM documents
-),
-lm_post AS (
-    SELECT g, split_part(g, ' ', 1) AS prev
-    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
-          FROM words WHERE source = '{TARGET_SOURCE}')
-),
-c2 AS (SELECT g, count(*) AS c2 FROM lm_post GROUP BY g),
-c1 AS (SELECT prev, count(*) AS c1 FROM lm_post GROUP BY prev),
-vocab AS (
-    SELECT (count(DISTINCT t) + 1)::DOUBLE AS v
-    FROM (SELECT unnest(w) AS t FROM words WHERE source = '{TARGET_SOURCE}')
-),
-events AS (
-    SELECT e.doc_id, e.lang,
-           ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * vocab.v)) AS lp
-    FROM (SELECT doc_id, lang,
-                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
-          FROM words) e
-    LEFT JOIN c2 USING (g)
-    LEFT JOIN c1 ON c1.prev = split_part(e.g, ' ', 1)
-    CROSS JOIN vocab
-),
-scored AS (
-    SELECT doc_id, lang, count(*) AS n_events,
-           round(-sum(lp) / count(*), 6) AS nll,
-           round(exp(-sum(lp) / count(*)), 6) AS ppl
-    FROM events GROUP BY doc_id, lang
-),
+WITH {_WORDS_CTE},
+{lm_oracle_ctes("words", _LM_PRED)},
+{ppl_scored_ctes("words", carry_cols=("lang",), emit_nll=True)},
 cuts AS (
     SELECT round(quantile_cont(ppl, {1.0 / 3.0!r}), 6) AS t_head,
            round(quantile_cont(ppl, {2.0 / 3.0!r}), 6) AS t_mid
@@ -133,8 +127,12 @@ MIX_WEIGHTS = {"en": 0.45, "de": 0.3, "zh": 0.15, "es": 0.1}
 MIX_BUDGET = 20_000
 MIX_SEED = 23
 
-_MIX_CASE = " ".join(
-    f"WHEN lang = '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
+_MIX_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0.0 END"
 )
 
 _MIXBUDGET_ORACLE = f"""
@@ -143,31 +141,7 @@ WITH toks AS (
            len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
     FROM documents
 ),
-plan AS (
-    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
-           (CASE {_MIX_CASE} ELSE 0.0 END) * {MIX_BUDGET} AS target_tokens,
-           (CASE {_MIX_CASE} ELSE 0.0 END) * {MIX_BUDGET} / sum(n_tokens) AS epochs
-    FROM toks GROUP BY lang
-),
-mix AS (
-    SELECT t.lang, t.n_tokens,
-           CAST(floor(p.epochs) AS BIGINT)
-           + (CASE WHEN {sql_hash32("CAST(t.doc_id AS VARCHAR)", seed=MIX_SEED)} % 1000000
-                        < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
-                   THEN 1 ELSE 0 END) AS n_copies
-    FROM toks t JOIN plan p USING (lang)
-),
-achieved AS (
-    SELECT lang, sum(n_tokens * n_copies) AS achieved_tokens,
-           sum(n_copies) AS achieved_docs
-    FROM mix GROUP BY lang
-)
-SELECT p.lang, p.n_docs_in, p.avail_tokens,
-       round(p.target_tokens, 6) AS target_tokens,
-       round(p.epochs, 6) AS epochs,
-       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
-       coalesce(a.achieved_docs, 0) AS achieved_docs
-FROM plan p LEFT JOIN achieved a USING (lang)
+{mix_oracle_sql("toks", _MIX_CASE, MIX_BUDGET, MIX_SEED)}
 """
 
 
@@ -196,12 +170,28 @@ def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-stage oracles cannot catch.
 PIPE_BUDGET = 10_000
 
-_PIPE_ORACLE = f"""
+
+def _pipe_oracle() -> str:
+    # Import inside the builder: corpus_q is a sibling queries module
+    # (top-level import would be circular through queries/__init__).
+    from koby_s_ai_vector_db_spark.queries.corpus_q import (
+        CONTAM_MOD,
+        CONTAM_N,
+        SAMPLE_DEFAULT,
+        SAMPLE_RATES,
+        SAMPLE_SEED,
+    )
+
+    assert CONTAM_N == 3, "gram templates below are written for n=3"
+    sample_case = stratified_sample_oracle_case(
+        SAMPLE_RATES, "lang", SAMPLE_DEFAULT
+    )
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", seed=SAMPLE_SEED)
+    return f"""
 WITH sampled AS (
     SELECT doc_id, text, lang FROM documents
-    WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", seed=7)} % 1000000
-          < CAST(round((CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5
-                             WHEN lang = 'zh' THEN 0.1 ELSE 0.05 END) * 1000000) AS BIGINT)
+    WHERE {h} % 1000000
+          < CAST(round({sample_case} * 1000000) AS BIGINT)
 ),
 deduped AS (
     SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
@@ -216,7 +206,7 @@ b_post AS (
     SELECT DISTINCT g FROM (
         SELECT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                      for i in range(1, len(w) - 1)])) AS g
-        FROM words_all WHERE doc_id % 37 = 0 AND len(w) >= 3
+        FROM words_all WHERE doc_id % {CONTAM_MOD} = 0 AND len(w) >= {CONTAM_N}
     )
 ),
 d_words AS (
@@ -228,41 +218,17 @@ contaminated AS (
     SELECT DISTINCT dp.doc_id FROM (
         SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                              for i in range(1, len(w) - 1)])) AS g
-        FROM d_words WHERE len(w) >= 3
+        FROM d_words WHERE len(w) >= {CONTAM_N}
     ) dp JOIN b_post USING (g)
-    WHERE dp.doc_id % 37 <> 0
+    WHERE dp.doc_id % {CONTAM_MOD} <> 0
 ),
 surv AS (
     SELECT doc_id, lang, w, len(w)::BIGINT AS n_tokens FROM d_words
-    WHERE doc_id % 37 <> 0
+    WHERE doc_id % {CONTAM_MOD} <> 0
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
-lm_post AS (
-    SELECT g, split_part(g, ' ', 1) AS prev
-    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
-          FROM words_all WHERE source = '{TARGET_SOURCE}')
-),
-c2 AS (SELECT g, count(*) AS c2 FROM lm_post GROUP BY g),
-c1 AS (SELECT prev, count(*) AS c1 FROM lm_post GROUP BY prev),
-vocab AS (
-    SELECT (count(DISTINCT t) + 1)::DOUBLE AS v
-    FROM (SELECT unnest(w) AS t FROM words_all WHERE source = '{TARGET_SOURCE}')
-),
-events AS (
-    SELECT e.doc_id, e.lang, e.n_tokens,
-           ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * vocab.v)) AS lp
-    FROM (SELECT doc_id, lang, n_tokens,
-                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
-          FROM surv) e
-    LEFT JOIN c2 USING (g)
-    LEFT JOIN c1 ON c1.prev = split_part(e.g, ' ', 1)
-    CROSS JOIN vocab
-),
-scored AS (
-    SELECT doc_id, lang, n_tokens,
-           round(exp(-sum(lp) / count(*)), 6) AS ppl
-    FROM events GROUP BY doc_id, lang, n_tokens
-),
+{lm_oracle_ctes("words_all", _LM_PRED)},
+{ppl_scored_ctes("surv", carry_cols=("lang", "n_tokens"), emit_nll=False)},
 cuts AS (
     SELECT round(quantile_cont(ppl, {1.0 / 3.0!r}), 6) AS t_head,
            round(quantile_cont(ppl, {2.0 / 3.0!r}), 6) AS t_mid
@@ -272,35 +238,11 @@ gated AS (
     SELECT s.doc_id, s.lang, s.n_tokens FROM scored s CROSS JOIN cuts
     WHERE s.ppl <= cuts.t_mid
 ),
-plan AS (
-    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
-           (CASE {_MIX_CASE} ELSE 0.0 END) * {PIPE_BUDGET} AS target_tokens,
-           (CASE {_MIX_CASE} ELSE 0.0 END) * {PIPE_BUDGET} / sum(n_tokens) AS epochs
-    FROM gated GROUP BY lang
-),
-mix AS (
-    SELECT g.lang, g.n_tokens,
-           CAST(floor(p.epochs) AS BIGINT)
-           + (CASE WHEN {sql_hash32("CAST(g.doc_id AS VARCHAR)", seed=MIX_SEED)} % 1000000
-                        < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
-                   THEN 1 ELSE 0 END) AS n_copies
-    FROM gated g JOIN plan p USING (lang)
-),
-achieved AS (
-    SELECT lang, sum(n_tokens * n_copies) AS achieved_tokens,
-           sum(n_copies) AS achieved_docs
-    FROM mix GROUP BY lang
-)
-SELECT p.lang, p.n_docs_in, p.avail_tokens,
-       round(p.target_tokens, 6) AS target_tokens,
-       round(p.epochs, 6) AS epochs,
-       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
-       coalesce(a.achieved_docs, 0) AS achieved_docs
-FROM plan p LEFT JOIN achieved a USING (lang)
+{mix_oracle_sql("gated", _MIX_CASE, PIPE_BUDGET, MIX_SEED)}
 """
 
 
-@register("curate_pretrain_pipeline", _PIPE_ORACLE)
+@register("curate_pretrain_pipeline", _pipe_oracle())
 def curate_pretrain_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pretraining corpus build, stage-composed and value-checked
     end-to-end: per-language stratified sample → exact dedup → 3-gram
@@ -371,10 +313,6 @@ def curate_pretrain_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the portable hash so both engines draw the identical sample.
 DSIR_K = 64
 DSIR_TAU = 5.0
-from koby_s_ai_vector_db_spark.operators.selection import (  # noqa: E402
-    GUMBEL_SEED,
-    gumbel_topk_sample,
-)
 
 _DSIR_SAMPLE_ORACLE = f"""
 WITH scored AS ({_DSIR_ORACLE}),

@@ -101,15 +101,13 @@ LIMIT {HEAVY_TOP}
 
 @register("a18_heavy_hitters", _CM_ORACLE)
 def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{top} most frequent corpus terms via a cross-engine
+    """Top-15 most frequent corpus terms via a cross-engine
     deterministic count-min sketch (D=4 x W=512 integer cells, merge =
     cell-wise sum): estimate >= truth always; the exact arm rides along
     to exhibit the one-sided overcount. The 100 TB plan is the sketch
     arm alone — the cell build is map-side combinable into <= D*W rows
     no matter the corpus, and candidates come from a sample, not an
-    exact global count (which would defeat the sketch).""".format(
-        top=HEAVY_TOP
-    )
+    exact global count (which would defeat the sketch)."""
     from koby_s_ai_vector_db_spark.operators.sketches import (
         cm_cells,
         cm_estimate,

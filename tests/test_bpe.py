@@ -7,6 +7,8 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+
+from tests.conftest import SF_DIRS
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.operators.bpe import (
@@ -106,7 +108,7 @@ class TestLearn:
     def test_fixture_determinism(self, spark):
         from koby_s_ai_vector_db_spark.sources.tables import load_table
 
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs = load_table(spark, SF_DIRS["t1"], "documents")
         m1, _ = learn_bpe(docs, n_merges=6)
         m2, _ = learn_bpe(docs, n_merges=6)
         assert [tuple(m) for m in m1] == [tuple(m) for m in m2]
@@ -153,7 +155,7 @@ class TestEncode:
     def test_more_merges_never_increase_tokens(self, spark):
         from koby_s_ai_vector_db_spark.sources.tables import load_table
 
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs = load_table(spark, SF_DIRS["t1"], "documents")
         _, v0 = learn_bpe(docs, n_merges=2)
         _, v1 = learn_bpe(docs, n_merges=10)
         t0 = bpe_encode(docs, v0).agg(F.sum("n_tokens")).collect()[0][0]

@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 
 import pytest
+
+from tests.conftest import SF_DIRS
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.operators.selection import (
@@ -238,6 +240,29 @@ class TestTokenBudgetMix:
         )
         assert a == b
 
+    def test_zero_available_stratum_drops_gracefully(self, spark):
+        """A stratum whose documents are all empty has avail_tokens 0:
+        epochs must be 0 (not a DIVIDE_BY_ZERO crash under ANSI mode)
+        and the stratum contributes nothing to the mix."""
+        docs = spark.createDataFrame(
+            [(0, "", "en"), (1, "   ", "en"), (2, "a b c", "de")],
+            "doc_id bigint, text string, lang string",
+        )
+        mix = token_budget_mix(
+            docs, {"en": 0.5, "de": 0.5}, 100, strata_col="lang"
+        ).collect()
+        assert {r["lang"] for r in mix} == {"de"}
+        summary = {
+            r["lang"]: r
+            for r in token_budget_mix_summary(
+                docs, {"en": 0.5, "de": 0.5}, 100, strata_col="lang"
+            ).collect()
+        }
+        assert summary["en"]["avail_tokens"] == 0
+        assert summary["en"]["epochs"] == 0.0
+        assert summary["en"]["achieved_tokens"] == 0
+        assert summary["de"]["achieved_tokens"] > 0
+
     def test_degenerate_args(self, spark):
         docs = self._corpus(spark, n=3)
         with pytest.raises(ValueError, match="token_budget"):
@@ -262,7 +287,7 @@ class TestPretrainPipeline:
         rows = {
             r["lang"]: r
             for r in curate_pretrain_pipeline_q(
-                spark, "/root/testdata/sf0.01"
+                spark, SF_DIRS["t2"]
             ).collect()
         }
         for lang, w in MIX_WEIGHTS.items():

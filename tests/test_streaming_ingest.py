@@ -154,7 +154,7 @@ class TestStreamingSelection:
             stream_select_documents,
         )
 
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs = load_table(spark, SF_DIRS["t1"], "documents")
         lam = dsir_model(docs, target=F.col("source") == "src0")
         lm = lm_model(docs.filter(F.col("source") == "src0"))
 
