@@ -507,7 +507,10 @@ def token_budget_mix_summary(
         F.sum("n_copies").alias("achieved_docs"),
     )
     return (
-        plan.join(achieved, strata_col, "left")
+        # Both sides are per-stratum bounded; broadcast explicitly — the
+        # checkpointed plan carries no size statistics, so Catalyst would
+        # otherwise fall back to a sort-merge join.
+        plan.join(F.broadcast(achieved), strata_col, "left")
         .select(
             strata_col,
             "n_docs_in",
