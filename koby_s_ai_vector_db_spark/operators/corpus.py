@@ -391,3 +391,101 @@ def ngram_contamination(
             "n_shared",
         )
     )
+
+
+def vocab_zipf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf-law profile of the corpus vocabulary — the standard corpus
+    health check before training (natural text has log-log slope ≈ -1;
+    a flat slope flags synthetic/templated text, a cliff flags
+    boilerplate domination).
+
+    OLS fit of ln(freq) on ln(rank) over the full vocabulary, computed
+    with the explicit closed form
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    so both engines fold the same terms; ranks are deterministic
+    (count desc, term asc). One map-side-combined groupBy(term), one
+    vocabulary-sized rank window, one 1-row aggregate. Output:
+    (n_terms, n_tokens, zipf_slope, r2, top_share) where top_share is
+    the most frequent term's fraction of all tokens.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(words_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    xy = counts.select(
+        "n",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("cnt"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    # Degenerate corpora (single term -> var_x = 0; uniform frequencies
+    # -> var_y = 0) have no fittable line: report 0 instead of NaN (the
+    # two engines disagree on double 0/0, and registered queries emit no
+    # null/NaN cells).
+    slope = F.when(var_x > 0, cov_n / var_x).otherwise(F.lit(0.0))
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), cov_n * cov_n / (var_x * var_y)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("cnt").cast("long").alias("n_terms"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(slope, round_to).alias("zipf_slope"),
+        F.round(r2, round_to).alias("r2"),
+        F.round(F.col("top_n") / F.col("n_tokens"), round_to).alias(
+            "top_share"
+        ),
+    )
+
+
+ZIPF_ORACLE = """
+WITH post AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+    FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM post GROUP BY term),
+xy AS (
+    SELECT n,
+           ln((row_number() OVER (ORDER BY n DESC, term ASC))::DOUBLE) AS x,
+           ln(n::DOUBLE) AS y
+    FROM counts
+),
+agg AS (
+    SELECT count(*)::DOUBLE AS cnt, sum(n) AS n_tokens, max(n) AS top_n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM xy
+)
+SELECT CAST(cnt AS BIGINT) AS n_terms,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN cnt * sxx - sx * sx > 0
+                  THEN (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+                  ELSE 0.0 END, 6) AS zipf_slope,
+       round(CASE WHEN cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
+                  THEN (cnt * sxy - sx * sy) * (cnt * sxy - sx * sy)
+                       / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS r2,
+       round(top_n / n_tokens::DOUBLE, 6) AS top_share
+FROM agg
+"""

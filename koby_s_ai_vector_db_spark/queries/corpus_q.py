@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.functions.hashing import sql_hash32
 from koby_s_ai_vector_db_spark.operators.corpus import (
+    ZIPF_ORACLE,
     bm25_oracle_sql,
     bm25_rank,
     ngram_contamination,
@@ -25,6 +26,7 @@ from koby_s_ai_vector_db_spark.operators.corpus import (
     stratified_sample,
     stratified_sample_oracle_case,
     vocab_stats,
+    vocab_zipf,
 )
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
@@ -339,3 +341,13 @@ def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ngram_contamination(docs, bench, n=CONTAM_N)
     return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+@register("vocab_zipf", ZIPF_ORACLE)
+def vocab_zipf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus profile: OLS slope/r² of ln(freq) on ln(rank)
+    over the vocabulary plus the top term's token share — the corpus
+    health check before training. The rank window is vocabulary-sized
+    (Heaps' law: ≪ corpus), the fit a 1-row aggregate
+    (operators/corpus.py::vocab_zipf)."""
+    return vocab_zipf(load_table(spark, sf_dir, "documents"))

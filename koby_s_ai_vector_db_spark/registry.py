@@ -50,18 +50,18 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-6 window: (a) the oldest-checked (r3-dated) queries, (b) the 9
+# Round-6 window: (a) the oldest-checked (r3-dated) queries, (b) the 10
 # new round-6 queries (selection tier + resampling, tokenizer tier,
 # end-to-end pretraining pipeline, shard manifest, count-min heavy
-# hitters), (c) the 23 round-5 queries that have never had a driver row
+# hitters, Zipf profile), (c) the 23 round-5 queries that have never had a driver row
 # (the skipped r5 record would have covered them). Displaced vs the r5
-# window (all r03-green, named at the list tail): 9 slots' worth of
+# window (all r03-green, named at the list tail): 10 slots' worth of
 # trivial/stable r3-dated queries.
 WINDOW = 50
 
 _PRIORITY: list[str] = [
     # (a) no r4 driver row
-    "ta_fingerprint", "mm_binary_features", "mm_decode",
+    "ta_fingerprint", "mm_binary_features",
     "dedup_exact_stream",
     "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
     "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
@@ -71,7 +71,7 @@ _PRIORITY: list[str] = [
     # (b) new round-6 queries (data-selection + tokenizer tiers)
     "dsir_score", "ccnet_ppl_buckets", "mix_token_budget",
     "bpe_train", "bpe_encode", "curate_pretrain_pipeline",
-    "shard_manifest", "dsir_sample", "a18_heavy_hitters",
+    "shard_manifest", "dsir_sample", "a18_heavy_hitters", "vocab_zipf",
     # (c) round-5 queries that have never had a driver row (the skipped
     # r5 record would have covered them)
     "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
@@ -90,7 +90,7 @@ _PRIORITY: list[str] = [
     # a5_sliding_live_users, a6_session_windows, dedup_minhash_lsh,
     # dedup_groups, q2_ann_pq, q2_ann_ivfpq — see the r5 note in git
     # history for the PQ-pair rationale) and, new this round, m1/m2/m3 +
-    # mm_resize/mm_frames/ta_token_count/dedup_exact/
+    # mm_resize/mm_frames/mm_decode/ta_token_count/dedup_exact/
     # dedup_embedding_cosine (r3-green, code unchanged — dedup_exact's
     # md5-groupBy shape also rides in the still-windowed
     # dedup_exact_stream and curate_* queries; the cosine tier's

@@ -3,6 +3,7 @@ tests/test_oracle_parity.py; these pin semantics and plan shapes)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.operators.corpus import (
@@ -176,3 +177,39 @@ def test_sliding_contamination_short_rows_yield_empty(spark):
     ).collect()
     assert [r.s for r in out] == [0, 0, 2]
     assert [r.d for r in out] == [0, 0, 2]
+
+
+class TestVocabZipf:
+    def test_perfect_zipf_slope(self, spark):
+        """A synthetic corpus with freq(rank r) = 2^(10-r) has an exact
+        log-log line of slope -ln2 per rank... use freq ∝ 1/r directly:
+        term_r repeated round(1200/r) times → slope ≈ -1, r² ≈ 1."""
+        from koby_s_ai_vector_db_spark.operators.corpus import vocab_zipf
+
+        words = []
+        for r in range(1, 21):
+            words += [f"t{r:02d}"] * round(1200 / r)
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id bigint, text string"
+        )
+        row = vocab_zipf(docs).collect()[0]
+        assert row["n_terms"] == 20
+        assert -1.05 < row["zipf_slope"] < -0.95
+        assert row["r2"] > 0.99
+        assert row["top_share"] == pytest.approx(
+            1200 / sum(round(1200 / r) for r in range(1, 21)), abs=1e-5
+        )
+
+    def test_degenerate_corpora_report_zero(self, spark):
+        from koby_s_ai_vector_db_spark.operators.corpus import vocab_zipf
+
+        uniform = spark.createDataFrame(
+            [(0, "a b c a b c")], "doc_id bigint, text string"
+        )
+        row = vocab_zipf(uniform).collect()[0]
+        assert row["r2"] == 0.0  # var_y = 0: no fittable line, not NaN
+        single = spark.createDataFrame(
+            [(0, "a a a")], "doc_id bigint, text string"
+        )
+        row = vocab_zipf(single).collect()[0]
+        assert (row["zipf_slope"], row["r2"]) == (0.0, 0.0)
