@@ -44,10 +44,10 @@ def test_bpe_merges_match_python_reference(spark, corpus, n_merges):
 
 
 def _h32ppm(s: str, seed: int) -> int:
-    return (
-        int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
-        % 1_000_000
-    )
+    # Mirror functions/hashing.portable_hash32 exactly: a falsy seed
+    # means NO salt prefix (hypothesis found the "0:" mismatch at seed=0).
+    salted = f"{seed}:{s}" if seed else s
+    return int(hashlib.md5(salted.encode()).hexdigest()[:8], 16) % 1_000_000
 
 
 @settings(max_examples=10, deadline=None)
@@ -73,7 +73,11 @@ def test_token_budget_mix_matches_python(spark, lengths, weight, budget, seed):
     }
     avail = sum(lengths)
     epochs = weight * budget / avail
-    frac_thresh = round((epochs - math.floor(epochs)) * 1_000_000)
+    # half-away-from-zero for positives, like Spark/DuckDB round() —
+    # Python's built-in round is banker's.
+    frac_thresh = int(
+        math.floor((epochs - math.floor(epochs)) * 1_000_000 + 0.5)
+    )
     expected = {}
     for i, _n in enumerate(lengths):
         c = int(math.floor(epochs)) + (
