@@ -42,6 +42,11 @@ END_OF_WORD = "</w>"
 CHECKPOINT_EVERY = 8
 
 
+def _char_syms(col: str = "word"):
+    """Zero-merge symbol sequence of a word: characters + end-of-word."""
+    return F.concat(F.split(F.col(col), ""), F.array(F.lit(END_OF_WORD)))
+
+
 def word_counts(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -93,11 +98,7 @@ def learn_bpe(
 
     wc = word_counts(docs, text_col)
     vocab = wc.select(
-        "word",
-        "n",
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
-        ).alias("syms"),
+        "word", "n", _char_syms().alias("syms")
     ).localCheckpoint()
 
     merges: list[Row] = []
@@ -158,9 +159,7 @@ def bpe_encode(
     occ = docs.select(
         F.col(id_col), F.explode(words_expr(text_col)).alias("word")
     )
-    oov_syms = F.concat(
-        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
-    )
+    oov_syms = _char_syms()
     return (
         occ.join(F.broadcast(vocab.select("word", "syms")), "word", "left")
         .select(

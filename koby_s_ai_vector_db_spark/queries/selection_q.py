@@ -57,14 +57,9 @@ _DSIR_ORACLE = dsir_oracle_sql(
 )
 
 
-@register("dsir_score", _DSIR_ORACLE)
-def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance score of every document against the src0 target
-    domain: hashed unigram+bigram log-likelihood ratio. The model is a
-    1024-bucket table built by two map-side-combined aggregates and
-    broadcast back; the only corpus-sized shuffle is the per-doc score
-    sum (operators/selection.py::dsir_scores). The score table is
-    memo-persisted and shared with dsir_sample."""
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memo-persisted per-doc DSIR score table shared by dsir_score
+    and dsir_sample — built once per (application, sf_dir)."""
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -79,6 +74,17 @@ def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             seed=DSIR_SEED,
         ),
     )
+
+
+@register("dsir_score", _DSIR_ORACLE)
+def dsir_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score of every document against the src0 target
+    domain: hashed unigram+bigram log-likelihood ratio. The model is a
+    1024-bucket table built by two map-side-combined aggregates and
+    broadcast back; the only corpus-sized shuffle is the per-doc score
+    sum (operators/selection.py::dsir_scores). The score table is
+    memo-persisted and shared with dsir_sample."""
+    return _dsir_scored(spark, sf_dir)
 
 
 _PPL_ORACLE = f"""
@@ -337,18 +343,6 @@ def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only key computation over the memoized score table, then
     orderBy+limit = TakeOrderedAndProject; the rank window runs on the
     64-row result (operators/selection.py::gumbel_topk_sample)."""
-    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = memo_persist(
-        spark,
-        ("dsir_scored", sf_dir),
-        lambda: dsir_scores(
-            docs,
-            target=F.col("source") == TARGET_SOURCE,
-            carry_cols=("lang", "source"),
-            n_buckets=DSIR_BUCKETS,
-            seed=DSIR_SEED,
-        ),
+    return gumbel_topk_sample(
+        _dsir_scored(spark, sf_dir), k=DSIR_K, tau=DSIR_TAU
     )
-    return gumbel_topk_sample(scored, k=DSIR_K, tau=DSIR_TAU)
