@@ -57,6 +57,92 @@ from koby_s_ai_vector_db_spark.operators.pq import (
 DATA_SUBDIR = "data"
 CODEBOOK_SUBDIR = "codebook"
 CENTROIDS_SUBDIR = "centroids"
+TOMBSTONES_SUBDIR = "tombstones"
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The deleted-id table, or None if nothing was ever deleted."""
+    try:
+        return spark.read.parquet(f"{path}/{TOMBSTONES_SUBDIR}")
+    except Exception:
+        return None
+
+
+def _read_data(spark: SparkSession, path: str, corpus_id: str) -> DataFrame:
+    """The live index rows: ``data`` minus tombstoned ids (FAISS
+    `remove_ids` semantics — centroids and codebook stay frozen; a
+    deleted vector simply stops being a candidate)."""
+    data = spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        data = data.join(
+            F.broadcast(tomb.withColumnRenamed("id", corpus_id)),
+            corpus_id,
+            "left_anti",
+        )
+    return data
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    corpus_id: str = "vec_id",
+) -> dict:
+    """Delete vectors from a flat-PQ or IVF+PQ index without a rewrite:
+    append the ids to ``{path}/tombstones``; every search anti-joins them
+    before the ADC scan, so a deleted vector can neither enter the
+    shortlist nor crowd one out (removing it admits the next-best
+    candidate — NOT equivalent to post-filtering search results).
+    `compact_index` reclaims the rows physically. Repeated deletes are
+    idempotent. Returns {"n_deleted", "path"}."""
+    del_ids = ids.select(F.col(corpus_id).alias("id")).distinct()
+    prior = _tombstones(spark, path)
+    if prior is not None:
+        del_ids = del_ids.join(prior, "id", "left_anti")
+    # Only ids actually in the index become tombstones (bounded table).
+    present = spark.read.parquet(f"{path}/{DATA_SUBDIR}").select(
+        F.col(corpus_id).alias("id")
+    )
+    del_ids = del_ids.join(present, "id", "left_semi")
+    n = del_ids.count()
+    if n:
+        del_ids.coalesce(1).write.mode("append").parquet(
+            f"{path}/{TOMBSTONES_SUBDIR}"
+        )
+    return {"n_deleted": n, "path": path}
+
+
+def compact_index(
+    spark: SparkSession, path: str, corpus_id: str = "vec_id"
+) -> dict:
+    """Physically drop tombstoned rows, preserving the layout (list
+    partitioning for IVF+PQ, flat otherwise) — FAISS's remove_ids
+    actually reclaiming memory, as a batch rewrite. Search results are
+    unchanged. Returns {"n_vectors", "path"}."""
+    import os
+    import shutil
+
+    data = spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return {"n_vectors": data.count(), "path": path}
+    live = data.join(
+        F.broadcast(tomb.withColumnRenamed("id", corpus_id)),
+        corpus_id,
+        "left_anti",
+    )
+    tmp = f"{path}/.compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if "list" in data.columns:
+        live.repartition("list").write.partitionBy("list").parquet(tmp)
+    else:
+        live.write.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(f"{path}/{DATA_SUBDIR}")
+    os.rename(tmp, f"{path}/{DATA_SUBDIR}")
+    shutil.rmtree(f"{path}/{TOMBSTONES_SUBDIR}", ignore_errors=True)
+    return {"n_vectors": n, "path": path}
 
 
 def _write_codebook(spark: SparkSession, path: str) -> None:
@@ -287,7 +373,7 @@ def pq_index_search(
     inline `pq_topk` (tests/test_pq_index.py), minus the per-query encode
     cost. Returns (query_id, corpus_id, sim, rank)."""
     cbdf = spark.read.parquet(f"{path}/{CODEBOOK_SUBDIR}")
-    data = spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+    data = _read_data(spark, path, corpus_id)
     q = queries.select(F.col(query_id), l2_normalize(query_vec_col).alias("qv"))
     dtab = q.join(F.broadcast(cbdf)).select(
         query_id, pq_distance_table("qv").alias("dtab")
@@ -321,7 +407,7 @@ def ivfpq_index_search(
 
     cbdf = spark.read.parquet(f"{path}/{CODEBOOK_SUBDIR}")
     centroids = spark.read.parquet(f"{path}/{CENTROIDS_SUBDIR}")
-    data = spark.read.parquet(f"{path}/{DATA_SUBDIR}")
+    data = _read_data(spark, path, corpus_id)
 
     q = queries.select(F.col(query_id), l2_normalize(query_vec_col).alias("qv"))
     probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("list"))

@@ -47,7 +47,17 @@ from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 POSTINGS_SUBDIR = "postings"
 TERMS_SUBDIR = "terms"
 STATS_SUBDIR = "stats"
+TOMBSTONES_SUBDIR = "tombstones"
 DEFAULT_BUCKETS = 64
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The (id) table of deleted documents, or None if nothing was ever
+    deleted (the subdir only exists after a delete)."""
+    try:
+        return spark.read.parquet(f"{path}/{TOMBSTONES_SUBDIR}")
+    except Exception:
+        return None
 
 
 def _bucket(term_col: str, n_buckets: int) -> F.Column:
@@ -148,6 +158,70 @@ def append_to_text_index(
     return {"n_appended": docs.count(), "path": path, "n_buckets": n_buckets}
 
 
+def delete_from_text_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Delete documents from the index WITHOUT rewriting it — Lucene's
+    tombstone semantics expressed through the index's own additive
+    algebra. Two things are written, both tiny:
+
+      1. the deleted ids append to ``{path}/tombstones`` — search
+         anti-joins them so deleted postings stop matching;
+      2. a NEGATIVE correction segment: per-(bucket, term) df rows with
+         negative counts and a stats row with negative n_docs/sum_dl,
+         derived from the deleted docs' own postings. Because every BM25
+         global is summed across segments at search time, the negative
+         segment makes idf/N/avgdl exact again with ZERO search-side
+         changes — deletes reuse the same mechanism appends do.
+
+    Ids already tombstoned (or never indexed) are ignored — a repeated
+    delete must not double-subtract. `compact_text_index` later applies
+    tombstones physically and clears them. Returns {"n_deleted", "path"}.
+    """
+    stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
+    n_buckets = int(stats.head()["n_buckets"])
+
+    del_ids = ids.select(F.col(id_col).alias("id")).distinct()
+    prior = _tombstones(spark, path)
+    if prior is not None:
+        del_ids = del_ids.join(prior, "id", "left_anti")
+    # The correction segment needs the deleted docs' term sets — they are
+    # IN the index; one postings pass per delete batch, not per search.
+    postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+    deleted_post = postings.join(F.broadcast(del_ids), "id").persist()
+    try:
+        n_deleted = deleted_post.select("id").distinct().count()
+        if n_deleted == 0:
+            return {"n_deleted": 0, "path": path}
+        neg_terms = deleted_post.groupBy("bucket", "term").agg(
+            (-F.count("*")).cast("double").alias("df")
+        )
+        neg_terms.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/{TERMS_SUBDIR}")
+        neg_stats = (
+            deleted_post.select("id", "dl")
+            .distinct()
+            .agg(
+                (-F.count("*")).cast("double").alias("n_docs"),
+                (-F.sum("dl")).alias("sum_dl"),
+            )
+            .withColumn("n_buckets", F.lit(n_buckets))
+        )
+        neg_stats.coalesce(1).write.mode("append").parquet(
+            f"{path}/{STATS_SUBDIR}"
+        )
+        deleted_post.select("id").distinct().coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/{TOMBSTONES_SUBDIR}")
+    finally:
+        deleted_post.unpersist()
+    return {"n_deleted": n_deleted, "path": path}
+
+
 def search_text_index(
     spark: SparkSession,
     path: str,
@@ -199,6 +273,12 @@ def search_text_index(
         )
         postings = postings.filter(F.col("bucket").isin(buckets))
         terms = terms.filter(F.col("bucket").isin(buckets))
+    # Deleted docs: tombstone anti-join hides their postings; the df/N/
+    # avgdl corrections already arrived through the negative segments'
+    # additive sums above (delete_from_text_index).
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
 
     # df per query term, summed across segments: both sides of this join
     # are tiny after pruning; the result (≤ distinct query terms rows) is
@@ -264,12 +344,20 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     merged_stats = stats.agg(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     ).withColumn("n_buckets", F.lit(n_buckets))
+    # Delete correction segments sum in here: a fully-deleted term nets
+    # df <= 0 and is dropped from the compacted terms table.
     merged_terms = (
         spark.read.parquet(f"{path}/{TERMS_SUBDIR}")
         .groupBy("bucket", "term")
         .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
     )
     postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+    # Apply tombstones physically: compaction is where Lucene reclaims
+    # deleted docs; afterwards the tombstone table is empty again.
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
 
     tmp = f"{path}/.compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -288,6 +376,8 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         shutil.rmtree(f"{path}/{sub}")
         os.rename(f"{tmp}/{sub}", f"{path}/{sub}")
     shutil.rmtree(tmp, ignore_errors=True)
+    # Tombstoned docs are physically gone now.
+    shutil.rmtree(f"{path}/{TOMBSTONES_SUBDIR}", ignore_errors=True)
     return {
         "n_segments_before": n_segments,
         "n_postings": n_postings,
