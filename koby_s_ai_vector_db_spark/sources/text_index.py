@@ -52,12 +52,27 @@ DEFAULT_BUCKETS = 64
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """The (id) table of deleted documents, or None if nothing was ever
-    deleted (the subdir only exists after a delete)."""
+    """The (id, up_to_seg) table of deletions, or None if nothing was
+    ever deleted (the subdir only exists after a delete). A row hides an
+    id's postings in generations <= up_to_seg — generations written
+    AFTER the delete (an upsert's re-add) are visible again."""
     try:
         return spark.read.parquet(f"{path}/{TOMBSTONES_SUBDIR}")
     except Exception:
         return None
+
+
+def _live(postings: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Postings minus tombstoned generations: keep a row unless a
+    tombstone for its id covers its segment."""
+    if tomb is None:
+        return postings
+    t = tomb.groupBy("id").agg(F.max("up_to_seg").alias("up_to_seg"))
+    return (
+        postings.join(F.broadcast(t), "id", "left")
+        .filter(F.col("up_to_seg").isNull() | (F.col("seg") > F.col("up_to_seg")))
+        .drop("up_to_seg")
+    )
 
 
 def _bucket(term_col: str, n_buckets: int) -> F.Column:
@@ -93,11 +108,15 @@ def _write_segment(
     id_col: str,
     text_col: str,
     mode: str,
+    seg: int = 0,
 ) -> None:
     """Write one index segment (postings + per-segment term df + one stats
     row). Every aggregate the search needs is ADDITIVE across segments
     (df, n_docs, sum_dl), so append-mode segments compose exactly —
-    the Lucene-segment idea without the merge daemon."""
+    the Lucene-segment idea without the merge daemon. ``seg`` stamps the
+    postings rows with their segment generation: deletes are scoped to
+    the generations that existed when they were issued, so an id
+    re-added by a later upsert is visible again."""
     post = term_postings(docs, id_col, text_col).persist()
     dl = doc_lengths(docs, id_col, text_col).persist()
     try:
@@ -109,6 +128,7 @@ def _write_segment(
                 F.col("_id").alias("id"),
                 "tf",
                 "dl",
+                F.lit(seg).cast("int").alias("seg"),
             )
         )
         # One writer task per bucket: a probed partition is O(1) files.
@@ -154,7 +174,14 @@ def append_to_text_index(
     spark = docs.sparkSession
     stats = spark.read.parquet(f"{path}/{STATS_SUBDIR}")
     n_buckets = int(stats.head()["n_buckets"])
-    _write_segment(docs, path, n_buckets, id_col, text_col, mode="append")
+    # Next generation id: one column-pruned scan of the postings table.
+    seg = int(
+        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
+        .agg(F.max("seg")).head()[0]
+    ) + 1
+    _write_segment(
+        docs, path, n_buckets, id_col, text_col, mode="append", seg=seg
+    )
     return {"n_appended": docs.count(), "path": path, "n_buckets": n_buckets}
 
 
@@ -185,17 +212,20 @@ def delete_from_text_index(
     n_buckets = int(stats.head()["n_buckets"])
 
     del_ids = ids.select(F.col(id_col).alias("id")).distinct()
-    prior = _tombstones(spark, path)
-    if prior is not None:
-        del_ids = del_ids.join(prior, "id", "left_anti")
     # The correction segment needs the deleted docs' term sets — they are
     # IN the index; one postings pass per delete batch, not per search.
+    # Corrections derive from the LIVE rows only: an id already deleted
+    # (no live postings) contributes nothing and gets no new tombstone,
+    # so repeated deletes never double-subtract; an id re-added since an
+    # earlier delete has live rows again and is deleted afresh.
     postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
-    deleted_post = postings.join(F.broadcast(del_ids), "id").persist()
+    live = _live(postings, _tombstones(spark, path))
+    deleted_post = live.join(F.broadcast(del_ids), "id").persist()
     try:
         n_deleted = deleted_post.select("id").distinct().count()
         if n_deleted == 0:
             return {"n_deleted": 0, "path": path}
+        up_to = int(postings.agg(F.max("seg")).head()[0])
         neg_terms = deleted_post.groupBy("bucket", "term").agg(
             (-F.count("*")).cast("double").alias("df")
         )
@@ -203,7 +233,7 @@ def delete_from_text_index(
             "bucket"
         ).parquet(f"{path}/{TERMS_SUBDIR}")
         neg_stats = (
-            deleted_post.select("id", "dl")
+            deleted_post.select("id", "seg", "dl")
             .distinct()
             .agg(
                 (-F.count("*")).cast("double").alias("n_docs"),
@@ -214,9 +244,11 @@ def delete_from_text_index(
         neg_stats.coalesce(1).write.mode("append").parquet(
             f"{path}/{STATS_SUBDIR}"
         )
-        deleted_post.select("id").distinct().coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{path}/{TOMBSTONES_SUBDIR}")
+        deleted_post.select("id").distinct().withColumn(
+            "up_to_seg", F.lit(up_to).cast("int")
+        ).coalesce(1).write.mode("append").parquet(
+            f"{path}/{TOMBSTONES_SUBDIR}"
+        )
     finally:
         deleted_post.unpersist()
     return {"n_deleted": n_deleted, "path": path}
@@ -273,12 +305,10 @@ def search_text_index(
         )
         postings = postings.filter(F.col("bucket").isin(buckets))
         terms = terms.filter(F.col("bucket").isin(buckets))
-    # Deleted docs: tombstone anti-join hides their postings; the df/N/
-    # avgdl corrections already arrived through the negative segments'
-    # additive sums above (delete_from_text_index).
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
+    # Deleted docs: the generation-scoped tombstone filter hides their
+    # postings; the df/N/avgdl corrections already arrived through the
+    # negative segments' additive sums above (delete_from_text_index).
+    postings = _live(postings, _tombstones(spark, path))
 
     # df per query term, summed across segments: both sides of this join
     # are tiny after pruning; the result (≤ distinct query terms rows) is
@@ -352,12 +382,13 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
-    postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
     # Apply tombstones physically: compaction is where Lucene reclaims
-    # deleted docs; afterwards the tombstone table is empty again.
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
+    # deleted docs; afterwards the tombstone table is empty again and
+    # every surviving row restarts at generation 0.
+    postings = _live(
+        spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}"),
+        _tombstones(spark, path),
+    ).withColumn("seg", F.lit(0).cast("int"))
 
     tmp = f"{path}/.compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -381,5 +412,30 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     return {
         "n_segments_before": n_segments,
         "n_postings": n_postings,
+        "path": path,
+    }
+
+
+def upsert_to_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Replace-or-insert documents: delete any existing rows for these
+    ids (tombstone + negative corrections), then append the new contents
+    as a fresh segment — the reference's filename-keyed re-ingest
+    (core/supabase_utils.py:203-248 deletes a document's chunks before
+    re-inserting) expressed as index operations. Search afterwards is
+    exact for the NEW contents (rebuild-equivalent, same argument as
+    delete + append). Returns {"n_replaced", "n_upserted", "path"}."""
+    spark = docs.sparkSession
+    deleted = delete_from_text_index(
+        spark, path, docs.select(id_col), id_col=id_col
+    )
+    appended = append_to_text_index(docs, path, id_col, text_col)
+    return {
+        "n_replaced": deleted["n_deleted"],
+        "n_upserted": appended["n_appended"],
         "path": path,
     }

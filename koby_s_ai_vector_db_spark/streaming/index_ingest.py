@@ -127,3 +127,41 @@ def stream_docs_into_packed_shards(
         .trigger(availableNow=True)
         .start()
     )
+
+
+IDS_SCHEMA = "doc_id bigint"
+
+
+def stream_deletes_into_text_index(
+    spark: SparkSession,
+    source_glob: str,
+    index_path: str,
+    checkpoint: str,
+) -> "object":
+    """Start a stream absorbing arriving delete requests (parquet files
+    of doc ids) into an existing text index — one `delete_from_text_index`
+    per micro-batch. Micro-batch boundaries are invisible: deletes are
+    idempotent and their corrections additive, so the stream-final index
+    equals one batch delete of all the ids (asserted in
+    tests/test_streaming_ingest.py)."""
+    from koby_s_ai_vector_db_spark.sources.text_index import (
+        delete_from_text_index,
+    )
+
+    ids = (
+        spark.readStream.schema(IDS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_glob)
+    )
+
+    def absorb(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delete_from_text_index(spark, index_path, batch)
+
+    return (
+        ids.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

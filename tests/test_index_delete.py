@@ -217,3 +217,44 @@ class TestPqIndexDelete:
         assert any(
             d.startswith("list=") for d in os.listdir(f"{copy}/data")
         )
+
+
+class TestTextIndexUpsert:
+    def test_upsert_matches_fresh_build_with_new_contents(
+        self, spark, tmp_path
+    ):
+        from koby_s_ai_vector_db_spark.sources.text_index import (
+            build_text_index,
+            search_text_index,
+            upsert_to_text_index,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        path = str(tmp_path / "idx")
+        build_text_index(docs, path)
+        # Replace 1/6 of the docs with rewritten text and add two new ids.
+        changed = docs.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", F.concat(F.lit("spark spark table "), "text").alias("text")
+        )
+        added = spark.createDataFrame(
+            [(900_001, "hash batch merge window"), (900_002, "scan table key")],
+            "doc_id bigint, text string",
+        )
+        out = upsert_to_text_index(changed.unionByName(added), path)
+        assert out["n_replaced"] == changed.count()
+        assert out["n_upserted"] == changed.count() + 2
+
+        fresh = str(tmp_path / "fresh")
+        build_text_index(
+            docs.filter(F.col("doc_id") % 6 != 0)
+            .select("doc_id", "text")
+            .unionByName(changed)
+            .unionByName(added),
+            fresh,
+        )
+        queries = spark.createDataFrame(
+            QUERIES, "query_id bigint, query_text string"
+        )
+        assert _rows(search_text_index(spark, path, queries)) == _rows(
+            search_text_index(spark, fresh, queries)
+        )

@@ -190,3 +190,52 @@ class TestStreamingSelection:
         want = sorted(map(tuple, want_df.select(*spark.read.parquet(sink).columns).collect()))
         assert got == want
         assert 0 < len(got) < docs.count()
+
+
+class TestStreamingDeletes:
+    def test_stream_deletes_equal_batch_delete(self, spark, tmp_path):
+        """Micro-batched delete requests drain into the same index state
+        as one batch delete: deletes are idempotent and their
+        corrections additive, so batch boundaries are invisible."""
+        from pyspark.sql import functions as F
+
+        from koby_s_ai_vector_db_spark.sources.tables import load_table
+        from koby_s_ai_vector_db_spark.sources.text_index import (
+            build_text_index,
+            delete_from_text_index,
+            search_text_index,
+        )
+        from koby_s_ai_vector_db_spark.streaming.index_ingest import (
+            stream_deletes_into_text_index,
+        )
+
+        docs = load_table(spark, SF_DIRS["t1"], "documents")
+        doomed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+        queries = spark.createDataFrame(
+            [(0, "spark table scan"), (1, "hash merge batch")],
+            "query_id bigint, query_text string",
+        )
+
+        streamed = str(tmp_path / "streamed")
+        build_text_index(docs, streamed)
+        src = str(tmp_path / "delreqs")
+        for i in range(3):
+            doomed.filter((F.col("doc_id") / 3).cast("long") % 3 == i).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}.parquet")
+        q = stream_deletes_into_text_index(
+            spark, f"{src}/part*.parquet", streamed, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+        batch = str(tmp_path / "batch")
+        build_text_index(docs, batch)
+        delete_from_text_index(spark, batch, doomed)
+
+        got = sorted(
+            map(tuple, search_text_index(spark, streamed, queries).collect())
+        )
+        want = sorted(
+            map(tuple, search_text_index(spark, batch, queries).collect())
+        )
+        assert got == want and got
