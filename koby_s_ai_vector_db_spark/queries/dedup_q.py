@@ -491,3 +491,24 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
     )
     return near_dup_groups(pairs)
+
+
+# Fuzzy edit-distance tier operates on the RAW documents table (not
+# docs_dd): the fixture corpus naturally contains single-word-substitution
+# pairs at char distance 4-8, which exact and shingle hashing both miss at
+# their thresholds — exactly the regime character-level dedup exists for.
+from koby_s_ai_vector_db_spark.operators.fuzzy import (  # noqa: E402
+    EDIT_T,
+    fuzzy_edit_oracle_sql,
+    fuzzy_edit_pairs,
+)
+
+
+@register("dedup_fuzzy_edit", fuzzy_edit_oracle_sql(EDIT_T))
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (levenshtein <= 8) via PassJoin
+    pigeonhole blocking: t+1 segments indexed per doc, ~3*len substring
+    probes, one equi-join shuffle on gram content, exact levenshtein only
+    on the blocked candidates (operators/fuzzy.py). Blocking losslessness
+    is brute-force-checked at sf0.001 in tests/test_fuzzy_edit.py."""
+    return fuzzy_edit_pairs(load_table(spark, sf_dir, "documents"))

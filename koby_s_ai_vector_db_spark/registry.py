@@ -60,8 +60,13 @@ def register(name: str, oracle: str | None = None):
 WINDOW = 50
 
 _PRIORITY: list[str] = [
+    # (d) new in this round's late additions — no driver record exists for
+    # them, so they MUST hold window slots; each displaces an r3-green
+    # name from group (a) (still covered by the r03 record, which is one
+    # of the last two committed records).
+    "dedup_fuzzy_edit",
     # (a) no r4 driver row
-    "ta_fingerprint", "mm_binary_features",
+    "mm_binary_features",
     "dedup_exact_stream",
     "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
     "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
