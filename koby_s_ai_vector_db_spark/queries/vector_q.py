@@ -442,3 +442,31 @@ def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-NN for the first 64 vectors (exact oracle for ANN ops)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return knn_self_join(emb, k=3, queries=emb.filter(F.col("vec_id") < 64))
+
+
+# --- MMR diversity rerank (retrieval post-processing tier) ------------------
+
+from koby_s_ai_vector_db_spark.operators.rerank import (  # noqa: E402
+    mmr_oracle_sql,
+    mmr_rerank,
+)
+
+MMR_SHORTLIST = 25
+MMR_K = 10
+
+
+@register("q16_mmr_rerank", mmr_oracle_sql(NQ, MMR_SHORTLIST, MMR_K))
+def q16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-10 over a top-25 cosine shortlist (lam=0.7): corpus-sized
+    work is the q1 scan shape; the greedy chain is integer-exact on both
+    engines, so the oracle pins the full selection ORDER (operators/
+    rerank.py). The reference's fusion tier has no redundancy penalty —
+    this is its production-form diversification stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mmr_rerank(
+        emb.select("vec_id", "embedding"), queries,
+        n_shortlist=MMR_SHORTLIST, k=MMR_K,
+    )

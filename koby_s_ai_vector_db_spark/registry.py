@@ -64,9 +64,8 @@ _PRIORITY: list[str] = [
     # them, so they MUST hold window slots; each displaces an r3-green
     # name from group (a) (still covered by the r03 record, which is one
     # of the last two committed records).
-    "dedup_fuzzy_edit",
+    "dedup_fuzzy_edit", "q16_mmr_rerank",
     # (a) no r4 driver row
-    "mm_binary_features",
     "dedup_exact_stream",
     "dedup_simhash", "dedup_sketch_stream", "dedup_ngram_jaccard",
     "dedup_embedding_ivf", "dedup_embedding_lsh", "curate_corpus_neardup",
