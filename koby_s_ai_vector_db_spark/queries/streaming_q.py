@@ -81,3 +81,32 @@ def a6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/A6 as session_window(ts, '30 minutes') per user — the 30-min
     inactivity rule (session_utils.py:200) as a stateful operator."""
     return user_session_windows(load_table(spark, sf_dir, "events"))
+
+
+# --- stream-stream interval join (batch twin, oracle-checked) ---------------
+
+_A19_ORACLE = """
+SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts
+"""
+
+
+@register("a19_click_attribution", _A19_ORACLE)
+def a19_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution within 30 minutes: the batch twin of the
+    stream-stream interval join (streaming/live.py::click_attribution);
+    tests/test_streaming.py asserts the true two-stream join emits the
+    identical row multiset."""
+    from koby_s_ai_vector_db_spark.streaming.live import click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -99,7 +99,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
     """Bound state: late events beyond `late` are dropped, closed windows
     evicted. Production entry point; tests compare un-watermarked
-    complete-mode output against batch."""
+    complete-mode output against batch (the stream-stream join test uses
+    this path directly).
+
+    Spark rejects watermarks on TIMESTAMP_NTZ
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the fixture's ts is NTZ and
+    the session timezone is pinned UTC, so the cast is value-preserving."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", late)
 
 
@@ -186,5 +193,54 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+ATTRIB_WINDOW = "30 minutes"
+
+
+def click_attribution(
+    purchases: DataFrame, clicks: DataFrame, window: str = ATTRIB_WINDOW
+) -> DataFrame:
+    """Event-to-event attribution: each purchase joined to every click by
+    the same user within `window` BEFORE it (inclusive both ends) —
+    the classic stream-stream interval join. Works identically on batch
+    and streaming inputs; in streaming, apply_watermark() both sides
+    first so the join state is evicted once the watermark passes
+    purchase_ts - window (Spark derives the state bound from the
+    time-range join condition).
+
+    Scale shape: ONE equi-join shuffle on user_id with the interval as a
+    post-condition; no window explosion, no driver state. Output
+    (purchase_id, click_id, user_id, gap_us)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("gap_us"),
         )
     )

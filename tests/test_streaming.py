@@ -352,3 +352,41 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
     )
     assert _rows(w_latest) == _rows(batch)
     assert len(_rows(batch)) > 0
+
+
+def test_click_attribution_stream_equals_batch(spark):
+    """True stream-stream interval join (two filtered streams over the
+    events source, watermarked both sides, append mode) must emit exactly
+    the batch twin's rows."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.live import (
+        apply_watermark,
+        click_attribution,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+    s1 = apply_watermark(
+        read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "purchase")
+    )
+    s2 = apply_watermark(
+        read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "click")
+    )
+    name = f"s_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_attribution(s1, s2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.sql(f"SELECT * FROM {name}")
+    assert _rows(stream) == _rows(batch)
+    assert len(_rows(batch)) > 0
