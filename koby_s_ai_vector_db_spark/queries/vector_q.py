@@ -470,3 +470,46 @@ def q16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"), queries,
         n_shortlist=MMR_SHORTLIST, k=MMR_K,
     )
+
+
+# --- distributed PCA (dimensionality reduction before ANN) -------------------
+
+PCA_K = 8
+
+# Model memoized per (application, sf_dir): the fit is ONE corpus pass
+# (same convention as the persisted-index builds).
+_PCA_MODELS: dict[tuple, object] = {}
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    from koby_s_ai_vector_db_spark.operators.pca import fit_pca
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_MODELS:
+        _PCA_MODELS[key] = fit_pca(
+            load_table(spark, sf_dir, "embeddings"), k=PCA_K
+        )
+    return _PCA_MODELS[key]
+
+
+@register("emb_pca_project")  # rows-only: eigendecomposition is not SQL
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (operators/pca.py): one-pass partition
+    partials -> d^2-row reduce -> driver eigh on the MODEL-sized
+    covariance -> map-side broadcast projection. Emits the top-3
+    coordinates per vector plus the model's cumulative explained ratio;
+    exactness vs numpy full PCA is pinned in tests/test_pca.py."""
+    from koby_s_ai_vector_db_spark.operators.pca import project_pca
+
+    model = _pca_model(spark, sf_dir)
+    cum3 = round(
+        float(model.explained_variance[:3].sum() / (model.total_variance or 1.0)), 6
+    )
+    proj = project_pca(load_table(spark, sf_dir, "embeddings"), model)
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pc")[0], 6).alias("pc1"),
+        F.round(F.col("pc")[1], 6).alias("pc2"),
+        F.round(F.col("pc")[2], 6).alias("pc3"),
+        F.lit(cum3).alias("cum_ratio_3"),
+    ).orderBy("vec_id")

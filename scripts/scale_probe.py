@@ -71,6 +71,9 @@ PROBE_QUERIES = [
     "curate_pretrain_pipeline",
     "shard_manifest",
     "a18_heavy_hitters",
+    "dedup_fuzzy_edit",
+    "q16_mmr_rerank",
+    "a19_click_attribution",
 ]
 
 
@@ -134,8 +137,30 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
         }
     )
     pq.write_table(emb, f"{out_dir}/embeddings.parquet")
-    print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs in {out_dir}",
-          file=sys.stderr)
+
+    # Events at 10x sf0.1 (1M rows, 15k users over the same 30-day span,
+    # same type mix) for the interval-join probe.
+    n_ev = 1_000_000
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    span_us = 30 * 86_400 * 1_000_000
+    ts_us = np.sort(rng.integers(0, span_us, size=n_ev)) + 1_704_067_200_000_000
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, 15_000, size=n_ev), pa.int64()
+            ),
+            "event_type": pa.array(rng.choice(types, size=n_ev).tolist()),
+            "value": pa.array(rng.uniform(0, 560, size=n_ev)),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_ev)]
+            ),
+        }
+    )
+    pq.write_table(ev, f"{out_dir}/events.parquet")
+    print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs / {n_ev} events "
+          f"in {out_dir}", file=sys.stderr)
 
 
 def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:

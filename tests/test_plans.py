@@ -158,3 +158,39 @@ def test_selection_tier_plan_shapes(spark):
     # vocab cache join is broadcast; one per-doc aggregation.
     assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
     assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_edit_plan_shape(spark):
+    """PassJoin blocking (operators/fuzzy.py): probes are map-side
+    Generates (never a join), the scan reads only (doc_id, text), and the
+    exact levenshtein appears only in the final verify projection above
+    the pair-distinct aggregate — not replicated into candidate
+    generation."""
+    plan = _plan(spark, "dedup_fuzzy_edit")
+    assert "Generate explode" in plan
+    assert plan.count("levenshtein") <= 3, "levenshtein leaked into blocking"
+    for ln in _scan_lines(plan):
+        assert "FileScan parquet [doc_id" in ln and "text" in ln, ln
+
+
+def test_mmr_plan_shape(spark):
+    """MMR (operators/rerank.py): the shortlist pre-truncates via
+    WindowGroupLimit before the greedy stage, the greedy stage is exactly
+    ONE Arrow hop (FlatMapGroupsInPandas), and the corpus scan prunes to
+    (vec_id, embedding)."""
+    plan = _plan(spark, "q16_mmr_rerank")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    for ln in _scan_lines(plan):
+        assert "label" not in ln, ln
+
+
+def test_click_attribution_single_equijoin(spark):
+    """The interval join must plan as ONE user_id equi-join with the time
+    range as a post-condition — not a nested-loop over the interval."""
+    plan = _plan(spark, "a19_click_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
