@@ -259,3 +259,127 @@ cm_est AS (
     LEFT JOIN cm_cells USING (d, bucket)
     GROUP BY k
 )"""
+
+
+# --- quantile histogram sketch ----------------------------------------------
+# The quantile member of the sketch family (HLL = distinct, CMS =
+# frequency): an HdrHistogram-style log-linear bucket table. Values are
+# scaled to integers (u = round(v * QH_SCALE)), then bucketed on
+# (power-of-two, top QH_SUB_BITS mantissa bits) — all via length(bin(u))
+# and integer shifts, the same no-libm trick as the HLL rho, so both
+# engines compute IDENTICAL buckets. Cells merge by SUM (associative,
+# partial-aggregates map-side); a quantile is read off the cumulative
+# bucket counts as the bucket LOWER BOUND containing rank ceil(q*n) —
+# a one-sided (under-)estimate with relative error <= 2^-QH_SUB_BITS
+# (~3.1% at 5 sub-bits).
+#
+# Scale shape: build = ONE map-side-combinable groupBy over <= a few
+# hundred cells per group; read = a window over those cells. Raw values
+# never cross the shuffle.
+
+QH_SCALE = 100          # fixed-point: 2 decimal digits preserved
+QH_SUB_BITS = 5         # mantissa sub-buckets -> rel. error <= 1/32
+_QH_BASE = 1 << (QH_SUB_BITS + 1)   # 64: below this, buckets are exact
+
+
+def _qh_u_sql(value_sql: str) -> str:
+    return f"CAST(round(({value_sql}) * {QH_SCALE}) AS BIGINT)"
+
+
+def _qh_id_sql(u: str) -> str:
+    """Bucket id: exact below _QH_BASE, else (power, top-mantissa) key.
+    Monotone in u, so cumulative counts in id order are rank-correct."""
+    bits = f"length(bin({u}))"
+    top = f"({u} >> ({bits} - {QH_SUB_BITS + 1}))"
+    return (
+        f"CASE WHEN {u} < {_QH_BASE} THEN {u} "
+        f"ELSE {_QH_BASE} + ({bits} - {QH_SUB_BITS + 2}) * {1 << QH_SUB_BITS} "
+        f"+ ({top} - {1 << QH_SUB_BITS}) END"
+    )
+
+
+def _qh_lo_sql(u: str) -> str:
+    """Bucket lower bound (integer units) — the reported estimate."""
+    bits = f"length(bin({u}))"
+    shift = f"({bits} - {QH_SUB_BITS + 1})"
+    return (
+        f"CASE WHEN {u} < {_QH_BASE} THEN {u} "
+        f"ELSE (({u} >> {shift}) << {shift}) END"
+    )
+
+
+def qh_cells(
+    df: DataFrame, value_sql: str, group_cols: list[str]
+) -> DataFrame:
+    """(group..., bucket_id, lo, cnt) — mergeable by summing cnt.
+    Requires value >= 0 (fixed-point log buckets); negative rows raise
+    downstream by design (bin() of negatives would scramble order)."""
+    u = _qh_u_sql(value_sql)
+    return (
+        df.select(
+            *group_cols,
+            F.expr(_qh_id_sql(u)).alias("bucket_id"),
+            F.expr(_qh_lo_sql(u)).alias("lo"),
+        )
+        .groupBy(*group_cols, "bucket_id", "lo")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def qh_quantiles(
+    cells: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Read quantile estimates off the cell table: the unique bucket with
+    cum - cnt < ceil(q*n) <= cum; estimate = its lower bound / scale."""
+    from pyspark.sql import Window
+
+    spark = cells.sparkSession
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = cells.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.expr("CAST(ceil(q * n) AS BIGINT)")
+    return (
+        c.join(F.broadcast(qdf))
+        .where((F.col("cum") - F.col("cnt") < rank) & (rank <= F.col("cum")))
+        .select(
+            *group_cols,
+            "q",
+            F.round(F.col("lo") / F.lit(float(QH_SCALE)), 2).alias("est_value"),
+        )
+    )
+
+
+def qh_oracle_cte(value_sql: str, group_sql: str, qs: list[float]) -> str:
+    """DuckDB twin over a relation ``qh_in``; emits ``qh_out`` with
+    (grp, q, est_value). Identical integer bucket math."""
+    u = _qh_u_sql(value_sql)
+    qs_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+qh_cells AS (
+    SELECT {group_sql} AS grp,
+           {_qh_id_sql(u)} AS bucket_id,
+           {_qh_lo_sql(u)} AS lo,
+           count(*) AS cnt
+    FROM qh_in GROUP BY 1, 2, 3
+),
+qh_cum AS (
+    SELECT grp, bucket_id, lo, cnt,
+           sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY grp) AS n
+    FROM qh_cells
+),
+qh_out AS (
+    SELECT grp, q, round(lo / CAST({float(QH_SCALE)!r} AS DOUBLE), 2)
+             AS est_value
+    FROM qh_cum, (VALUES {qs_values}) AS qv(q)
+    WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
+      AND CAST(ceil(q * n) AS BIGINT) <= cum
+)"""

@@ -21,6 +21,7 @@ from koby_s_ai_vector_db_spark.operators.sketches import (
     hll_estimate,
     hll_oracle_cte,
     hll_registers,
+    qh_oracle_cte,
 )
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
@@ -130,4 +131,86 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_n"), F.asc("term"))
         .limit(HEAVY_TOP)
+    )
+
+
+# --- quantile histogram sketch ----------------------------------------------
+
+QH_QS = [0.5, 0.9, 0.99]
+
+_QH_ORACLE = f"""
+WITH qh_in AS (SELECT event_type, value FROM events),
+{qh_oracle_cte(value_sql="value", group_sql="event_type", qs=QH_QS).lstrip()},
+ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+exact AS (
+    SELECT r.event_type, qv.q, round(r.value, 6) AS exact_value
+    FROM ranked r, (VALUES {", ".join(f"({float(q)!r})" for q in QH_QS)}) AS qv(q)
+    WHERE r.rn = CAST(ceil(qv.q * r.n) AS BIGINT)
+)
+SELECT o.grp AS event_type, o.q, o.est_value, e.exact_value,
+       round(abs(o.est_value - e.exact_value)
+             / CASE WHEN e.exact_value = 0 THEN 1 ELSE e.exact_value END
+             * 100, 2) AS rel_err_pct
+FROM qh_out o JOIN exact e ON o.grp = e.event_type AND o.q = e.q
+ORDER BY event_type, o.q
+"""
+
+
+@register("a20_quantile_sketch", _QH_ORACLE)
+def a20_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type via the HdrHistogram-style
+    log-linear bucket sketch (operators/sketches.py::qh_cells) — integer
+    bucket math identical on both engines, cells merge by SUM, raw
+    values never cross the shuffle; one-sided (lower-bound) estimates
+    with rel. error <= 2^-5. The exact rank arm rides along to exhibit
+    the error; production drops it."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.operators.sketches import (
+        qh_cells,
+        qh_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = qh_quantiles(
+        qh_cells(ev.select("event_type", "value"), "value", ["event_type"]),
+        ["event_type"],
+        QH_QS,
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in QH_QS], "q double")
+    exact = (
+        ranked.join(F.broadcast(qdf))
+        .where(F.col("rn") == F.expr("CAST(ceil(q * n) AS BIGINT)"))
+        .select("event_type", "q", F.round("value", 6).alias("exact_value"))
+    )
+    return (
+        est.join(exact, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            "est_value",
+            "exact_value",
+            F.round(
+                F.abs(F.col("est_value") - F.col("exact_value"))
+                / F.when(F.col("exact_value") == 0, F.lit(1.0)).otherwise(
+                    F.col("exact_value")
+                )
+                * 100,
+                2,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("event_type", "q")
     )
