@@ -127,8 +127,15 @@ def fuzzy_edit_pairs(
     segs = segment_rows(d, t)
     probes = probe_rows(d, t)
 
+    # Both join sides are corpus-sized EXPLODES (K rows/doc and ~3*len
+    # rows/doc): parquet file-size stats wildly under-estimate them, so
+    # left alone Catalyst broadcasts the 38M-row probe side at 10x scale
+    # (measured: 534 s at the sf1 probe, single-threaded hash-relation
+    # build + heap blowup). Pin the scale-safe strategy instead: one
+    # sort-merge shuffle on the gram key; SMJ spills gracefully where a
+    # shuffle-hash build of a crowded gram partition could not.
     cand = (
-        segs.join(probes, "gram")
+        segs.hint("merge").join(probes, "gram")
         .where(
             (F.col("l2") >= F.col("l1"))
             & (F.col("l2") <= F.col("l1") + F.lit(t))
