@@ -22,10 +22,12 @@ algorithm, re-derived here as DataFrame algebra):
     are floor(l1/K) or floor(l1/K)+1, so only ~2-3 distinct lengths, i.e.
     O(3*l2) probe rows, map-side generated and projected down to
     (gram, pos, l2, id) before the shuffle (texts never fan out).
-  * Candidates: equi-join on gram content with post-filters
-    l1 <= l2 <= l1+t and |pos - seg_start| <= t, distinct normalized
-    pairs, then ONE exact levenshtein per candidate pair (texts re-joined
-    by id — never carried through the explode).
+  * Candidates: equi-join on xxhash64 of the gram content (fixed-width
+    int64 shuffle keys; a collision only adds a candidate the verify
+    discards) with post-filters l1 <= l2 <= l1+t and
+    |pos - seg_start| <= t, distinct normalized pairs, then ONE exact
+    levenshtein per candidate pair (texts re-joined by id — never
+    carried through the explode).
 
 Everything before the verify is a single equi-join shuffle on short gram
 keys; the verify set is bounded by the blocking.  Losslessness of the
@@ -51,7 +53,7 @@ def _k(t: int) -> int:
 
 
 def segment_rows(d: DataFrame, t: int = EDIT_T) -> DataFrame:
-    """K=t+1 index rows per doc: (gram, seg_start, l1, id1).
+    """K=t+1 index rows per doc: (gh=xxhash64(gram), seg_start, l1, id1).
 
     Expects columns (id, txt, l); floor-boundary segments — segment k
     covers [k*l div K, (k+1)*l div K) (0-based), emitted 1-based for
@@ -70,7 +72,12 @@ def segment_rows(d: DataFrame, t: int = EDIT_T) -> DataFrame:
             F.col("l").alias("l1"),
             F.explode(F.expr(seg)).alias("s"),
         )
-        .select("id1", "l1", F.col("s.seg_start").alias("seg_start"), F.col("s.gram").alias("gram"))
+        .select(
+            "id1",
+            "l1",
+            F.col("s.seg_start").alias("seg_start"),
+            F.xxhash64("s.gram").alias("gh"),
+        )
     )
 
 
@@ -102,7 +109,7 @@ def probe_rows(d: DataFrame, t: int = EDIT_T) -> DataFrame:
             "id2",
             "l2",
             "pos",
-            F.expr("substring(txt, pos, gl)").alias("gram"),
+            F.xxhash64(F.expr("substring(txt, pos, gl)")).alias("gh"),
         )
     )
 
@@ -132,10 +139,16 @@ def fuzzy_edit_pairs(
     # left alone Catalyst broadcasts the 38M-row probe side at 10x scale
     # (measured: 534 s at the sf1 probe, single-threaded hash-relation
     # build + heap blowup). Pin the scale-safe strategy instead: one
-    # sort-merge shuffle on the gram key; SMJ spills gracefully where a
-    # shuffle-hash build of a crowded gram partition could not.
+    # sort-merge shuffle; SMJ spills gracefully where a shuffle-hash
+    # build of a crowded gram partition could not. The join key is
+    # xxhash64(gram), NOT the gram string — the probe shuffle carries
+    # fixed-width int64 keys (measured: the bare string-keyed shuffle
+    # alone cost 74 s of the 124 s sf1 run). A hash collision only adds
+    # a candidate pair, which the exact levenshtein verify discards, so
+    # losslessness is unaffected; the DuckDB oracle joins on the gram
+    # string itself and provably reaches the identical final rows.
     cand = (
-        segs.hint("merge").join(probes, "gram")
+        segs.hint("merge").join(probes, "gh")
         .where(
             (F.col("l2") >= F.col("l1"))
             & (F.col("l2") <= F.col("l1") + F.lit(t))
