@@ -351,3 +351,55 @@ def vocab_zipf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps' law: ≪ corpus), the fit a 1-row aggregate
     (operators/corpus.py::vocab_zipf)."""
     return vocab_zipf(load_table(spark, sf_dir, "documents"))
+
+
+# --- deterministic fixed-size per-stratum sample -----------------------------
+# The fixed-COUNT twin of stratified_sample's Bernoulli rates: "exactly k
+# docs per language, reproducibly" — hash-order top-k, the standard
+# deterministic reservoir replacement for corpus audits and eval-set
+# carving. Plans as WindowGroupLimit: each task pre-truncates to k rows
+# per group BEFORE the shuffle, so the exchange carries at most
+# k * n_groups * n_tasks rows, never the corpus.
+
+FIXED_K = 20
+_FK_SEED = 31
+
+_FIXED_K_ORACLE = f"""
+WITH h AS (
+    SELECT lang, doc_id,
+           {sql_hash32("CAST(doc_id AS VARCHAR)", seed=_FK_SEED)} AS hk
+    FROM documents
+),
+r AS (
+    SELECT lang, doc_id, hk,
+           row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+    FROM h
+)
+SELECT lang, doc_id, rk FROM r WHERE rk <= {FIXED_K}
+ORDER BY lang, rk
+"""
+
+
+@register("sample_fixed_k", _FIXED_K_ORACLE)
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language deterministic sample: rank by the portable
+    md5 hash of doc_id (seeded), keep rk <= k. Same sample every run,
+    every engine; WindowGroupLimit pre-truncation keeps the shuffle
+    k-bounded at any corpus size (asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            portable_hash32(F.col("doc_id").cast("string"), seed=_FK_SEED).alias("hk"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= FIXED_K)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -194,3 +194,10 @@ def test_click_attribution_single_equijoin(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_fixed_k_sample_pretruncates(spark):
+    """The deterministic fixed-k sample must plan through WindowGroupLimit
+    (per-task pre-truncation to k before the shuffle) — a global sort
+    would carry the corpus."""
+    assert "WindowGroupLimit" in _plan(spark, "sample_fixed_k")
