@@ -489,3 +489,148 @@ SELECT CAST(cnt AS BIGINT) AS n_terms,
        round(top_n / n_tokens::DOUBLE, 6) AS top_share
 FROM agg
 """
+
+
+# --- TF-IDF cosine near-dup join ---------------------------------------------
+# The weighted companion of the n-gram Jaccard tier (operators/dedup.py):
+# Jaccard treats every shared shingle equally; TF-IDF cosine down-weights
+# corpus-common shingles, the standard lexical-similarity measure for
+# boilerplate-robust near-dup mining. Shape: inverted shingle postings
+# self-join (work ∝ colliding postings, bounded by the df cap), one
+# pair-keyed aggregation, norm joins.
+#
+# Cross-engine determinism: a float cosine summed over an UNORDERED gram
+# set differs between engines at the last ulp (and between Spark runs —
+# shuffle order is nondeterministic), so weights are QUANTIZED to int64
+# (round(tf * idf * 1e4)) and the pair dot / squared norms are exact
+# integer sums — order-independent. The only float steps are the idf
+# ln() (per-gram, rounded into the quantization) and the final
+# dot/sqrt(n2a*n2b) division, identical given identical integers.
+#
+# High-df shingles are DROPPED (df > TFIDF_DF_CAP): their idf is ~0 so
+# they contribute noise, and they are exactly the postings that square
+# the self-join. The cap is part of the operator's defined semantics and
+# the DuckDB oracle applies the identical rule.
+
+TFIDF_SCALE = 10_000
+TFIDF_DF_CAP = 100
+TFIDF_THRESHOLD = 0.7
+
+
+def _all_shingles_expr(text_col: str, n: int = 3) -> str:
+    """Non-distinct word n-grams (tf matters here, unlike dedup.py's
+    distinct shingles_expr); rows with < n words yield an empty array."""
+    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+
+    w = f"array_remove(split(lower({text_col}), '\\\\s+'), '')"
+    body = (
+        f"CASE WHEN size(nv) >= {n} THEN"
+        f" transform(sequence(1, size(nv) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(nv, i, {n})))"
+        f" ELSE array() END"
+    )
+    return bind_once(w, body)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = TFIDF_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All unordered pairs with TF-IDF shingle cosine >= threshold.
+    Returns (doc_id_a, doc_id_b, sim) ordered."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    n_docs = d.select(F.count("*").alias("n"))
+
+    post = (
+        d.select("id", F.explode(F.expr(_all_shingles_expr("txt"))).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = post.groupBy("g").agg(F.count("*").alias("df")).where(
+        F.col("df") <= TFIDF_DF_CAP
+    )
+    w = (
+        post.join(df_t, "g")
+        .join(F.broadcast(n_docs))
+        .select(
+            "id",
+            "g",
+            F.expr(
+                f"CAST(round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)"
+                f" * {TFIDF_SCALE}) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    norm2 = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    wa = w.select(F.col("id").alias("ida"), "g", F.col("w").alias("wa"))
+    wb = w.select(F.col("id").alias("idb"), "g", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "g")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norm2.select(F.col("id").alias("ida"), F.col("n2").alias("n2a"))
+    nb = norm2.select(F.col("id").alias("idb"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(threshold))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def tfidf_cosine_oracle_sql(
+    docs_cte: str, threshold: float = TFIDF_THRESHOLD
+) -> str:
+    """DuckDB twin over a CTE body yielding (doc_id, text) named docs_in.
+    Identical quantization, df cap, and integer sums."""
+    return f"""
+WITH docs_in AS ({docs_cte}),
+nn AS (SELECT count(*) AS n FROM docs_in),
+words AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS wv
+    FROM docs_in
+),
+grams AS (
+    SELECT id, unnest([wv[i] || ' ' || wv[i+1] || ' ' || wv[i+2]
+                       for i in range(1, len(wv) - 1)]) AS g
+    FROM words WHERE len(wv) >= 3
+),
+post AS (SELECT id, g, count(*) AS tf FROM grams GROUP BY id, g),
+df_t AS (
+    SELECT g, count(*) AS df FROM post GROUP BY g
+    HAVING count(*) <= {TFIDF_DF_CAP}
+),
+w AS (
+    SELECT id, post.g,
+           CAST(round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+                * {TFIDF_SCALE}) AS BIGINT) AS w
+    FROM post JOIN df_t ON post.g = df_t.g, nn
+),
+norm2 AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id),
+dots AS (
+    SELECT a.id AS ida, b.id AS idb, sum(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       round(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+         AS sim
+FROM dots JOIN norm2 na ON na.id = ida JOIN norm2 nb ON nb.id = idb
+WHERE round(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+      >= {threshold}
+ORDER BY doc_id_a, doc_id_b
+"""

@@ -512,3 +512,20 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the blocked candidates (operators/fuzzy.py). Blocking losslessness
     is brute-force-checked at sf0.001 in tests/test_fuzzy_edit.py."""
     return fuzzy_edit_pairs(load_table(spark, sf_dir, "documents"))
+
+
+from koby_s_ai_vector_db_spark.operators.corpus import (  # noqa: E402
+    tfidf_cosine_oracle_sql,
+    tfidf_cosine_pairs,
+)
+
+
+@register("dedup_tfidf_cosine", tfidf_cosine_oracle_sql(DOCS_DD_SQL))
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dup: TF-IDF shingle cosine >= 0.7 over the
+    planted-duplicate corpus — the boilerplate-robust companion of
+    dedup_ngram_jaccard (corpus-common shingles are down-weighted AND
+    df-capped out of the postings self-join). Integer-quantized weights
+    make the pair sums order-independent across engines
+    (operators/corpus.py::tfidf_cosine_pairs)."""
+    return tfidf_cosine_pairs(_docs_dd(spark, sf_dir))

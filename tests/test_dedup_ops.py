@@ -97,3 +97,52 @@ def test_simhash60_finds_exact_copy_and_rejects_bad_bits(spark):
         simhash_expr("text", bits=64)  # > 60: sign-bit overflow risk
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, bits=58)  # not divisible by 4 blocks
+
+
+class TestTfidfCosine:
+    def test_planted_near_dups_found_and_boilerplate_downweighted(self, spark):
+        from koby_s_ai_vector_db_spark.operators.corpus import tfidf_cosine_pairs
+
+        boiler = "standard legal disclaimer footer text repeated verbatim"
+        rows = [
+            # a/b: same distinctive body + shared boilerplate -> high sim
+            (1, "alpha beta gamma delta epsilon zeta " + boiler),
+            (2, "alpha beta gamma delta epsilon eta " + boiler),
+            # c/d: share ONLY the boilerplate -> the overlap must be
+            # down-weighted below threshold (idf of corpus-wide shingles
+            # is low; with more distinct content dominating the norms)
+            (3, "unrelated topic one discussing completely different things entirely " + boiler),
+            (4, "another subject matter covering separate concerns altogether now " + boiler),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id_a, r.doc_id_b): r.sim
+            for r in tfidf_cosine_pairs(df, threshold=0.5).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] >= 0.5
+        assert (3, 4) not in got
+
+    def test_exact_copy_sim_is_one(self, spark):
+        from koby_s_ai_vector_db_spark.operators.corpus import tfidf_cosine_pairs
+
+        t = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [(1, t), (2, t), (3, "nine ten eleven twelve thirteen")],
+            "doc_id long, text string",
+        )
+        got = {(r.doc_id_a, r.doc_id_b): r.sim for r in tfidf_cosine_pairs(df).collect()}
+        assert got == {(1, 2): 1.0}
+
+    def test_df_cap_drops_viral_shingles(self, spark):
+        """A shingle present in EVERY doc of a >cap corpus contributes
+        nothing: two docs sharing only that shingle produce no pair."""
+        from koby_s_ai_vector_db_spark.operators.corpus import (
+            TFIDF_DF_CAP,
+            tfidf_cosine_pairs,
+        )
+
+        common = "the common header line"
+        rows = [(i, f"{common} unique{i} filler{i} word{i}") for i in range(TFIDF_DF_CAP + 20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = tfidf_cosine_pairs(df, threshold=0.1).collect()
+        assert got == []
