@@ -74,6 +74,7 @@ PROBE_QUERIES = [
     "dedup_fuzzy_edit",
     "q16_mmr_rerank",
     "a19_click_attribution",
+    "dedup_tfidf_cosine",
 ]
 
 
