@@ -237,3 +237,70 @@ def s9_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = rollup(["view", "click"], "browse")
     updates = rollup(["purchase", "signup", "error"], "txn")
     return upsert_users(existing, updates, key="user_id")
+
+
+# --- corpus snapshot diff ----------------------------------------------------
+# Data-versioning support: "what changed between corpus snapshot v1 and
+# v2" — the audit every incremental pipeline (index appends, streaming
+# ingest, GC) needs before promoting a snapshot. v2 is derived from the
+# fixture deterministically on both engines: every 13th doc edited
+# (text truncated 10%), every 23rd dropped, 50 new docs appended.
+# Shape: ONE full-outer equi-join on doc_id comparing md5(text) — change
+# detection never ships text, only 32-char digests; at 100 TB both sides
+# shuffle on the id key once and everything else is map-side.
+
+_SNAP_V2 = """
+SELECT doc_id, substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+FROM documents WHERE doc_id % 13 = 0 AND doc_id % 23 <> 0
+UNION ALL
+SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 23 <> 0
+UNION ALL
+SELECT doc_id + 9000000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+
+_DIFF_ORACLE = f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+v2 AS (SELECT doc_id, md5(text) AS h FROM ({_SNAP_V2})),
+j AS (
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+@register("m8_snapshot_diff", _DIFF_ORACLE)
+def m8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: added/removed/changed/unchanged counts via
+    one doc_id full-outer join over md5 digests (text never crosses the
+    shuffle). The promote-or-rollback audit for incremental ingest."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    v1 = spark.sql("SELECT doc_id, md5(text) AS h FROM documents")
+    v2 = spark.sql(f"SELECT doc_id, md5(text) AS h FROM ({_SNAP_V2})")
+    j = (
+        v1.alias("a")
+        .join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("a.doc_id").isNull(), "added")
+            .when(F.col("b.doc_id").isNull(), "removed")
+            .when(F.col("a.h") != F.col("b.h"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )
