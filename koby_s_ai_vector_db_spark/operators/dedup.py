@@ -667,3 +667,80 @@ def near_dup_groups(
         members.select("doc_id"), nodes["src"] == members["doc_id"], "left_anti"
     ).select(F.col("src").alias("doc_id"), F.col("src").alias("group_id"))
     return members.union(roots)
+
+
+def incremental_minhash_dedup(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    cache_key=None,
+) -> DataFrame:
+    """Continuous-ingest dedup: a NEW batch checked against an EXISTING
+    corpus — candidates are (new x base) band collisions only, never
+    new x new or base x base, so a day's crawl pays band-join work
+    proportional to ITS size, not the corpus's. Returns one verdict row
+    per new doc: (new_id, verdict 'duplicate'|'novel', base_id, jaccard)
+    with -1/0.0 sentinels for novel rows (NULL-free by convention).
+
+    The base side's signature table is the thing a production pipeline
+    PERSISTS (sources/ivf.py analogue for text); in-session the memoized
+    shingle table stands in via `cache_key`. Crowded base buckets keep
+    their first BUCKET_CAP sorted members — a new doc landing in a viral
+    bucket still meets a representative (the cap rule is mirrored in the
+    oracle), and only candidate RECALL inside pathological buckets is
+    affected, never precision (exact Jaccard verifies every candidate).
+    """
+    from pyspark.sql import Window
+
+    bg = _shingle_table(base, id_col, text_col, cache_key)
+    ng = _shingle_table(new, id_col, text_col, None, persist_uncached=True)
+
+    def _bands(grams: DataFrame) -> DataFrame:
+        sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
+            "sig", minhash_sig_expr("_h")
+        )
+        return sigs.select(
+            "_id", F.posexplode(band_keys_expr("sig")).alias("band_id", "band_key")
+        )
+
+    base_members = (
+        _bands(bg)
+        .groupBy("band_id", "band_key")
+        .agg(F.slice(F.sort_array(F.collect_list("_id")), 1, BUCKET_CAP).alias("ids"))
+    )
+    cand = (
+        _bands(ng)
+        .join(base_members, ["band_id", "band_key"])
+        .select(F.col("_id").alias("new_id"), F.explode("ids").alias("base_id"))
+        .distinct()
+    )
+    ga = ng.select(F.col("_id").alias("new_id"), F.col("g").alias("ga"))
+    gb = bg.select(F.col("_id").alias("base_id"), F.col("g").alias("gb"))
+    ver = (
+        F.broadcast(cand)
+        .join(ga, "new_id")
+        .join(gb, "base_id")
+        .withColumn("jac", jaccard("ga", "gb"))
+        .filter(F.col("jac") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("base_id"))
+    best = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "base_id", F.round("jac", 6).alias("jaccard"))
+    )
+    all_new = new.select(F.col(id_col).alias("new_id"))
+    return (
+        all_new.join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("base_id").isNotNull(), "duplicate")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("base_id", F.lit(-1)).alias("base_id"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("new_id")
+    )

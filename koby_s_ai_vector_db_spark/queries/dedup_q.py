@@ -529,3 +529,102 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the pair sums order-independent across engines
     (operators/corpus.py::tfidf_cosine_pairs)."""
     return tfidf_cosine_pairs(_docs_dd(spark, sf_dir))
+
+
+# --- incremental dedup (new batch vs existing corpus) ------------------------
+# The continuous-crawl scenario: today's batch deduped against the
+# standing corpus — (new x base) band collisions only. The new batch is
+# derived deterministically on both engines: every 9th doc as an 85%
+# prefix (a near-dup the verdict must catch) and every 11th reversed
+# (token gibberish -> novel).
+
+NEW_BATCH_SQL = """
+SELECT doc_id + 3000000 AS doc_id,
+       substr(text, 1, CAST(floor(length(text) * 0.85) AS INT)) AS text
+FROM documents WHERE doc_id % 9 = 0
+UNION ALL
+SELECT doc_id + 4000000 AS doc_id, reverse(text) AS text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _side_band_cte(rel: str, p: str) -> str:
+    """sig/band CTE chain for one side, prefixed `p`, over relation `rel`
+    with (doc_id, text) — mirrors operators/dedup.py's constants."""
+    band_key = " || ',' || ".join(
+        f"CAST(sig[j * {ROWS} + {i + 1}] AS VARCHAR)" for i in range(ROWS)
+    )
+    return f"""
+{p}_words AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM {rel}
+),
+{p}_grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS g
+    FROM {p}_words WHERE len(w) >= 3
+),
+{p}_hs AS (
+    SELECT doc_id, g,
+           list_transform(g, x -> (('0x' || substr(md5(x), 1, 8))::BIGINT) % {P}) AS h
+    FROM {p}_grams
+),
+{p}_sigs AS (SELECT doc_id, g, {_SIG_DUCK} AS sig FROM {p}_hs),
+{p}_bands AS (
+    SELECT doc_id, j, {band_key} AS band_key
+    FROM {p}_sigs CROSS JOIN (SELECT unnest(range(0, {BANDS})) AS j) _j
+)"""
+
+
+_INC_ORACLE = f"""
+WITH base_rel AS (SELECT doc_id, text FROM documents),
+new_rel AS ({NEW_BATCH_SQL}),
+{_side_band_cte("base_rel", "b").lstrip()},
+{_side_band_cte("new_rel", "n").lstrip()},
+b_members AS (
+    SELECT j, band_key, (list_sort(list(doc_id)))[1:{BUCKET_CAP}] AS ids
+    FROM b_bands GROUP BY j, band_key
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, unnest(m.ids) AS base_id
+    FROM n_bands n JOIN b_members m
+      ON n.j = m.j AND n.band_key = m.band_key
+),
+ver AS (
+    SELECT new_id, base_id,
+           len(list_intersect(ng.g, bg.g))::DOUBLE
+             / len(list_distinct(list_concat(ng.g, bg.g))) AS jac
+    FROM cand JOIN n_grams ng ON ng.doc_id = new_id
+              JOIN b_grams bg ON bg.doc_id = base_id
+),
+best AS (
+    SELECT new_id, base_id, round(jac, 6) AS jaccard
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                       ORDER BY jac DESC, base_id ASC) AS rn
+          FROM ver WHERE jac >= 0.5)
+    WHERE rn = 1
+)
+SELECT nr.doc_id AS new_id,
+       CASE WHEN b.base_id IS NOT NULL THEN 'duplicate' ELSE 'novel' END AS verdict,
+       coalesce(b.base_id, -1) AS base_id,
+       coalesce(b.jaccard, 0.0) AS jaccard
+FROM new_rel nr LEFT JOIN best b ON b.new_id = nr.doc_id
+ORDER BY new_id
+"""
+
+
+@register("dedup_incremental", _INC_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the new batch's bands probe the base
+    corpus's (capped) bucket membership table — work proportional to the
+    BATCH, candidates verified by exact Jaccard, one verdict row per new
+    doc (operators/dedup.py::incremental_minhash_dedup)."""
+    from koby_s_ai_vector_db_spark.operators.dedup import incremental_minhash_dedup
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql("SELECT doc_id, text FROM documents")
+    new = spark.sql(NEW_BATCH_SQL)
+    return incremental_minhash_dedup(
+        base, new, cache_key=("documents_raw", sf_dir)
+    )

@@ -146,3 +146,66 @@ class TestTfidfCosine:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = tfidf_cosine_pairs(df, threshold=0.1).collect()
         assert got == []
+
+
+class TestIncrementalDedup:
+    def test_verdicts(self, spark):
+        from koby_s_ai_vector_db_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        base_text = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        base = spark.createDataFrame(
+            [(1, base_text), (2, "completely different words here now then")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                # near-dup of base 1 (one word changed)
+                (100, base_text.replace("theta", "zzzz")),
+                # novel
+                (101, "unrelated fresh content nothing shared at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.new_id: (r.verdict, r.base_id)
+            for r in incremental_minhash_dedup(base, new, threshold=0.4).collect()
+        }
+        assert got[100] == ("duplicate", 1)
+        assert got[101] == ("novel", -1)
+
+    def test_exact_copy_is_duplicate_with_jaccard_one(self, spark):
+        from koby_s_ai_vector_db_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        t = "one two three four five six seven eight nine ten"
+        base = spark.createDataFrame([(7, t)], "doc_id long, text string")
+        new = spark.createDataFrame([(70, t)], "doc_id long, text string")
+        rows = incremental_minhash_dedup(base, new).collect()
+        assert len(rows) == 1
+        assert rows[0].verdict == "duplicate"
+        assert rows[0].base_id == 7
+        assert rows[0].jaccard == 1.0
+
+    def test_new_by_new_pairs_never_compared(self, spark):
+        """Two identical NEW docs against a disjoint base must BOTH come
+        back novel — the incremental join never pairs new x new."""
+        from koby_s_ai_vector_db_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "base corpus words entirely distinct from the batch ones")],
+            "doc_id long, text string",
+        )
+        t = "the very same new document text repeated twice in this batch"
+        new = spark.createDataFrame(
+            [(100, t), (101, t)], "doc_id long, text string"
+        )
+        got = {r.new_id: r.verdict for r in incremental_minhash_dedup(base, new).collect()}
+        assert got == {100: "novel", 101: "novel"}
