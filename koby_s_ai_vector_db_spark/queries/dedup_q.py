@@ -511,7 +511,7 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes, one equi-join shuffle on gram content, exact levenshtein only
     on the blocked candidates (operators/fuzzy.py). Blocking losslessness
     is brute-force-checked at sf0.001 in tests/test_fuzzy_edit.py."""
-    return fuzzy_edit_pairs(load_table(spark, sf_dir, "documents"))
+    return _fuzzy_pairs_memo(spark, sf_dir)
 
 
 from koby_s_ai_vector_db_spark.operators.corpus import (  # noqa: E402
@@ -627,4 +627,49 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = spark.sql(NEW_BATCH_SQL)
     return incremental_minhash_dedup(
         base, new, cache_key=("documents_raw", sf_dir)
+    )
+
+
+def _fuzzy_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy pair table memoized per (application, sf_dir): the pair and
+    groups queries share ONE execution of the blocking+verify pipeline —
+    the in-session analogue of the persisted pair table a production
+    pipeline would write (same convention as the minhash family's shared
+    shingle table)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    return memo_persist(
+        spark,
+        ("fuzzy_pairs", sf_dir),
+        lambda: fuzzy_edit_pairs(load_table(spark, sf_dir, "documents")),
+    )
+
+
+_FUZZY_GROUPS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({fuzzy_edit_oracle_sql(EDIT_T).strip()}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_fuzzy_groups", _FUZZY_GROUPS_ORACLE)
+def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the edit-distance pairs — chains of
+    single-word edits (A~B~C with dist(A,C) > t) collapse into one
+    group for keep-one curation; same star-contraction operator as
+    dedup_groups, fed by the memoized fuzzy pair table."""
+    from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
+
+    return near_dup_groups(
+        _fuzzy_pairs_memo(spark, sf_dir).select("doc_id_a", "doc_id_b")
     )
