@@ -165,8 +165,20 @@ def test_fuzzy_edit_plan_shape(spark):
     Generates (never a join), the scan reads only (doc_id, text), and the
     exact levenshtein appears only in the final verify projection above
     the pair-distinct aggregate — not replicated into candidate
-    generation."""
-    plan = _plan(spark, "dedup_fuzzy_edit")
+    generation.
+
+    Pin the OPERATOR plan, not the registered query: dedup_fuzzy_edit
+    memo-persists its pair table (shared with dedup_fuzzy_groups), and
+    once another test materializes the cache, Spark's cache substitution
+    replaces ANY logically-identical subtree with the InMemoryRelation —
+    whose stringified plan embeds the cached tree and double-counts its
+    nodes (the dsir_score precedent above). t=7 keeps this build's plan
+    logically distinct from the memoized t=8 table."""
+    from koby_s_ai_vector_db_spark.operators.fuzzy import fuzzy_edit_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = fuzzy_edit_pairs(docs, t=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert plan.count("levenshtein") <= 3, "levenshtein leaked into blocking"
     for ln in _scan_lines(plan):
