@@ -339,3 +339,21 @@ def a16_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koby_s_ai_vector_db_spark.operators.analytics import retention_cohorts
 
     return retention_cohorts(_events(spark, sf_dir))
+
+
+# --- z-order layout stats ----------------------------------------------------
+
+from koby_s_ai_vector_db_spark.operators.zorder import (  # noqa: E402
+    zorder_bucket_stats,
+    zorder_oracle_sql,
+)
+
+
+@register("a21_zorder_stats", zorder_oracle_sql())
+def a21_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve layout audit: per-z-bucket bounding boxes over
+    (user_id, event minute) — the data-skipping stats table a lakehouse
+    keeps per file; small boxes in BOTH dimensions are what single-column
+    sorting cannot give (operators/zorder.py; locality asserted in
+    tests/test_zorder.py)."""
+    return zorder_bucket_stats(load_table(spark, sf_dir, "events"))
