@@ -517,19 +517,13 @@ TFIDF_DF_CAP = 100
 TFIDF_THRESHOLD = 0.7
 
 
-def _all_shingles_expr(text_col: str, n: int = 3) -> str:
-    """Non-distinct word n-grams (tf matters here, unlike dedup.py's
-    distinct shingles_expr); rows with < n words yield an empty array."""
-    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+def _all_shingles(text_col: str, n: int = 3):
+    """Non-distinct word n-grams (tf matters here) — the SAME
+    tokenization expression as every Jaccard/MinHash tier, via
+    dedup.shingles_expr(distinct=False), so the tiers cannot drift."""
+    from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
 
-    w = f"array_remove(split(lower({text_col}), '\\\\s+'), '')"
-    body = (
-        f"CASE WHEN size(nv) >= {n} THEN"
-        f" transform(sequence(1, size(nv) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(nv, i, {n})))"
-        f" ELSE array() END"
-    )
-    return bind_once(w, body)
+    return shingles_expr(text_col, n=n, distinct=False)
 
 
 def tfidf_cosine_pairs(
@@ -544,7 +538,7 @@ def tfidf_cosine_pairs(
     n_docs = d.select(F.count("*").alias("n"))
 
     post = (
-        d.select("id", F.explode(F.expr(_all_shingles_expr("txt"))).alias("g"))
+        d.select("id", F.explode(_all_shingles("txt")).alias("g"))
         .groupBy("id", "g")
         .agg(F.count("*").alias("tf"))
     )

@@ -83,9 +83,12 @@ def words_expr(col: str) -> Column:
     return F.expr(_WORDS.format(col=col))
 
 
-def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
-    """Distinct word n-gram shingles, JVM-side. Rows with < n words yield
-    an empty array (callers filter).
+def shingles_expr(col: str, n: int = NGRAM_N, distinct: bool = True) -> Column:
+    """Word n-gram shingles, JVM-side — distinct by default (the set
+    semantics every Jaccard/MinHash tier uses); distinct=False keeps
+    every occurrence (the TF semantics the TF-IDF tier needs). One
+    tokenization expression serves both so the tiers cannot drift.
+    Rows with < n words yield an empty array (callers filter).
 
     The token array is bound once per row (functions/exprs.py) — spelling
     the split out inside the transform lambda would re-tokenize the
@@ -93,15 +96,16 @@ def shingles_expr(col: str, n: int = NGRAM_N) -> Column:
     from koby_s_ai_vector_db_spark.functions.exprs import bind_once
 
     w = _WORDS.format(col=col)
+    grams = (
+        f"transform(sequence(1, size(nv) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(nv, i, {n})))"
+    )
+    if distinct:
+        grams = f"array_distinct({grams})"
     # Explicit CASE for short rows: Spark's sequence(1, 0) is a
     # DESCENDING [1, 0], and its i=0 errors inside slice(nv, 0, n) —
     # greatest(..., 0) alone does not yield an empty shingle array.
-    body = (
-        f"CASE WHEN size(nv) >= {n} THEN"
-        f" array_distinct(transform(sequence(1, size(nv) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(nv, i, {n}))))"
-        f" ELSE array() END"
-    )
+    body = f"CASE WHEN size(nv) >= {n} THEN {grams} ELSE array() END"
     return F.expr(bind_once(w, body))
 
 

@@ -39,7 +39,7 @@ validates the full pipeline, not just the idea.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Default edit-distance threshold: catches the fixture's planted

@@ -47,8 +47,7 @@ class PCAModel(NamedTuple):
     n: int
 
 
-def _partials_schema(d: int) -> str:
-    return "n long, s array<double>, g array<double>"
+_PARTIALS_SCHEMA = "n long, s array<double>, g array<double>"
 
 
 def fit_pca(emb: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
@@ -72,7 +71,7 @@ def fit_pca(emb: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 
-    parts = emb.select(vec_col).mapInPandas(_partials, _partials_schema(d))
+    parts = emb.select(vec_col).mapInPandas(_partials, _PARTIALS_SCHEMA)
     # Tiny keyed reduce: one (idx, val) explosion per partition row,
     # map-side combined to <= d^2+d+1 rows per task before the shuffle.
     reduced = (

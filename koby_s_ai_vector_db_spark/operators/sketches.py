@@ -312,8 +312,11 @@ def qh_cells(
     df: DataFrame, value_sql: str, group_cols: list[str]
 ) -> DataFrame:
     """(group..., bucket_id, lo, cnt) — mergeable by summing cnt.
-    Requires value >= 0 (fixed-point log buckets); negative rows raise
-    downstream by design (bin() of negatives would scramble order)."""
+    Domain: value >= 0. Negative scaled values land in the exact branch
+    (u < 64 matches before bin() is reached), so they are bucketed
+    EXACTLY and rank order is preserved — but the log-linear error bound
+    and the lower-bound-estimate convention are only stated for the
+    non-negative domain."""
     u = _qh_u_sql(value_sql)
     return (
         df.select(

@@ -27,7 +27,7 @@ BOTH dimensions simultaneously, which no single-column sort achieves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Z_BITS = 10           # bits per dimension -> 2^20 z-values
@@ -53,6 +53,38 @@ def z_value_sql(u: str, v: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _with_z_bucket(
+    events: DataFrame, user_col: str, ts_col: str, keep_all: bool
+) -> DataFrame:
+    """The ONE place the bucket derivation lives (stats and layout must
+    agree by construction): (u, t) projection, broadcast 1-row bounds,
+    map-side Morton interleave, fixed-prefix z_bucket."""
+    base = events if keep_all else events.select(user_col, ts_col)
+    e = base.withColumns(
+        {
+            "u": F.col(user_col),
+            "t": F.expr(
+                f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                f" DIV 60000000 AS BIGINT)"
+            ),
+        }
+    )
+    bounds = e.agg(
+        F.min("u").alias("u_lo"),
+        F.max("u").alias("u_hi"),
+        F.min("t").alias("t_lo"),
+        F.max("t").alias("t_hi"),
+    )
+    un = _norm_sql("u", "u_lo", "u_hi")
+    tn = _norm_sql("t", "t_lo", "t_hi")
+    shift = 2 * Z_BITS - Z_BUCKET_BITS
+    return (
+        e.join(F.broadcast(bounds))
+        .withColumn("z_bucket", F.expr(f"({z_value_sql(un, tn)}) >> {shift}"))
+        .drop("u_lo", "u_hi", "t_lo", "t_hi")
+    )
+
+
 def zorder_bucket_stats(
     events: DataFrame,
     user_col: str = "user_id",
@@ -62,33 +94,8 @@ def zorder_bucket_stats(
     n_rows, u_min, u_max, t_min, t_max) with ts in epoch minutes.
     The stats table IS what a lakehouse stores per file; its box sizes
     are the data-skipping guarantee."""
-    e = events.select(
-        F.col(user_col).alias("u"),
-        F.expr(
-            f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 60000000 AS BIGINT)"
-        ).alias("t"),
-    )
-    return _bucket_stats(e)
-
-
-def _bucket_stats(e: DataFrame) -> DataFrame:
-    bounds = e.agg(
-        F.min("u").alias("u_lo"),
-        F.max("u").alias("u_hi"),
-        F.min("t").alias("t_lo"),
-        F.max("t").alias("t_hi"),
-    )
-    un = _norm_sql("u", "u_lo", "u_hi")
-    tn = _norm_sql("t", "t_lo", "t_hi")
-    z = z_value_sql(un, tn)
-    shift = 2 * Z_BITS - Z_BUCKET_BITS
     return (
-        e.join(F.broadcast(bounds))
-        .select(
-            F.expr(f"({z}) >> {shift}").alias("z_bucket"),
-            "u",
-            "t",
-        )
+        _with_z_bucket(events, user_col, ts_col, keep_all=False)
         .groupBy("z_bucket")
         .agg(
             F.count("*").alias("n_rows"),
@@ -111,26 +118,9 @@ def write_zorder_layout(
     partition's parquet min/max footers carry the small bounding box the
     stats table describes, so engines with file-stat pruning skip most
     of them for a predicate on either dimension."""
-    e = events.select(
-        "*",
-        F.col(user_col).alias("u"),
-        F.expr(
-            f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 60000000 AS BIGINT)"
-        ).alias("t"),
-    )
-    bounds = e.agg(
-        F.min("u").alias("u_lo"),
-        F.max("u").alias("u_hi"),
-        F.min("t").alias("t_lo"),
-        F.max("t").alias("t_hi"),
-    )
-    un = _norm_sql("u", "u_lo", "u_hi")
-    tn = _norm_sql("t", "t_lo", "t_hi")
-    shift = 2 * Z_BITS - Z_BUCKET_BITS
     (
-        e.join(F.broadcast(bounds))
-        .withColumn("z_bucket", F.expr(f"({z_value_sql(un, tn)}) >> {shift}"))
-        .drop("u", "t", "u_lo", "u_hi", "t_lo", "t_hi")
+        _with_z_bucket(events, user_col, ts_col, keep_all=True)
+        .drop("u", "t")
         .write.partitionBy("z_bucket")
         .mode("overwrite")
         .parquet(path)

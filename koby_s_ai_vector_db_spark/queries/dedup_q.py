@@ -593,8 +593,7 @@ cand AS (
 ),
 ver AS (
     SELECT new_id, base_id,
-           len(list_intersect(ng.g, bg.g))::DOUBLE
-             / len(list_distinct(list_concat(ng.g, bg.g))) AS jac
+           {_JACCARD.format(a='ng.g', b='bg.g')} AS jac
     FROM cand JOIN n_grams ng ON ng.doc_id = new_id
               JOIN b_grams bg ON bg.doc_id = base_id
 ),

@@ -109,18 +109,31 @@ def test_short_strings_excluded(spark):
 
 
 def test_oracle_mirrors_blocking(duck):
-    """The DuckDB oracle and the brute force agree at sf0.001 — so the
-    driver's sf0.01 check pins the full blocked pipeline, not a weaker
-    superset."""
+    """The DuckDB oracle must agree with brute force at sf0.001 in BOTH
+    directions — soundness (every reported pair is a true near-dup at
+    its distance) AND completeness (no true pair missed by the oracle's
+    own blocking) — so the driver's sf0.01 check pins the full blocked
+    pipeline, not a weaker superset OR subset."""
+    t = 8
     duck.execute(
         "CREATE OR REPLACE VIEW documents AS "
         f"SELECT * FROM read_parquet('{SF_DIRS['t1']}/documents.parquet')"
     )
-    blocked = duck.execute(fuzzy_edit_oracle_sql(8)).fetchall()
-    # spot-check: every reported pair is a true near-dup at its distance
+    blocked = set(duck.execute(fuzzy_edit_oracle_sql(t)).fetchall())
     texts = dict(
         duck.execute("SELECT doc_id, text FROM documents").fetchall()
     )
+    want = set(
+        duck.execute(
+            f"""SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= {t}
+                 AND length(a.text) > {t} AND length(b.text) > {t}
+                WHERE levenshtein(a.text, b.text) <= {t}"""
+        ).fetchall()
+    )
+    assert blocked == want
     for a, b, d in blocked:
-        assert _levenshtein(texts[a], texts[b]) == d <= 8
+        assert _levenshtein(texts[a], texts[b]) == d <= t
     assert len(blocked) > 0
