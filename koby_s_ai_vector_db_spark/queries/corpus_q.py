@@ -403,3 +403,68 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# --- deterministic weighted sample (Efraimidis-Spirakis) ---------------------
+# Quality-weighted selection without replacement: each doc gets key
+# u^(1/w) with u = portable-hash uniform and w its weight (here n_chars
+# — longer docs proportionally likelier); the top-k keys per stratum ARE
+# a weighted sample without replacement (Efraimidis & Spirakis 2006).
+# The reservoir algorithm's streaming trick isn't needed in a batch
+# engine — WindowGroupLimit's per-task pre-truncation plays the same
+# role, and the hash-derived u makes the draw reproducible on both
+# engines. Adjacent keys differ by ~1/n, vastly above cross-engine
+# pow() ulp noise, and doc_id tiebreaks pin exact ties.
+
+WEIGHTED_K = 15
+_WS_SEED = 47
+
+_WEIGHTED_ORACLE = f"""
+WITH h AS (
+    SELECT lang, doc_id, n_chars,
+           ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=_WS_SEED)} + 1.0)
+             / 4294967296.0 AS u
+    FROM documents
+),
+k AS (
+    SELECT lang, doc_id, n_chars,
+           pow(u, 1.0 / n_chars) AS ky
+    FROM h WHERE n_chars > 0
+),
+r AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rk
+    FROM k
+)
+SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= {WEIGHTED_K}
+ORDER BY lang, rk
+"""
+
+
+@register("sample_weighted_k", _WEIGHTED_ORACLE)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, k per language: key =
+    u^(1/weight) over the portable hash (Efraimidis-Spirakis), ranked
+    through WindowGroupLimit. Reproducible across engines and runs —
+    the quality-weighted twin of sample_fixed_k."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        portable_hash32(F.col("doc_id").cast("string"), seed=_WS_SEED) + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    w = Window.partitionBy("lang").orderBy(F.desc("ky"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("ky"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WEIGHTED_K)
+        .select("lang", "doc_id", "n_chars", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -347,3 +347,30 @@ class TestGumbelSample:
             sample(df, k=0)
         with pytest.raises(ValueError, match="tau"):
             sample(df, k=1, tau=0.0)
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    """Efraimidis-Spirakis keys must make selection probability scale
+    with weight: 20 weight-1000 items among 480 weight-1 items should
+    dominate the top-15 (deterministic given the portable hash)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+    from koby_s_ai_vector_db_spark.queries.corpus_q import _WS_SEED
+
+    rows = [(i, "g", 1000 if i < 20 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    u = (
+        portable_hash32(F.col("doc_id").cast("string"), seed=_WS_SEED) + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    w = Window.partitionBy("lang").orderBy(F.desc("ky"), F.asc("doc_id"))
+    top = (
+        df.select("lang", "doc_id", "n_chars",
+                  F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("ky"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 15)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r.doc_id < 20)
+    assert heavy >= 12, heavy
