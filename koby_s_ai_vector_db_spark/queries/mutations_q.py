@@ -304,3 +304,93 @@ def m8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- snapshot distribution drift (PSI) ---------------------------------------
+# The statistical companion of m8_snapshot_diff: m8 says WHICH rows
+# changed; this says whether the corpus PROFILE drifted — Population
+# Stability Index over document-length buckets, the standard
+# promote-gate metric for data pipelines. Buckets reuse the quantile
+# sketch's integer log-linear bucket math (operators/sketches.py), so
+# bucketing is bit-identical across engines; the only floats are the
+# per-bucket ln() contributions, rounded at the edge.
+
+_PSI_EPS = 1e-6  # Laplace-style smoothing for empty buckets
+
+
+def _psi_dist_sql(rel: str) -> str:
+    from koby_s_ai_vector_db_spark.operators.sketches import (
+        _qh_id_sql,
+        _qh_u_sql,
+    )
+
+    u = _qh_u_sql("n_chars")
+    return (
+        f"SELECT {_qh_id_sql(u)} AS bucket_id, count(*) AS n FROM {rel} "
+        f"GROUP BY 1"
+    )
+
+
+_PSI_ORACLE = f"""
+WITH v1 AS (SELECT n_chars FROM documents),
+v2_rows AS ({_SNAP_V2}),
+v2 AS (SELECT length(text) AS n_chars FROM v2_rows),
+d1 AS ({_psi_dist_sql("v1")}),
+d2 AS ({_psi_dist_sql("v2")}),
+n1 AS (SELECT sum(n) AS t FROM d1),
+n2 AS (SELECT sum(n) AS t FROM d2),
+j AS (
+    SELECT coalesce(d1.bucket_id, d2.bucket_id) AS bucket_id,
+           coalesce(d1.n, 0) / CAST(n1.t AS DOUBLE) + {_PSI_EPS} AS p1,
+           coalesce(d2.n, 0) / CAST(n2.t AS DOUBLE) + {_PSI_EPS} AS p2
+    FROM d1 FULL OUTER JOIN d2 ON d1.bucket_id = d2.bucket_id, n1, n2
+)
+SELECT bucket_id, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round((p2 - p1) * ln(p2 / p1), 6) AS contrib
+FROM j ORDER BY bucket_id
+"""
+
+
+@register("m9_snapshot_drift", _PSI_ORACLE)
+def m9_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket PSI contributions between snapshot v1 and v2 over
+    document-length buckets (integer log-linear bucket math shared with
+    a20_quantile_sketch). sum(contrib) is the PSI promote gate; the
+    per-bucket rows localize WHERE the distribution moved."""
+    from koby_s_ai_vector_db_spark.operators.sketches import _qh_id_sql, _qh_u_sql
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    u = _qh_u_sql("n_chars")
+    bucket = _qh_id_sql(u)
+    v1 = spark.sql(f"SELECT {bucket} AS bucket_id, count(*) AS n FROM documents GROUP BY 1")
+    v2 = spark.sql(
+        f"SELECT {bucket} AS bucket_id, count(*) AS n FROM "
+        f"(SELECT length(text) AS n_chars FROM ({_SNAP_V2})) GROUP BY 1"
+    )
+    t1 = v1.agg(F.sum("n").alias("t"))
+    t2 = v2.agg(F.sum("n").alias("t2"))
+    j = (
+        v1.withColumnRenamed("n", "n1")
+        .join(v2.withColumnRenamed("n", "n2"), "bucket_id", "full_outer")
+        .join(F.broadcast(t1))
+        .join(F.broadcast(t2))
+        .select(
+            "bucket_id",
+            (
+                F.coalesce("n1", F.lit(0)) / F.col("t").cast("double")
+                + F.lit(_PSI_EPS)
+            ).alias("p1"),
+            (
+                F.coalesce("n2", F.lit(0)) / F.col("t2").cast("double")
+                + F.lit(_PSI_EPS)
+            ).alias("p2"),
+        )
+    )
+    return j.select(
+        "bucket_id",
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1")), 6).alias(
+            "contrib"
+        ),
+    ).orderBy("bucket_id")

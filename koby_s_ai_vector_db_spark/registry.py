@@ -66,10 +66,9 @@ _PRIORITY: list[str] = [
     # of the last two committed records).
     "dedup_fuzzy_edit", "q16_mmr_rerank", "a19_click_attribution",
     "emb_pca_project", "a20_quantile_sketch", "sample_fixed_k",
-    "dedup_tfidf_cosine", "m8_snapshot_diff", "dedup_incremental", "dedup_fuzzy_groups", "a21_zorder_stats", "sample_weighted_k",
+    "dedup_tfidf_cosine", "m8_snapshot_diff", "dedup_incremental", "dedup_fuzzy_groups", "a21_zorder_stats", "sample_weighted_k", "m9_snapshot_drift",
     # (a) no r4 driver row
     "dedup_simhash", "dedup_sketch_stream",
-    "curate_corpus_neardup",
     "q12_context_assembly",
     "t1_chunker",
     # (b) new round-6 queries (data-selection + tokenizer tiers)
@@ -92,7 +91,8 @@ _PRIORITY: list[str] = [
     # mm_binary_features, q9_contribution_quality, q11_sources,
     # q13_effectiveness, q14_fallback_routing, a13_corpus_summary,
     # q10_prioritize, dedup_exact_stream, dedup_ngram_jaccard,
-    # dedup_embedding_lsh, dedup_embedding_ivf (all r03-green; the
+    # dedup_embedding_lsh, dedup_embedding_ivf, curate_corpus_neardup
+    # (all r03-green; the
     # fusion shapes also ride in the windowed q12 arm, the hyperplane
     # sketch shape is plan-guarded every round by
     # test_hyperplane_sketch_is_map_side, the IVF probe shape rides in
