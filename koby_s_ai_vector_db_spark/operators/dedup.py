@@ -722,8 +722,13 @@ def incremental_minhash_dedup(
     )
     ga = ng.select(F.col("_id").alias("new_id"), F.col("g").alias("ga"))
     gb = bg.select(F.col("_id").alias("base_id"), F.col("g").alias("gb"))
+    # No broadcast hint on cand: its size scales with new-batch band
+    # collisions (up to batch_bands x BUCKET_CAP) and can exceed the
+    # broadcast limit for the large daily batches this operator targets.
+    # AQE sees the materialized candidate size at runtime and picks
+    # broadcast itself whenever cand is actually small (ADVICE r06).
     ver = (
-        F.broadcast(cand)
+        cand
         .join(ga, "new_id")
         .join(gb, "base_id")
         .withColumn("jac", jaccard("ga", "gb"))

@@ -6,8 +6,10 @@ analogue is the token-overlap scorer, core/supabase_utils.py:280-312);
 character-level fuzzy dedup is the entity-resolution tier a training-data
 pipeline needs for OCR noise, whitespace drift, and single-token edits
 that survive exact and shingle hashing.  Semantics: all unordered pairs
-(a, b) with levenshtein(text_a, text_b) <= t among documents whose text
-length is > t (shorter strings cannot be blocked losslessly — see below).
+(a, b) with levenshtein(text_a, text_b) <= t.  Texts longer than t chars
+are blocked via the pigeonhole scheme below; texts of length <= t (which
+can't be split into t+1 nonempty segments) go through a length-bounded
+brute tier inside fuzzy_edit_pairs.
 
 Scale design (the PassJoin pigeonhole, Li et al., VLDB 2011 — public
 algorithm, re-derived here as DataFrame algebra):
@@ -120,16 +122,27 @@ def fuzzy_edit_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All unordered near-dup pairs with levenshtein <= t (texts longer
-    than t chars).  Returns (doc_id_a, doc_id_b, dist) ordered.
+    """All unordered near-dup pairs with levenshtein <= t.  Returns
+    (doc_id_a, doc_id_b, dist) ordered.
+
+    Texts longer than t chars go through the PassJoin pigeonhole
+    blocking; texts of length <= t (where t+1 nonempty segments don't
+    exist) get a separate brute candidate tier — short x (length <= 2t)
+    — so exact duplicates among short strings are reported too (ADVICE
+    r06).  Any partner of a short string has length <= 2t (levenshtein
+    >= |len diff|), so both sides of the brute tier are length-bounded;
+    its short x short slice is inherently ~quadratic because EVERY such
+    pair satisfies dist <= max(l1, l2) <= t — the output itself is
+    quadratic there, not the algorithm.
     """
     if t < 1:
         raise ValueError(f"edit threshold must be >= 1, got {t}")
-    d = docs.select(
+    d_all = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         F.length(text_col).alias("l"),
-    ).where(F.col("l") > t)
+    )
+    d = d_all.where(F.col("l") > t)
 
     segs = segment_rows(d, t)
     probes = probe_rows(d, t)
@@ -162,8 +175,26 @@ def fuzzy_edit_pairs(
         .distinct()
     )
 
-    da = d.select(F.col("id").alias("a"), F.col("txt").alias("ta"))
-    db = d.select(F.col("id").alias("b"), F.col("txt").alias("tb"))
+    # Short tier: candidates = short x (length <= 2t), disjoint from the
+    # blocked tier (which requires BOTH sides > t chars). No join key
+    # exists — every short pair is a candidate by construction — so this
+    # is a genuine nested-loop over two length-bounded sides; the exact
+    # levenshtein verify below filters the short x medium slice.
+    short = d_all.where(F.col("l") <= t).select(F.col("id").alias("id1"))
+    near = d_all.where(F.col("l") <= 2 * t).select(F.col("id").alias("id2"))
+    short_cand = (
+        short.crossJoin(near)
+        .where(F.col("id1") != F.col("id2"))
+        .select(
+            F.least("id1", "id2").alias("a"),
+            F.greatest("id1", "id2").alias("b"),
+        )
+        .distinct()
+    )
+    cand = cand.unionByName(short_cand)
+
+    da = d_all.select(F.col("id").alias("a"), F.col("txt").alias("ta"))
+    db = d_all.select(F.col("id").alias("b"), F.col("txt").alias("tb"))
     return (
         cand.join(da, "a")
         .join(db, "b")
@@ -183,10 +214,10 @@ def fuzzy_edit_oracle_sql(t: int = EDIT_T, table: str = "documents") -> str:
     filters, exact levenshtein verify."""
     k_ = _k(t)
     return f"""
-WITH d AS (
-    SELECT doc_id AS id, text AS txt, length(text) AS l
-    FROM {table} WHERE length(text) > {t}
+WITH d_all AS (
+    SELECT doc_id AS id, text AS txt, length(text) AS l FROM {table}
 ),
+d AS (SELECT * FROM d_all WHERE l > {t}),
 segs AS (
     SELECT id AS id1, l AS l1,
            CAST((k * l) // {k_} + 1 AS INT) AS seg_start,
@@ -209,10 +240,14 @@ cand AS (
     WHERE l2 BETWEEN l1 AND l1 + {t}
       AND abs(pos - seg_start) <= {t}
       AND id1 <> id2
+    UNION
+    SELECT DISTINCT least(s.id, n.id) AS a, greatest(s.id, n.id) AS b
+    FROM d_all s JOIN d_all n
+      ON s.l <= {t} AND n.l <= {2 * t} AND s.id <> n.id
 )
 SELECT a AS doc_id_a, b AS doc_id_b,
        CAST(levenshtein(da.txt, db.txt) AS INT) AS dist
-FROM cand JOIN d da ON da.id = a JOIN d db ON db.id = b
+FROM cand JOIN d_all da ON da.id = a JOIN d_all db ON db.id = b
 WHERE levenshtein(da.txt, db.txt) <= {t}
 ORDER BY doc_id_a, doc_id_b
 """

@@ -640,7 +640,7 @@ def mix_oracle_sql(
 
     h = sql_hash32(f"CAST(t.{id_expr} AS VARCHAR)", seed=seed)
     return f"""plan AS (
-    SELECT lang, sum(n_tokens) AS avail_tokens, count(*) AS n_docs_in,
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens, count(*) AS n_docs_in,
            ({case_sql}) * {token_budget} AS target_tokens,
            CASE WHEN sum(n_tokens) > 0
                 THEN ({case_sql}) * {token_budget} / sum(n_tokens)
@@ -661,8 +661,8 @@ achieved AS (
     FROM mix GROUP BY lang
 )
 SELECT p.lang, p.n_docs_in, p.avail_tokens,
-       round(p.target_tokens, 6) AS target_tokens,
-       round(p.epochs, 6) AS epochs,
-       coalesce(a.achieved_tokens, 0) AS achieved_tokens,
-       coalesce(a.achieved_docs, 0) AS achieved_docs
+       CAST(round(p.target_tokens, 6) AS DOUBLE) AS target_tokens,
+       CAST(round(p.epochs, 6) AS DOUBLE) AS epochs,
+       CAST(coalesce(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
+       CAST(coalesce(a.achieved_docs, 0) AS BIGINT) AS achieved_docs
 FROM plan p LEFT JOIN achieved a USING (lang)"""

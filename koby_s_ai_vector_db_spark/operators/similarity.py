@@ -43,6 +43,7 @@ def topk_cosine(
     pre_normalized: bool = False,
     round_to: int | None = 6,
     exclude_self: bool = False,
+    match_on: str | None = None,
 ) -> DataFrame:
     """Q1: exact top-k cosine per query, threshold applied AFTER ranking.
 
@@ -51,12 +52,18 @@ def topk_cosine(
     Returns (query_id, corpus_id, sim, rank), rank ∈ 1..k, sim >= threshold.
     exclude_self drops corpus rows whose id equals the query id (for query
     sets drawn from the corpus itself, e.g. the fusion family's fixtures).
+    match_on names a metadata column present on BOTH sides: candidates are
+    restricted to corpus rows equal on it (per-query filtered search).
+    The filter becomes the broadcast-hash-join KEY — non-matching corpus
+    rows are discarded at the probe before any dot product is computed,
+    so filtered search is CHEAPER than unfiltered, the property users
+    expect from a metadata-filtered vector store.
     """
     c = spread(corpus)  # the dot-product map below is the CPU-bound stage
     c = c if pre_normalized else c.withColumn(vec_col, l2_normalize(vec_col))
     q = queries.withColumn(query_vec_col, l2_normalize(query_vec_col))
 
-    scored = c.join(F.broadcast(q))
+    scored = c.join(F.broadcast(q), on=[match_on] if match_on else None)
     if exclude_self:
         scored = scored.filter(F.col(query_id) != F.col(corpus_id))
     scored = scored.withColumn("sim", dot(vec_col, query_vec_col))

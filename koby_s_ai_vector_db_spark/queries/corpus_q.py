@@ -223,7 +223,7 @@ mix AS (
     WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       AND d.doc_id % {CONTAM_MOD} <> 0
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM mix GROUP BY lang
 """
 

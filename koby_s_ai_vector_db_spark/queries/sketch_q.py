@@ -152,7 +152,7 @@ exact AS (
     FROM ranked r, (VALUES {", ".join(f"({float(q)!r})" for q in QH_QS)}) AS qv(q)
     WHERE r.rn = CAST(ceil(qv.q * r.n) AS BIGINT)
 )
-SELECT o.grp AS event_type, o.q, o.est_value, e.exact_value,
+SELECT o.grp AS event_type, CAST(o.q AS DOUBLE) AS q, o.est_value, e.exact_value,
        round(abs(o.est_value - e.exact_value)
              / CASE WHEN e.exact_value = 0 THEN 1 ELSE e.exact_value END
              * 100, 2) AS rel_err_pct

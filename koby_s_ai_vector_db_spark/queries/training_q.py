@@ -148,7 +148,9 @@ agg1 AS (
     FROM per_seq GROUP BY shard
 ),
 agg2 AS (SELECT shard, count(DISTINCT doc_id) AS n_docs FROM base GROUP BY shard)
-SELECT shard, n_seqs, n_docs, n_tokens, n_full_seqs
+SELECT shard, n_seqs, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_full_seqs AS BIGINT) AS n_full_seqs
 FROM agg1 JOIN agg2 USING (shard)
 """
 

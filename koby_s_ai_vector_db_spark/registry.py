@@ -50,69 +50,55 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-6 window: (a) the oldest-checked (r3-dated) queries, (b) the 10
-# new round-6 queries (selection tier + resampling, tokenizer tier,
-# end-to-end pretraining pipeline, shard manifest, count-min heavy
-# hitters, Zipf profile), (c) the 23 round-5 queries that have never had a driver row
-# (the skipped r5 record would have covered them). Displaced vs the r5
-# window (all r03-green, named at the list tail): 10 slots' worth of
-# trivial/stable r3-dated queries.
+# Round-7 window: with CORRECTNESS_r06 landed, the union checked this
+# round is r04 ∪ r06, which displaces every r03-only name at once.
+# (a) the 23 r03-only queries — MANDATORY (they would breach the
+#     two-record staleness bound otherwise; exact set = r03 − r04 − r06);
+# (b) the 4 queries whose r06 row is non-green (oracle HUGEINT/DECIMAL
+#     hash artifact, casts fixed this round — VERDICT r06 item 1) —
+#     MANDATORY (a red row may not rotate out);
+# (c) a20_quantile_sketch — its oracle was edited this round (DECIMAL q
+#     → DOUBLE, same hazard class), so it re-earns a green row;
+# (d) 22 r04-green names pre-covered for round 8 (the full r04 record
+#     falls out of the union when r07 lands; SURVEY §9 budgets them
+#     across r7/r8 — the heavy/distinctive families go first).
+# New round-7 queries displace group-(d) tail names as they land.
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # (d) new in this round's late additions — no driver record exists for
-    # them, so they MUST hold window slots; each displaces an r3-green
-    # name from group (a) (still covered by the r03 record, which is one
-    # of the last two committed records).
-    "dedup_fuzzy_edit", "q16_mmr_rerank", "a19_click_attribution",
-    "emb_pca_project", "a20_quantile_sketch", "sample_fixed_k",
-    "dedup_tfidf_cosine", "m8_snapshot_diff", "dedup_incremental", "dedup_fuzzy_groups", "a21_zorder_stats", "sample_weighted_k", "m9_snapshot_drift",
-    # (a) no r4 driver row
-    "dedup_simhash", "dedup_sketch_stream",
-    "q12_context_assembly",
-    "t1_chunker",
-    # (b) new round-6 queries (data-selection + tokenizer tiers)
-    "dsir_score", "ccnet_ppl_buckets", "mix_token_budget",
-    "bpe_train", "bpe_encode", "curate_pretrain_pipeline",
-    "shard_manifest", "dsir_sample", "a18_heavy_hitters", "vocab_zipf",
-    # (c) round-5 queries that have never had a driver row (the skipped
-    # r5 record would have covered them)
-    "bm25_rank", "bm25_rank_idx", "vocab_stats", "stratified_sample",
-    "ngram_contamination", "ngram_contamination_13",
-    "asof_enrich_events", "range_session_assign",
-    "a14_value_quantiles", "hybrid_rrf", "curate_training_mix",
-    "curate_corpus_bm25", "a15_funnel", "a16_retention",
-    "ta_gopher_repetition", "ta_pii_scrub",
-    "q2_ann_pq_idx", "q2_ann_ivfpq_idx",
-    "q2_ann_ivf_idx",
-    "a17_hll_distinct", "ts_gapfill",
-    "dedup_substring", "pack_sequences",
-    # Late round-6 displacements for group (d): ta_fingerprint,
-    # mm_binary_features, q9_contribution_quality, q11_sources,
-    # q13_effectiveness, q14_fallback_routing, a13_corpus_summary,
-    # q10_prioritize, dedup_exact_stream, dedup_ngram_jaccard,
-    # dedup_embedding_lsh, dedup_embedding_ivf, curate_corpus_neardup
-    # (all r03-green; the
-    # fusion shapes also ride in the windowed q12 arm, the hyperplane
-    # sketch shape is plan-guarded every round by
-    # test_hyperplane_sketch_is_map_side, the IVF probe shape rides in
-    # the windowed q2_ann_*_idx family, and the shingle-postings shape
-    # rides in the windowed dedup_tfidf_cosine) — round 7 must re-window
-    # them alongside the earlier displaced set.
-    # (dedup_sketch_stream stays windowed: it has NO committed record.)
-    # Rotated out to make room (all green at their last driver check and
-    # still pytest-parity-checked in-repo every round): the r4-green
-    # families (q7_fusion, curate_corpus, q1_topk_cosine, q2_ann,
-    # a5_sliding_live_users, a6_session_windows, dedup_minhash_lsh,
-    # dedup_groups, q2_ann_pq, q2_ann_ivfpq — see the r5 note in git
-    # history for the PQ-pair rationale) and, new this round, m1/m2/m3 +
-    # mm_resize/mm_frames/mm_decode/ta_token_count/dedup_exact/
-    # dedup_embedding_cosine (r3-green, code unchanged — dedup_exact's
-    # md5-groupBy shape also rides in the still-windowed
-    # dedup_exact_stream and curate_* queries; the cosine tier's
-    # operators ride in dedup_embedding_ivf/lsh and knn paths;
-    # q8_faiss_quality's score projection rides in the windowed q9/q10
-    # fusion arms), displaced by the round-6 tiers listed in (b).
+    # (a) r03-only — mandatory re-window
+    "a13_corpus_summary", "curate_corpus_neardup", "dedup_embedding_cosine",
+    "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_exact_stream", "dedup_ngram_jaccard", "m1_update_status",
+    "m2_bulk_update_status", "m3_approve_all_pending", "mm_binary_features",
+    "mm_decode", "mm_frames", "mm_resize", "q10_prioritize", "q11_sources",
+    "q13_effectiveness", "q14_fallback_routing", "q8_faiss_quality",
+    "q9_contribution_quality", "ta_fingerprint", "ta_token_count",
+    # (b) r06 non-green, oracles recast — mandatory
+    "mix_token_budget", "curate_pretrain_pipeline", "shard_manifest",
+    "curate_training_mix",
+    # (c) oracle edited this round + new round-7 queries (never recorded)
+    "a20_quantile_sketch", "emb_pca_audit", "q17_filtered_ann",
+    # (d) r04-green pre-coverage for round 8 (heavy families first)
+    "q7_fusion", "q1_topk_cosine", "q2_ann", "q2_ann_pq", "q2_ann_ivfpq",
+    "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
+    "a5_sliding_live_users", "a6_session_windows", "knn_self_join",
+    "rollup_events", "q15_image_search", "s8_ingest", "s9_upsert_users",
+    "t2_embed", "ta_lang_id", "ta_quality_score", "rel_revenue_by_nation",
+    "a7_activity_breakdown",
+    # Rotated out this round (all green in r04 or r06, the two records
+    # unioned for round 7 — still pytest-parity-checked in-repo every
+    # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
+    # a19, a20 family, selection/tokenizer tiers, bm25/vocab/contam/
+    # asof/range/funnel/retention/pii, q2_ann_*_idx, sketches, zorder,
+    # snapshots — a20_quantile_sketch excepted per (c); the rows-only
+    # four bpe_train/bpe_encode/q2_ann_ivf_idx/emb_pca_project carry
+    # err='no_oracle' rows, which the rotation test accepts as green for
+    # oracle-less queries) and the remaining 28 r04-green names
+    # (a1–a4/a9–a11/a5_live_users/a6_session_stats/a7_user_activity,
+    # m4/m5/m6, q4/q5/q6, rel_pricing/rel_top_parts, s1/s2/s3/s6,
+    # t3/t5/t6/t7, u2/u4) — those 28 are the round-8 window's mandatory
+    # core once r07 lands (SURVEY §9).
 ]
 
 

@@ -106,6 +106,16 @@ def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
     ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the fixture's ts is NTZ and
     the session timezone is pinned UTC, so the cast is value-preserving."""
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # The NTZ->TIMESTAMP cast reinterprets wall-clock values in the
+        # session timezone; it is value-preserving ONLY under UTC (which
+        # session.get_spark pins). Enforce that at the cast site rather
+        # than trusting the caller's session config (ADVICE r06).
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"apply_watermark requires spark.sql.session.timeZone=UTC "
+                f"for a value-preserving TIMESTAMP_NTZ cast; session has {tz!r}"
+            )
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", late)
 

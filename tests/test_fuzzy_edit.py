@@ -55,7 +55,7 @@ def test_lossless_vs_brute_force_fixture(spark):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             ta, tb = texts[a], texts[b]
-            if abs(len(ta) - len(tb)) > t or len(ta) <= t or len(tb) <= t:
+            if abs(len(ta) - len(tb)) > t:
                 continue
             ba, bb = bags[a], bags[b]
             l1 = sum(abs(ba[c] - bb[c]) for c in ba.keys() | bb.keys())
@@ -97,12 +97,22 @@ def test_front_insertion_shift(spark):
     assert got == {(1, 2, 3)}
 
 
-def test_short_strings_excluded(spark):
-    """Texts of length <= t are outside the operator's domain (pigeonhole
-    needs t+1 nonempty segments) — documented, mirrored in the oracle."""
+def test_short_strings_brute_tier(spark):
+    """Texts of length <= t can't go through the pigeonhole (needs t+1
+    nonempty segments) but MUST still be reported via the brute short
+    tier — any pair of length-<=t strings is trivially within t, and a
+    short string can also pair with a medium one (length <= 2t)."""
     got = _pairs(spark, [(1, "abcd"), (2, "abce"), (3, "abcf")], t=8)
+    # every short pair is within t=8 by construction
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 1)}
+    # short (4) x medium (12): within t via 8 appended chars
+    a, b = "abcd", "abcdefghijkl"
+    got = _pairs(spark, [(1, a), (2, b)], t=8)
+    assert got == {(1, 2, 8)}
+    # short x long (> 2t): unreachable (dist >= len diff > t)
+    got = _pairs(spark, [(1, "abcd"), (2, "x" * 30)], t=8)
     assert got == set()
-    # but above the limit they participate
+    # above the limit both sides go through the blocked tier as before
     a, b = "abcdefghijkl", "abcdefghijkX"
     got = _pairs(spark, [(1, a), (2, b)], t=8)
     assert got == {(1, 2, 1)}
@@ -129,7 +139,6 @@ def test_oracle_mirrors_blocking(duck):
                 FROM documents a JOIN documents b
                   ON a.doc_id < b.doc_id
                  AND abs(length(a.text) - length(b.text)) <= {t}
-                 AND length(a.text) > {t} AND length(b.text) > {t}
                 WHERE levenshtein(a.text, b.text) <= {t}"""
         ).fetchall()
     )

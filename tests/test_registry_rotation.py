@@ -83,11 +83,20 @@ def test_last_recorded_row_was_green():
     with_oracle = set(registry.oracle_sql())
 
     def green(n, row):
+        if n not in with_oracle:
+            # Rows-only query: the driver records err='no_oracle' with
+            # the observed row count and null match fields. Green = it
+            # ran and produced rows.
+            return (
+                row.get("err") in (None, "no_oracle")
+                and row.get("spark_rows") is not None
+                and row["spark_rows"] > 0
+            )
         if row.get("err"):
             return False
         if not row.get("rows_match"):
             return False
-        return row.get("hash_match", False) or n not in with_oracle
+        return row.get("hash_match", False)
 
     bad = {
         n: row for n, row in record.items()
