@@ -468,3 +468,84 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# --- boilerplate n-gram ratio -----------------------------------------------
+# Phrase-level boilerplate detector (the header/footer/nav-chrome pass of
+# web-corpus pipelines): a 5-gram is boilerplate when it occurs in >=
+# BOILER_MIN_DF distinct documents; each doc reports how much of its
+# 5-gram positions that mass covers. Differs from dedup_substring (long
+# verbatim SPANS between doc pairs) — this is corpus-wide phrase
+# FREQUENCY, the signal that catches templated chrome repeated across
+# thousands of pages which never forms one long span. Ratio is int64-
+# quantized. Scale: postings-style — per-position grams stay (doc, gram)
+# rows, df is one map-combined groupBy, and the boiler join's small side
+# is post-aggregation so AQE sizes it from real runtime stats.
+BOILER_N = 5
+BOILER_MIN_DF = 2
+
+_BOILER_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+{BOILER_N - 1}], ' ')
+                   for i in range(1, len(w) - {BOILER_N - 2})]) AS g
+    FROM words WHERE len(w) >= {BOILER_N}
+),
+df AS (
+    SELECT g, count(DISTINCT doc_id) AS ndocs FROM pos GROUP BY g
+),
+boiler AS (SELECT g FROM df WHERE ndocs >= {BOILER_MIN_DF}),
+perdoc AS (
+    SELECT p.doc_id, count(*) AS n_pos,
+           sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+    FROM pos p LEFT JOIN boiler b USING (g)
+    GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST(round(n_boiler * 1000000.0 / n_pos) AS BIGINT) AS boiler_ratio_q6
+FROM perdoc WHERE n_boiler > 0
+"""
+
+
+@register("ta_boilerplate", _BOILER_ORACLE)
+def ta_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate 5-gram coverage: positions, boilerplate
+    hits (grams shared with >= 2 other docs' gram sets), quantized ratio.
+    Docs with zero boilerplate are omitted (the interesting rows are the
+    templated ones)."""
+    from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.explode(shingles_expr("text", n=BOILER_N, distinct=False)).alias("g"),
+    )
+    boiler = (
+        pos.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    return (
+        pos.join(boiler.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .filter(F.col("n_boiler") > 0)
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_boiler",
+            F.round(F.col("n_boiler") * 1000000.0 / F.col("n_pos"))
+            .cast("long")
+            .alias("boiler_ratio_q6"),
+        )
+    )

@@ -672,3 +672,59 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(
         _fuzzy_pairs_memo(spark, sf_dir).select("doc_id_a", "doc_id_b")
     )
+
+
+# --- cross-source near-dup provenance matrix --------------------------------
+# Which pairs of SOURCES leak near-duplicate content into each other? The
+# corpus-governance readout a training-data pipeline uses to decide dedup
+# priority between crawls/dumps (e.g. CC snapshot vs curated set). Rides
+# the memoized MinHash pair subtree; planted dup ids map back to their
+# base document (doc_id % 1000000) for source attribution. Jaccard mass
+# is int64-quantized before the sum (order-independent cross-engine, the
+# rerank.py QSCALE convention).
+_SOURCE_MATRIX_ORACLE = f"""
+WITH pairs AS ({_MINHASH_ORACLE.strip()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs,
+       CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_jac_q6
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.doc_id_a % 1000000
+JOIN src sb ON sb.doc_id = p.doc_id_b % 1000000
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_source_matrix", _SOURCE_MATRIX_ORACLE)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source-pair count + quantized Jaccard mass of near-dup pairs:
+    the provenance matrix that ranks which source pairs need cross-dedup
+    first. One groupBy over the (small) verified pair table after two
+    source-attribution joins; the pair table itself is the memoized
+    MinHash subtree shared with dedup_minhash_lsh/dedup_groups."""
+    pairs = minhash_near_dup_pairs(
+        _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("base_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("base_b"), F.col("source").alias("sb"))
+    return (
+        pairs.withColumn("base_a", F.col("doc_id_a") % 1000000)
+        .withColumn("base_b", F.col("doc_id_b") % 1000000)
+        .join(sa, "base_a")
+        .join(sb, "base_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1000000).cast("long"))
+            .cast("long")
+            .alias("sum_jac_q6"),
+        )
+    )

@@ -70,9 +70,11 @@ def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_ARR = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
-_QUALITY_ORACLE = f"""
-WITH t AS (
-    SELECT doc_id,
+# Shared pieces: the per-doc feature CTE (carries lang for the percentile
+# gate below) and the composite formula, identical term order to the
+# Spark expression in operators/text_analysis.py::quality_score.
+_QUALITY_T_CTE = f"""t AS (
+    SELECT doc_id, lang,
            len({_W_DUCK})::DOUBLE AS n_tok,
            length(text)::DOUBLE AS n_chars,
            (length(text)::DOUBLE
@@ -81,12 +83,17 @@ WITH t AS (
            len(list_filter({_W_DUCK}, t -> list_contains([{_STOP_ARR}], t)))::DOUBLE AS stop_hits,
            list_sum(list_transform({_W_DUCK}, t -> length(t)))::DOUBLE AS tok_len_sum
     FROM documents
-)
-SELECT doc_id,
-       round(0.25 * least(n_tok / 50.0, 1.0)
+)"""
+
+_QUALITY_EXPR = """0.25 * least(n_tok / 50.0, 1.0)
            + 0.25 * (1.0 - punct)
            + 0.25 * least(stop_hits / greatest(n_tok, 1.0) * 5.0, 1.0)
-           + 0.25 * least(tok_len_sum / greatest(n_tok, 1.0) / 8.0, 1.0), 6) AS quality
+           + 0.25 * least(tok_len_sum / greatest(n_tok, 1.0) / 8.0, 1.0)"""
+
+_QUALITY_ORACLE = f"""
+WITH {_QUALITY_T_CTE}
+SELECT doc_id,
+       round({_QUALITY_EXPR}, 6) AS quality
 FROM t
 """
 
@@ -647,4 +654,89 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", cols["n_emails"].alias("n_emails"),
         cols["n_phones"].alias("n_phones"),
         cols["clean_text"].alias("clean_text"),
+    )
+
+
+# --- per-language quality percentile gate ------------------------------------
+# Data-selection step: instead of one global quality cutoff (which mostly
+# filters whole LANGUAGES because quality features are language-biased),
+# pick each language's own P20 cutoff and keep its top 80%. Ranking and
+# gating run on int64-quantized scores (qq = round(quality*1e6)) so the
+# percentile choice and every comparison are bit-identical cross-engine.
+GATE_PCT = 0.2
+
+_QGATE_ORACLE = f"""
+WITH {_QUALITY_T_CTE},
+scored AS (
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(round(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qq
+    FROM t
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY qq, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+),
+cut AS (
+    SELECT lang, qq AS cut_qq FROM ranked
+    WHERE rn = CAST(ceil({GATE_PCT} * n) AS BIGINT)
+)
+SELECT s.lang, CAST(min(c.cut_qq) AS BIGINT) AS cutoff_q6,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.qq >= c.cut_qq THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN s.qq >= c.cut_qq THEN s.n_tok ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+FROM scored s JOIN cut c USING (lang)
+GROUP BY s.lang
+"""
+
+
+@register("quality_percentile_gate", _QGATE_ORACLE)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P20 quality cutoff (rank-based percentile_disc on the
+    quantized score) and the keep statistics under it. Plan: one map-only
+    score projection, one per-lang window rank (shuffle on lang), one
+    broadcast-size cutoff table joined back, one groupBy(lang) — the
+    corpus crosses the wire once; window partitions are per-language, so
+    skew follows the language mix, which the rank window tolerates
+    (row_number spills; no collect)."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+    from koby_s_ai_vector_db_spark.operators.text_analysis import quality_score
+
+    # Memoized compact projection (~40 B/row vs multi-KB text): the rank
+    # pass and the keep-statistics pass both need qq, and Catalyst prunes
+    # an unused Window rather than sharing its input — without the persist
+    # the regex-heavy score expression would run two full text scans.
+    scored = memo_persist(
+        spark,
+        ("qgate_scored", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.size(words_expr("text")).cast("long").alias("n_tok"),
+            F.round(quality_score("text") * 1000000).cast("long").alias("qq"),
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("qq", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    cut = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(GATE_PCT) * F.col("n"))
+    ).select("lang", F.col("qq").alias("cut_qq"))
+    kept = F.col("qq") >= F.col("cut_qq")
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("cut_qq").cast("long").alias("cutoff_q6"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
     )

@@ -184,3 +184,66 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg1.join(agg2, "shard").select(
         "shard", "n_seqs", "n_docs", "n_tokens", "n_full_seqs"
     )
+
+
+# --- sequence-length histogram ----------------------------------------------
+# The planning readout that sizes PACK_SEQ_LEN and the shard count before
+# a packing run: token-length distribution in fixed-width buckets with a
+# running token total (all-integer, so bit-identical cross-engine). At
+# 100 TB this is one map-side token count + a groupBy on ~hundreds of
+# bucket keys; the cumulative window runs over the BUCKET table (bounded
+# by max_len/width rows), never the corpus.
+HIST_BUCKET_W = 16
+
+_SEQ_HIST_ORACLE = f"""
+WITH toks AS (
+    SELECT len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS n_tokens
+    FROM documents
+),
+buckets AS (
+    SELECT n_tokens // {HIST_BUCKET_W} AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+    FROM toks GROUP BY 1
+)
+SELECT bucket * {HIST_BUCKET_W} AS len_from,
+       bucket * {HIST_BUCKET_W} + {HIST_BUCKET_W - 1} AS len_to,
+       n_docs, bucket_tokens,
+       CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+FROM buckets ORDER BY len_from
+"""
+
+
+@register("seq_len_histogram", _SEQ_HIST_ORACLE)
+def seq_len_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of `documents` in 16-token buckets plus the
+    cumulative token total — the input a packing job uses to pick seq_len
+    (what fraction of tokens live in docs shorter than the target) and
+    predict tail waste."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = (
+        docs.select(F.size(words_expr("text")).alias("n_tokens"))
+        .select(
+            (F.col("n_tokens") / HIST_BUCKET_W).cast("long").alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        (F.col("bucket") * HIST_BUCKET_W).alias("len_from"),
+        (F.col("bucket") * HIST_BUCKET_W + (HIST_BUCKET_W - 1)).alias("len_to"),
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).orderBy("len_from")

@@ -79,13 +79,14 @@ _PRIORITY: list[str] = [
     "curate_training_mix",
     # (c) oracle edited this round + new round-7 queries (never recorded)
     "a20_quantile_sketch", "emb_pca_audit", "q17_filtered_ann",
+    "dedup_source_matrix", "seq_len_histogram", "quality_percentile_gate",
+    "ta_boilerplate",
     # (d) r04-green pre-coverage for round 8 (heavy families first)
     "q7_fusion", "q1_topk_cosine", "q2_ann", "q2_ann_pq", "q2_ann_ivfpq",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
     "a5_sliding_live_users", "a6_session_windows", "knn_self_join",
     "rollup_events", "q15_image_search", "s8_ingest", "s9_upsert_users",
-    "t2_embed", "ta_lang_id", "ta_quality_score", "rel_revenue_by_nation",
-    "a7_activity_breakdown",
+    "t2_embed",
     # Rotated out this round (all green in r04 or r06, the two records
     # unioned for round 7 — still pytest-parity-checked in-repo every
     # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
