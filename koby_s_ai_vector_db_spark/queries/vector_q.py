@@ -652,3 +652,77 @@ def emb_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+# --- contrastive hard-negative mining ----------------------------------------
+# Training-data prep for embedding models: per anchor, the positive is
+# its nearest non-self neighbour and the "hard negative" a lower-ranked
+# but still-close neighbour (the standard hard-negative band — near
+# enough to be informative, far enough to be wrong). One top-k pass at
+# k=HN_RANK over the same WindowGroupLimit plan as q1; the pivot to one
+# triplet row per anchor is a 2-row-per-anchor groupBy.
+HN_RANK = 12
+
+_HN_ORACLE = (
+    _NORM_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {NQ}),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           list_sum(list_transform(c.v, (x, i) -> x * q.qv[i])) AS sim_raw
+    FROM c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, sim_raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_raw DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id AS anchor_id,
+       CAST(min(CASE WHEN rank = 1 THEN vec_id END) AS BIGINT) AS pos_id,
+       CAST(round(min(CASE WHEN rank = 1 THEN sim_raw END), 6) AS DOUBLE)
+           AS pos_sim,
+       CAST(min(CASE WHEN rank = {HN_RANK} THEN vec_id END) AS BIGINT)
+           AS neg_id,
+       CAST(round(min(CASE WHEN rank = {HN_RANK} THEN sim_raw END), 6) AS DOUBLE)
+           AS neg_sim
+FROM ranked WHERE rank IN (1, {HN_RANK})
+GROUP BY query_id
+HAVING count(*) = 2
+"""
+)
+
+
+@register("mine_hard_negatives", _HN_ORACLE)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) triplets from the embedding
+    corpus: positive = top-1 non-self cosine neighbour, hard negative =
+    the rank-12 neighbour. Anchors lacking a full band (fewer than
+    HN_RANK neighbours) are dropped. The scan is the q1 map-only
+    dot-product stage with per-task WindowGroupLimit pre-truncation; the
+    triplet pivot aggregates exactly 2 rows per anchor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranked = topk_cosine(
+        emb.select("vec_id", "embedding"),
+        queries,
+        k=HN_RANK,
+        threshold=-2.0,  # no threshold: the band is rank-defined
+        exclude_self=True,
+    ).filter(F.col("rank").isin(1, HN_RANK))
+    pick = lambda r, c: F.min(F.when(F.col("rank") == r, F.col(c)))  # noqa: E731
+    return (
+        ranked.groupBy(F.col("query_id").alias("anchor_id"))
+        .agg(
+            pick(1, "vec_id").cast("long").alias("pos_id"),
+            F.round(pick(1, "sim"), 6).cast("double").alias("pos_sim"),
+            pick(HN_RANK, "vec_id").cast("long").alias("neg_id"),
+            F.round(pick(HN_RANK, "sim"), 6).cast("double").alias("neg_sim"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )

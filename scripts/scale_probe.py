@@ -75,6 +75,13 @@ PROBE_QUERIES = [
     "q16_mmr_rerank",
     "a19_click_attribution",
     "dedup_tfidf_cosine",
+    # round 7
+    "dedup_source_matrix",
+    "seq_len_histogram",
+    "quality_percentile_gate",
+    "ta_boilerplate",
+    "q17_filtered_ann",
+    "emb_pca_audit",
 ]
 
 

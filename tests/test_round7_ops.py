@@ -139,3 +139,12 @@ def test_source_matrix_totals_match_pair_table(spark):
     for r in matrix:
         assert r.source_a <= r.source_b
         assert 0 < r.sum_jac_q6 <= r.n_pairs * 1_000_000
+
+
+def test_hard_negative_triplets(spark):
+    rows = _q("mine_hard_negatives")(spark, SF).collect()
+    assert len(rows) == 8  # every anchor has >= 12 non-self neighbours
+    for r in rows:
+        assert r.pos_sim >= r.neg_sim, r
+        assert r.anchor_id not in (r.pos_id, r.neg_id), r
+        assert r.pos_id != r.neg_id, r
