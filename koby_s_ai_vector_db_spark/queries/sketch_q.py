@@ -214,3 +214,113 @@ def a20_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# --- a22: windowed HLL with sketch merge -------------------------------------
+# The property that makes sketches the 100 TB answer: per-day register
+# tables are the STORED rollup artifact, and distinct-over-any-period is
+# a max-merge of the periods' registers — never a re-scan of raw events.
+# Three arms, two independent Spark paths: per-day sketches, MERGED
+# (max(r) per bucket across the day registers), and GLOBAL (a fresh
+# sketch built from raw rows). MERGED == GLOBAL is the mergeability
+# proof, and the oracle renders both from one computation, so a broken
+# merge OR a broken register build each fails the driver hash.
+def _hll_est_sql(agg_rel: str) -> str:
+    from koby_s_ai_vector_db_spark.operators.sketches import ALPHA_M, M
+
+    amm = f"CAST({ALPHA_M * M * M!r} AS DOUBLE)"
+    return f"""
+    SELECT grp, n_registers_hit,
+           round(CASE WHEN {amm} / (sum_pow + ({M} - n_registers_hit))
+                        <= CAST({2.5 * M!r} AS DOUBLE)
+                      AND n_registers_hit < {M}
+                      THEN CAST({float(M)!r} AS DOUBLE)
+                           * ln(CAST({float(M)!r} AS DOUBLE)
+                                / ({M} - n_registers_hit))
+                      ELSE {amm} / (sum_pow + ({M} - n_registers_hit)) END,
+                 2) AS est_distinct
+    FROM {agg_rel}"""
+
+
+_HLL_MERGE_ORACLE = f"""
+WITH hll_in AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, user_id::VARCHAR AS k FROM events
+),
+{hll_oracle_cte(key_sql="k", group_sql="day").lstrip()},
+merged_agg AS (
+    SELECT 'MERGED' AS grp,
+           sum(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << r AS DOUBLE)) AS sum_pow,
+           count(*) AS n_registers_hit
+    FROM (SELECT bucket, max(r) AS r FROM hll_r GROUP BY bucket)
+),
+merged_out AS ({_hll_est_sql("merged_agg")}),
+ests AS (
+    SELECT grp, n_registers_hit, est_distinct FROM hll_out
+    UNION ALL SELECT grp, n_registers_hit, est_distinct FROM merged_out
+    UNION ALL SELECT 'GLOBAL', n_registers_hit, est_distinct FROM merged_out
+),
+exact_day AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS grp,
+           count(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+),
+exact AS (
+    SELECT grp, CAST(exact_distinct AS BIGINT) AS exact_distinct FROM exact_day
+    UNION ALL
+    SELECT g, CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events, (VALUES ('MERGED'), ('GLOBAL')) AS l(g) GROUP BY g
+)
+SELECT e.grp, x.exact_distinct,
+       CAST(e.n_registers_hit AS BIGINT) AS n_registers_hit,
+       CAST(e.est_distinct AS DOUBLE) AS est_distinct
+FROM ests e JOIN exact x USING (grp)
+ORDER BY grp
+"""
+
+
+@register("a22_hll_daily_merge", _HLL_MERGE_ORACLE)
+def a22_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via per-day HLL register tables, plus a
+    MERGED row (max-merge of the stored day registers) and a GLOBAL row
+    (fresh sketch over raw events) that must agree — the rollup pattern
+    where period-over-period distincts come from merging stored
+    sketches, not rescanning events. Register tables are the only
+    shuffled artifact (<= m rows per day)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    regs = hll_registers(
+        ev.select(day.alias("day"), F.col("user_id").cast("string").alias("k")),
+        F.col("k"),
+        ["day"],
+    )
+    est_day = hll_estimate(regs, ["day"]).select(
+        F.col("day").alias("grp"), "n_registers_hit", "est_distinct"
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("MERGED").alias("grp"), "bucket", "r")
+    )
+    est_merged = hll_estimate(merged, ["grp"])
+    gl = hll_registers(
+        ev.select(
+            F.lit("GLOBAL").alias("grp"), F.col("user_id").cast("string").alias("k")
+        ),
+        F.col("k"),
+        ["grp"],
+    )
+    est_global = hll_estimate(gl, ["grp"])
+    ests = est_day.unionByName(est_merged).unionByName(est_global)
+    exact_day = ev.groupBy(day.alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    labels = spark.createDataFrame([("MERGED",), ("GLOBAL",)], "grp string")
+    exact_all = labels.crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+    )
+    exact = exact_day.unionByName(exact_all)
+    return (
+        ests.join(exact, "grp")
+        .select("grp", "exact_distinct", "n_registers_hit", "est_distinct")
+        .orderBy("grp")
+    )

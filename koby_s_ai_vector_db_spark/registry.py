@@ -80,12 +80,12 @@ _PRIORITY: list[str] = [
     # (c) oracle edited this round + new round-7 queries (never recorded)
     "a20_quantile_sketch", "emb_pca_audit", "q17_filtered_ann",
     "dedup_source_matrix", "seq_len_histogram", "quality_percentile_gate",
-    "ta_boilerplate", "mine_hard_negatives",
+    "ta_boilerplate", "mine_hard_negatives", "a22_hll_daily_merge",
     # (d) r04-green pre-coverage for round 8 (heavy families first)
     "q7_fusion", "q1_topk_cosine", "q2_ann", "q2_ann_pq", "q2_ann_ivfpq",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
     "a5_sliding_live_users", "a6_session_windows", "knn_self_join",
-    "rollup_events", "q15_image_search", "s8_ingest", "s9_upsert_users",
+    "rollup_events", "s8_ingest", "s9_upsert_users",
     # Rotated out this round (all green in r04 or r06, the two records
     # unioned for round 7 — still pytest-parity-checked in-repo every
     # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
@@ -100,8 +100,9 @@ _PRIORITY: list[str] = [
     # t3/t5/t6/t7, u2/u4, plus the six group-(d) names the new round-7
     # queries displaced: q3_contribution_search, m7_sessions_from_events,
     # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
-    # ta_quality_score, t2_embed) — those 35 are the round-8 window's
-    # mandatory core once r07 lands (SURVEY §9), leaving 15 free r8 slots.
+    # ta_quality_score, t2_embed, q15_image_search) — those 36 are the
+    # round-8 window's mandatory core once r07 lands (SURVEY §9),
+    # leaving 14 free r8 slots.
 ]
 
 

@@ -148,3 +148,17 @@ def test_hard_negative_triplets(spark):
         assert r.pos_sim >= r.neg_sim, r
         assert r.anchor_id not in (r.pos_id, r.neg_id), r
         assert r.pos_id != r.neg_id, r
+
+
+def test_hll_merge_equals_global(spark):
+    rows = {r.grp: r for r in _q("a22_hll_daily_merge")(spark, SF).collect()}
+    m, g = rows["MERGED"], rows["GLOBAL"]
+    # merging the stored day registers must reproduce the from-scratch
+    # sketch exactly (max of maxes) — estimate AND register hit count
+    assert (m.est_distinct, m.n_registers_hit) == (g.est_distinct, g.n_registers_hit)
+    assert m.exact_distinct == g.exact_distinct > 0
+    days = [r for k, r in rows.items() if k not in ("MERGED", "GLOBAL")]
+    assert len(days) >= 2, "fixture spans multiple days"
+    # distinct users is non-additive: the merged estimate must be well
+    # below the sum of the day estimates (users recur across days)
+    assert m.est_distinct < sum(r.est_distinct for r in days)
