@@ -180,11 +180,20 @@ def fuzzy_edit_pairs(
     # exists — every short pair is a candidate by construction — so this
     # is a genuine nested-loop over two length-bounded sides; the exact
     # levenshtein verify below filters the short x medium slice.
-    short = d_all.where(F.col("l") <= t).select(F.col("id").alias("id1"))
-    near = d_all.where(F.col("l") <= 2 * t).select(F.col("id").alias("id2"))
+    short = d_all.where(F.col("l") <= t).select(
+        F.col("id").alias("id1"), F.col("l").alias("l1")
+    )
+    near = d_all.where(F.col("l") <= 2 * t).select(
+        F.col("id").alias("id2"), F.col("l").alias("l2")
+    )
     short_cand = (
         short.crossJoin(near)
-        .where(F.col("id1") != F.col("id2"))
+        .where(
+            (F.col("id1") != F.col("id2"))
+            # free prune: levenshtein >= |len diff|, so partners more
+            # than t longer than the short string can never verify
+            & (F.abs(F.col("l1") - F.col("l2")) <= t)
+        )
         .select(
             F.least("id1", "id2").alias("a"),
             F.greatest("id1", "id2").alias("b"),
@@ -244,6 +253,7 @@ cand AS (
     SELECT DISTINCT least(s.id, n.id) AS a, greatest(s.id, n.id) AS b
     FROM d_all s JOIN d_all n
       ON s.l <= {t} AND n.l <= {2 * t} AND s.id <> n.id
+     AND abs(s.l - n.l) <= {t}
 )
 SELECT a AS doc_id_a, b AS doc_id_b,
        CAST(levenshtein(da.txt, db.txt) AS INT) AS dist

@@ -137,7 +137,22 @@ hll_agg AS (
            count(*) AS n_registers_hit
     FROM hll_r GROUP BY grp
 ),
-hll_out AS (
+hll_out AS ({hll_est_sql("hll_agg")}
+)"""
+
+
+def hll_est_sql(agg_rel: str) -> str:
+    """The estimator SELECT — (grp, n_registers_hit, est_distinct) over a
+    relation carrying (grp, sum_pow, n_registers_hit). The single SQL
+    rendering of `hll_estimate`'s math: hll_oracle_cte's hll_out stage
+    and the merged-register arm of a22_hll_daily_merge both use it, so
+    the bias constant / small-range correction can never diverge between
+    them."""
+
+    def _d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return f"""
     SELECT grp, n_registers_hit,
            round(CASE WHEN {_d(ALPHA_M * M * M)}
                            / (sum_pow + ({M} - n_registers_hit))
@@ -148,8 +163,7 @@ hll_out AS (
                       ELSE {_d(ALPHA_M * M * M)}
                            / (sum_pow + ({M} - n_registers_hit)) END,
                  2) AS est_distinct
-    FROM hll_agg
-)"""
+    FROM {agg_rel}"""
 
 
 # --- count-min sketch -------------------------------------------------------

@@ -516,9 +516,10 @@ FROM perdoc WHERE n_boiler > 0
 @register("ta_boilerplate", _BOILER_ORACLE)
 def ta_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate 5-gram coverage: positions, boilerplate
-    hits (grams shared with >= 2 other docs' gram sets), quantized ratio.
-    Docs with zero boilerplate are omitted (the interesting rows are the
-    templated ones)."""
+    hits (grams occurring in >= BOILER_MIN_DF=2 documents TOTAL, i.e.
+    shared with at least one other doc), quantized ratio. Docs with zero
+    boilerplate are omitted (the interesting rows are the templated
+    ones)."""
     from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
 
     docs = load_table(spark, sf_dir, "documents")

@@ -225,22 +225,7 @@ def a20_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch built from raw rows). MERGED == GLOBAL is the mergeability
 # proof, and the oracle renders both from one computation, so a broken
 # merge OR a broken register build each fails the driver hash.
-def _hll_est_sql(agg_rel: str) -> str:
-    from koby_s_ai_vector_db_spark.operators.sketches import ALPHA_M, M
-
-    amm = f"CAST({ALPHA_M * M * M!r} AS DOUBLE)"
-    return f"""
-    SELECT grp, n_registers_hit,
-           round(CASE WHEN {amm} / (sum_pow + ({M} - n_registers_hit))
-                        <= CAST({2.5 * M!r} AS DOUBLE)
-                      AND n_registers_hit < {M}
-                      THEN CAST({float(M)!r} AS DOUBLE)
-                           * ln(CAST({float(M)!r} AS DOUBLE)
-                                / ({M} - n_registers_hit))
-                      ELSE {amm} / (sum_pow + ({M} - n_registers_hit)) END,
-                 2) AS est_distinct
-    FROM {agg_rel}"""
-
+from koby_s_ai_vector_db_spark.operators.sketches import hll_est_sql as _hll_est_sql  # noqa: E402
 
 _HLL_MERGE_ORACLE = f"""
 WITH hll_in AS (

@@ -77,32 +77,37 @@ _PRIORITY: list[str] = [
     # (b) r06 non-green, oracles recast — mandatory
     "mix_token_budget", "curate_pretrain_pipeline", "shard_manifest",
     "curate_training_mix",
-    # (c) oracle edited this round + new round-7 queries (never recorded)
-    "a20_quantile_sketch", "emb_pca_audit", "q17_filtered_ann",
+    # (c) oracle/operator edited this round (a20: DECIMAL cast;
+    # dedup_fuzzy_*: the short-string brute tier changed BOTH the
+    # operator and oracle semantics, so each re-earns a green row)
+    # + new round-7 queries (never recorded)
+    "a20_quantile_sketch", "dedup_fuzzy_edit", "dedup_fuzzy_groups",
+    "emb_pca_audit", "q17_filtered_ann",
     "dedup_source_matrix", "seq_len_histogram", "quality_percentile_gate",
     "ta_boilerplate", "mine_hard_negatives", "a22_hll_daily_merge",
     # (d) r04-green pre-coverage for round 8 (heavy families first)
     "q7_fusion", "q1_topk_cosine", "q2_ann", "q2_ann_pq", "q2_ann_ivfpq",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
     "a5_sliding_live_users", "a6_session_windows", "knn_self_join",
-    "rollup_events", "s8_ingest", "s9_upsert_users",
+    "rollup_events",
     # Rotated out this round (all green in r04 or r06, the two records
     # unioned for round 7 — still pytest-parity-checked in-repo every
     # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
     # a19, a20 family, selection/tokenizer tiers, bm25/vocab/contam/
     # asof/range/funnel/retention/pii, q2_ann_*_idx, sketches, zorder,
-    # snapshots — a20_quantile_sketch excepted per (c); the rows-only
-    # four bpe_train/bpe_encode/q2_ann_ivf_idx/emb_pca_project carry
+    # snapshots — a20_quantile_sketch and the dedup_fuzzy_* pair
+    # excepted per (c); the rows-only four
+    # bpe_train/bpe_encode/q2_ann_ivf_idx/emb_pca_project carry
     # err='no_oracle' rows, which the rotation test accepts as green for
     # oracle-less queries) and the remaining 28 r04-green names
     # (a1–a4/a9–a11/a5_live_users/a6_session_stats/a7_user_activity,
     # m4/m5/m6, q4/q5/q6, rel_pricing/rel_top_parts, s1/s2/s3/s6,
-    # t3/t5/t6/t7, u2/u4, plus the six group-(d) names the new round-7
-    # queries displaced: q3_contribution_search, m7_sessions_from_events,
+    # t3/t5/t6/t7, u2/u4) plus the TEN group-(d) names round-7 work
+    # displaced (q3_contribution_search, m7_sessions_from_events,
     # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
-    # ta_quality_score, t2_embed, q15_image_search) — those 36 are the
-    # round-8 window's mandatory core once r07 lands (SURVEY §9),
-    # leaving 14 free r8 slots.
+    # ta_quality_score, t2_embed, q15_image_search, s8_ingest,
+    # s9_upsert_users) — those 38 are the round-8 window's mandatory
+    # core once r07 lands (SURVEY §9), leaving 12 free r8 slots.
 ]
 
 

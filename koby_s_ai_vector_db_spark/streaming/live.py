@@ -107,15 +107,28 @@ def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
     the session timezone is pinned UTC, so the cast is value-preserving."""
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
         # The NTZ->TIMESTAMP cast reinterprets wall-clock values in the
-        # session timezone; it is value-preserving ONLY under UTC (which
-        # session.get_spark pins). Enforce that at the cast site rather
-        # than trusting the caller's session config (ADVICE r06).
+        # session timezone; it is value-preserving ONLY at UTC offset 0
+        # (which session.get_spark pins). Enforce that at the cast site
+        # rather than trusting the caller's session config (ADVICE r06).
+        # Any zero-offset spelling is fine — "Etc/UTC", "GMT", "+00:00"
+        # all make the cast identical to "UTC".
         tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
-            raise ValueError(
-                f"apply_watermark requires spark.sql.session.timeZone=UTC "
-                f"for a value-preserving TIMESTAMP_NTZ cast; session has {tz!r}"
-            )
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"):
+            import datetime
+            import zoneinfo
+
+            try:
+                off = zoneinfo.ZoneInfo(tz).utcoffset(
+                    datetime.datetime(2026, 1, 1)
+                )
+            except Exception:
+                off = None
+            if off != datetime.timedelta(0):
+                raise ValueError(
+                    f"apply_watermark requires a zero-UTC-offset "
+                    f"spark.sql.session.timeZone for a value-preserving "
+                    f"TIMESTAMP_NTZ cast; session has {tz!r}"
+                )
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", late)
 
