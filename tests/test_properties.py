@@ -152,3 +152,45 @@ def test_star_contraction_matches_union_find(spark, n_nodes, n_edges, seed):
         roots.setdefault(r, v)  # min member = first seen in sorted order
         want[v] = roots[r]
     assert got == want
+
+
+# --- fuzzy short-string tier (round 7) ---------------------------------------
+@settings(max_examples=6, deadline=None)
+@given(
+    texts_=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=20),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    t=st.integers(2, 6),
+)
+def test_fuzzy_pairs_lossless_with_short_strings(spark, texts_, t):
+    """fuzzy_edit_pairs must equal brute force on corpora that MIX short
+    (<= t), medium (<= 2t) and long strings — the short brute tier and
+    the PassJoin tier must jointly cover every true pair."""
+    from koby_s_ai_vector_db_spark.operators.fuzzy import fuzzy_edit_pairs
+
+    rows = [(i, s) for i, s in enumerate(texts_)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.dist)
+        for r in fuzzy_edit_pairs(docs, t=t).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(ta, tb))
+        for (a, ta) in rows
+        for (b, tb) in rows
+        if a < b and lev(ta, tb) <= t
+    }
+    assert got == want
