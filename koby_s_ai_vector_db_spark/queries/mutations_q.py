@@ -394,3 +394,66 @@ def m9_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contrib"
         ),
     ).orderBy("bucket_id")
+
+
+# --- time-travel read over a CDC log -----------------------------------------
+# The lakehouse "read AS OF T" shape: treat the event stream as a change
+# log on per-user profiles (error = delete tombstone, anything else =
+# upsert carrying `value`) and reconstruct the live snapshot at a past
+# cutoff — latest op per key at T wins, keys whose latest op is a
+# tombstone are absent. ONE shuffle on the key; the per-key window is
+# rank-1 (WindowGroupLimit pre-truncates map-side), so snapshot cost is
+# O(ops ≤ T), never O(snapshots). Deterministic tiebreak (ts, event_id).
+ASOF_TS = "2024-01-15 00:00:00"
+
+_ASOF_ORACLE = f"""
+WITH log AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           value
+    FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}'
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_ops
+    FROM log
+)
+SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+       CAST(round(value, 6) AS DOUBLE) AS last_value
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+@register("m10_read_asof", _ASOF_ORACLE)
+def m10_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of per-user profiles AS OF 2024-01-15 from the event
+    change log: latest op per user at the cutoff (ts, event_id
+    tiebreak); users whose latest op is an error tombstone are omitted.
+    Emits (user_id, n_ops, last_ts_epoch, last_value)."""
+    from pyspark.sql import Window
+
+    log = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") <= F.to_timestamp(F.lit(ASOF_TS)))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = log.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_ops", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "upsert")).select(
+        "user_id",
+        F.col("n_ops").cast("long"),
+        F.unix_timestamp("ts").cast("long").alias("last_ts_epoch"),
+        F.round("value", 6).cast("double").alias("last_value"),
+    )

@@ -162,3 +162,29 @@ def test_hll_merge_equals_global(spark):
     # distinct users is non-additive: the merged estimate must be well
     # below the sum of the day estimates (users recur across days)
     assert m.est_distinct < sum(r.est_distinct for r in days)
+
+
+def test_read_asof_tombstones_and_cutoff(spark):
+    from koby_s_ai_vector_db_spark.queries.mutations_q import ASOF_TS
+
+    out = {r.user_id: r for r in _q("m10_read_asof")(spark, SF).collect()}
+    assert out, "snapshot must be non-empty"
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("ts") <= F.to_timestamp(F.lit(ASOF_TS))
+    )
+    latest = {
+        r.user_id: r
+        for r in ev.orderBy("user_id", F.desc("ts"), F.desc("event_id"))
+        .dropDuplicates(["user_id"])
+        .collect()
+    }
+    for uid, r in latest.items():
+        if r.event_type == "error":
+            assert uid not in out, f"tombstoned user {uid} leaked"
+        else:
+            assert uid in out and out[uid].last_value == round(r.value, 6)
+    # nothing after the cutoff leaks in
+    import datetime
+    cutoff = datetime.datetime.fromisoformat(ASOF_TS)
+    for r in out.values():
+        assert datetime.datetime.utcfromtimestamp(r.last_ts_epoch) <= cutoff
