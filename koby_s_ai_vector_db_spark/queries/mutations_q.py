@@ -401,9 +401,11 @@ def m9_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log on per-user profiles (error = delete tombstone, anything else =
 # upsert carrying `value`) and reconstruct the live snapshot at a past
 # cutoff — latest op per key at T wins, keys whose latest op is a
-# tombstone are absent. ONE shuffle on the key; the per-key window is
-# rank-1 (WindowGroupLimit pre-truncates map-side), so snapshot cost is
+# tombstone are absent. ONE shuffle on the key; snapshot cost is
 # O(ops ≤ T), never O(snapshots). Deterministic tiebreak (ts, event_id).
+# The n_ops audit column's count window blocks WindowGroupLimit
+# pushdown; a production read drops n_ops and gets per-task rank-1
+# pre-truncation for free.
 ASOF_TS = "2024-01-15 00:00:00"
 
 _ASOF_ORACLE = f"""
@@ -431,7 +433,8 @@ def m10_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot of per-user profiles AS OF 2024-01-15 from the event
     change log: latest op per user at the cutoff (ts, event_id
     tiebreak); users whose latest op is an error tombstone are omitted.
-    Emits (user_id, n_ops, last_ts_epoch, last_value)."""
+    Emits (user_id, n_ops, last_ts_epoch, last_value); see the module
+    comment for the n_ops/WindowGroupLimit trade."""
     from pyspark.sql import Window
 
     log = (

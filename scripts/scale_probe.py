@@ -82,6 +82,9 @@ PROBE_QUERIES = [
     "ta_boilerplate",
     "q17_filtered_ann",
     "emb_pca_audit",
+    "mine_hard_negatives",
+    "a22_hll_daily_merge",
+    "m10_read_asof",
 ]
 
 
