@@ -726,3 +726,85 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") == 2)
         .drop("_n")
     )
+
+
+# --- embedding ingest validation ---------------------------------------------
+# The pre-index hygiene report a vector store runs on every ingest
+# batch: per label, vector counts, all-zero (unindexable) vectors, and
+# the norm distribution — catches collapsed embeddings, scale drift
+# between batches, and the zero rows that poison cosine math before
+# they reach an index build. All statistics on int64-quantized norms
+# (order-independent, bit-identical cross-engine); p50 is rank-based.
+_EMB_QUALITY_ORACLE = """
+WITH norms AS (
+    SELECT vec_id, label,
+           CAST(round(sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 6) * 1000000 AS BIGINT)
+               AS qnorm
+    FROM embeddings
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY qnorm, vec_id) AS rn,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM norms
+),
+med AS (
+    SELECT label, qnorm AS p50_norm_q6 FROM ranked
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT n.label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN n.qnorm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(min(n.qnorm) AS BIGINT) AS min_norm_q6,
+       CAST(max(n.qnorm) AS BIGINT) AS max_norm_q6,
+       CAST(min(m.p50_norm_q6) AS BIGINT) AS p50_norm_q6,
+       CAST(sum(n.qnorm) AS BIGINT) AS sum_norm_q6
+FROM norms n JOIN med m USING (label)
+GROUP BY n.label
+"""
+
+
+@register("emb_quality_report", _EMB_QUALITY_ORACLE)
+def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene: counts, all-zero vectors, quantized
+    norm min/max/median/sum. One map-side norm projection, one per-label
+    rank window for the median, one groupBy — the corpus crosses the
+    wire once on the label key."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qnorm = (
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            6,
+        )
+        * 1000000
+    ).cast("long")
+    norms = emb.select("vec_id", "label", qnorm.alias("qnorm"))
+    w = Window.partitionBy("label").orderBy("qnorm", "vec_id")
+    ranked = norms.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("label"))
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / F.lit(2.0))
+    ).select("label", F.col("qnorm").alias("p50_norm_q6"))
+    return (
+        norms.join(F.broadcast(med), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("qnorm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.min("qnorm").cast("long").alias("min_norm_q6"),
+            F.max("qnorm").cast("long").alias("max_norm_q6"),
+            F.min("p50_norm_q6").cast("long").alias("p50_norm_q6"),
+            F.sum("qnorm").cast("long").alias("sum_norm_q6"),
+        )
+    )

@@ -85,11 +85,11 @@ _PRIORITY: list[str] = [
     "emb_pca_audit", "q17_filtered_ann",
     "dedup_source_matrix", "seq_len_histogram", "quality_percentile_gate",
     "ta_boilerplate", "mine_hard_negatives", "a22_hll_daily_merge",
-    "m10_read_asof",
+    "m10_read_asof", "emb_quality_report",
     # (d) r04-green pre-coverage for round 8 (heavy families first)
     "q7_fusion", "q1_topk_cosine", "q2_ann", "q2_ann_pq", "q2_ann_ivfpq",
     "dedup_minhash_lsh", "dedup_groups", "curate_corpus",
-    "a5_sliding_live_users", "a6_session_windows", "knn_self_join",
+    "a5_sliding_live_users", "a6_session_windows",
     # Rotated out this round (all green in r04 or r06, the two records
     # unioned for round 7 — still pytest-parity-checked in-repo every
     # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
@@ -106,9 +106,9 @@ _PRIORITY: list[str] = [
     # displaced (q3_contribution_search, m7_sessions_from_events,
     # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
     # ta_quality_score, t2_embed, q15_image_search, s8_ingest,
-    # s9_upsert_users, rollup_events) — those 39 are the round-8
-    # window's mandatory core once r07 lands (SURVEY §9), leaving 11
-    # free r8 slots.
+    # s9_upsert_users, rollup_events, knn_self_join) — those 40 are the
+    # round-8 window's mandatory core once r07 lands (SURVEY §9),
+    # leaving 10 free r8 slots.
 ]
 
 

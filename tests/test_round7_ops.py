@@ -188,3 +188,22 @@ def test_read_asof_tombstones_and_cutoff(spark):
     cutoff = datetime.datetime.fromisoformat(ASOF_TS)
     for r in out.values():
         assert datetime.datetime.utcfromtimestamp(r.last_ts_epoch) <= cutoff
+
+
+def test_emb_quality_report_consistency(spark):
+    import math as _math
+
+    rows = {r.label: r for r in _q("emb_quality_report")(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    assert sum(r.n_vecs for r in rows.values()) == len(emb)
+    by_label: dict = {}
+    for e in emb:
+        q = round(round(_math.sqrt(sum(x * x for x in e.embedding)), 6) * 1e6)
+        by_label.setdefault(e.label, []).append(q)
+    for lbl, qs in by_label.items():
+        r = rows[lbl]
+        qs.sort()
+        assert r.min_norm_q6 == qs[0] and r.max_norm_q6 == qs[-1]
+        assert r.p50_norm_q6 == qs[_math.ceil(len(qs) / 2) - 1]
+        assert r.sum_norm_q6 == sum(qs)
+        assert r.n_zero == sum(1 for q in qs if q == 0)
