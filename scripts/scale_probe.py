@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     "mine_hard_negatives",
     "a22_hll_daily_merge",
     "m10_read_asof",
+    "emb_quality_report",
 ]
 
 
