@@ -400,3 +400,103 @@ qh_out AS (
     WHERE cum - cnt < CAST(ceil(q * n) AS BIGINT)
       AND CAST(ceil(q * n) AS BIGINT) <= cum
 )"""
+
+
+# --- KMV (theta) distinct-value sketch ---------------------------------------
+# The set-operation member of the sketch family: HLL above answers
+# "how many distinct" and merges by max, but it cannot INTERSECT two
+# sketches. A KMV synopsis (Beyer et al., "On Synopses for Distinct
+# Value Estimation Under Multiset Operations", SIGMOD 2007 — the theta
+# sketch) keeps the k smallest distinct hash values per set; then
+#   union      : k smallest of the two samples' union,
+#   distinct   : (k-1) / U_(k)  with U_(k) the k-th smallest hash
+#                normalised to [0,1),
+#   intersect  : |{v in KMV(A u B): v in S_A and v in S_B}| / k
+#                x (k-1)/U_(k)   (the theta framework),
+# all computable from the two fixed-size samples alone — the raw keys
+# never meet. Membership tests against S_A are sound because the union
+# synopsis' threshold U_(k) is <= either input's own k-th smallest, so
+# every union-sample value that belongs to A is guaranteed to appear in
+# S_A. Same portability rules as the HLL: md5-derived 60-bit hashes,
+# identical literals on both engines, estimates rounded to 2 decimals.
+#
+# Scale shape: the build is distinct(group, h) — map-side combinable —
+# then a two-level top-k (per-partition prefilter, then per-group final)
+# so no task ever sorts a group's full distinct set; the k smallest
+# survive any partition-level prefilter, so the result is independent of
+# partitioning. Set algebra downstream touches only k-row samples.
+
+KMV_K = 64
+KMV_DOMAIN = 1 << 60   # portable_hash64 draws 15 hex digits -> [0, 2^60)
+
+
+def kmv_sample(
+    df: DataFrame, key: Column, group_cols: list[str],
+    k: int = KMV_K, seed: int = 7,
+) -> DataFrame:
+    """Per-group KMV synopsis: the k smallest DISTINCT portable 60-bit
+    hashes, as (group_cols..., h). Mergeable: union two synopses,
+    distinct h, keep the k smallest."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash64
+
+    hashed = (
+        df.select(*group_cols, portable_hash64(key, seed=seed).alias("h"))
+        .distinct()
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pre = Window.partitionBy(*group_cols, "_pid").orderBy("h")
+    fin = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_rk", F.row_number().over(pre))
+        .where(F.col("_rk") <= k)
+        .withColumn("_rk", F.row_number().over(fin))
+        .where(F.col("_rk") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(n_sample: Column, kth_hash: Column, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a synopsis' (row count, max hash):
+    exact when the sample is the complete distinct set (n < k), else the
+    unbiased (k-1)/U_(k) estimator."""
+    u = kth_hash.cast("double") / F.lit(KMV_DOMAIN).cast("double")
+    return F.when(n_sample < k, n_sample.cast("double")).otherwise(
+        F.lit(float(k - 1)) / u
+    )
+
+
+def kmv_est_sql(n_expr: str, kth_expr: str, k: int = KMV_K) -> str:
+    """DuckDB rendering of kmv_estimate (CASTs keep everything DOUBLE —
+    bare decimal literals would be DECIMAL, a driver-hash hazard)."""
+    u = f"(CAST({kth_expr} AS DOUBLE) / CAST({KMV_DOMAIN} AS DOUBLE))"
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN CAST({n_expr} AS DOUBLE) "
+        f"ELSE CAST({float(k - 1)!r} AS DOUBLE) / {u} END"
+    )
+
+
+def kmv_intersect_sql(
+    x_expr: str, n_expr: str, kth_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB rendering of the theta intersection estimator: exact when
+    the union sample is complete, else x * (k-1) / (k * U_(k)) with the
+    division order fixed so both engines evaluate identically."""
+    u = f"(CAST({kth_expr} AS DOUBLE) / CAST({KMV_DOMAIN} AS DOUBLE))"
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN CAST({x_expr} AS DOUBLE) "
+        f"ELSE CAST({x_expr} AS DOUBLE) * CAST({float(k - 1)!r} AS DOUBLE) "
+        f"/ CAST({float(k)!r} AS DOUBLE) / {u} END"
+    )
+
+
+def kmv_intersect_estimate(
+    x: Column, n_sample: Column, kth_hash: Column, k: int = KMV_K
+) -> Column:
+    """Spark twin of kmv_intersect_sql — same literals, same division
+    order."""
+    u = kth_hash.cast("double") / F.lit(KMV_DOMAIN).cast("double")
+    return F.when(n_sample < k, x.cast("double")).otherwise(
+        x.cast("double") * F.lit(float(k - 1)) / F.lit(float(k)) / u
+    )

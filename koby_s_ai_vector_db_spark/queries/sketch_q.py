@@ -309,3 +309,190 @@ def a22_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "exact_distinct", "n_registers_hit", "est_distinct")
         .orderBy("grp")
     )
+
+
+# --- a23: KMV theta-sketch set algebra ---------------------------------------
+# HLL merges by max but cannot intersect; audience-overlap questions
+# ("how many users both clicked AND purchased") need the theta framework:
+# fixed-size KMV samples per event type, then union/intersection
+# estimates computed from the samples alone (operators/sketches.py, KMV
+# section). The exact-intersection arm rides along to exhibit the error;
+# the 100 TB plan is the sketch arms only — per-type synopses are <= k
+# rows each, so every pairwise overlap is k-row sample algebra, never a
+# distinct self-join of raw (type, user) rows.
+from koby_s_ai_vector_db_spark.functions.hashing import sql_hash64 as _sql_hash64  # noqa: E402
+from koby_s_ai_vector_db_spark.operators.sketches import (  # noqa: E402
+    KMV_K,
+    kmv_est_sql,
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_intersect_sql,
+)
+
+_KMV_SEED = 7
+
+_THETA_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT event_type,
+           {_sql_hash64("user_id::VARCHAR", seed=_KMV_SEED)} AS h
+    FROM events
+),
+s AS (
+    SELECT event_type, h FROM du
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+),
+st AS (
+    SELECT event_type, count(*) AS n_s, max(h) AS u_s FROM s GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM (SELECT DISTINCT event_type FROM events) a
+    JOIN (SELECT DISTINCT event_type FROM events) b
+      ON a.event_type < b.event_type
+),
+m AS (
+    SELECT p.type_a, p.type_b, s.h,
+           max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN s ON s.event_type IN (p.type_a, p.type_b)
+    GROUP BY 1, 2, 3
+),
+topu AS (
+    SELECT * FROM m
+    QUALIFY row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+            <= {KMV_K}
+),
+agg AS (
+    SELECT type_a, type_b,
+           count(*) AS n_u, max(h) AS u_k,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM topu GROUP BY 1, 2
+),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_intersect
+    FROM (SELECT DISTINCT event_type, user_id FROM events) a
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT g.type_a, g.type_b,
+       round({kmv_est_sql("sa.n_s", "sa.u_s")}, 2) AS est_a,
+       round({kmv_est_sql("sb.n_s", "sb.u_s")}, 2) AS est_b,
+       round({kmv_est_sql("g.n_u", "g.u_k")}, 2) AS est_union,
+       round({kmv_intersect_sql("g.x", "g.n_u", "g.u_k")}, 2)
+         AS est_intersect,
+       COALESCE(e.exact_intersect, 0) AS exact_intersect
+FROM agg g
+JOIN st sa ON sa.event_type = g.type_a
+JOIN st sb ON sb.event_type = g.type_b
+LEFT JOIN exact e ON e.type_a = g.type_a AND e.type_b = g.type_b
+ORDER BY g.type_a, g.type_b
+"""
+
+
+@register("a23_theta_overlap", _THETA_ORACLE)
+def a23_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every event-type pair via KMV theta
+    sketches (k=64): per-type distinct, union, and intersection
+    estimates from the fixed-size samples alone. The exact arm rides
+    along for accuracy exhibition; production keeps only the sketch arms
+    (pairwise algebra over <= k-row samples)."""
+    from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    s = kmv_sample(
+        ev, F.col("user_id").cast("string"), ["event_type"], seed=_KMV_SEED
+    ).cache()
+    st = s.groupBy("event_type").agg(
+        F.count("*").alias("n_s"), F.max("h").alias("u_s")
+    )
+    types = s.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    m = (
+        F.broadcast(pairs)
+        .join(
+            s,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("type_a")).cast("int"))
+            .alias("in_a"),
+            F.max((F.col("event_type") == F.col("type_b")).cast("int"))
+            .alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topu = (
+        m.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("type_a", "type_b").orderBy("h")
+            ),
+        )
+        .where(F.col("_rk") <= KMV_K)
+    )
+    agg = topu.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("u_k"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
+        .alias("x"),
+    )
+    dtu = ev.select("event_type", "user_id").distinct()
+    exact = (
+        dtu.alias("a")
+        .join(
+            dtu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    sa = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_s").alias("n_a"),
+        F.col("u_s").alias("u_a"),
+    )
+    sb = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_s").alias("n_b"),
+        F.col("u_s").alias("u_b"),
+    )
+    return (
+        agg.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(kmv_estimate(F.col("n_a"), F.col("u_a")), 2).alias("est_a"),
+            F.round(kmv_estimate(F.col("n_b"), F.col("u_b")), 2).alias("est_b"),
+            F.round(kmv_estimate(F.col("n_u"), F.col("u_k")), 2)
+            .alias("est_union"),
+            F.round(
+                kmv_intersect_estimate(F.col("x"), F.col("n_u"), F.col("u_k")),
+                2,
+            ).alias("est_intersect"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("long")
+            .alias("exact_intersect"),
+        )
+        .orderBy("type_a", "type_b")
+    )

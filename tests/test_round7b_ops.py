@@ -1,0 +1,99 @@
+"""Behavioral tests for the late-round-7 queries (oracle parity is
+auto-covered by test_oracle_parity; these pin semantics the hash
+comparison can't express — estimator math on planted sets, mergeability,
+invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark import registry
+from tests.conftest import SF_DIRS
+
+SF = SF_DIRS["t1"]
+
+
+def _q(name):
+    return registry.queries()[name]
+
+
+# --- KMV theta sketch --------------------------------------------------------
+
+
+def _planted_sets(spark):
+    """Two sets with |A|=300, |B|=200, |A ∩ B|=100 (ids 200..299)."""
+    rows = [("A", i) for i in range(300)] + [("B", i) for i in range(200, 400)]
+    return spark.createDataFrame(rows, "grp string, k bigint")
+
+
+def test_kmv_estimates_planted_overlap(spark):
+    from koby_s_ai_vector_db_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sample,
+    )
+
+    df = _planted_sets(spark)
+    s = kmv_sample(df, F.col("k").cast("string"), ["grp"])
+    st = (
+        s.groupBy("grp")
+        .agg(F.count("*").alias("n_s"), F.max("h").alias("u_s"))
+        .withColumn("est", kmv_estimate(F.col("n_s"), F.col("u_s")))
+        .collect()
+    )
+    by = {r.grp: r for r in st}
+    # samples are capped at k and the estimate is within 4 sigma
+    # (sigma ~ 1/sqrt(k-2) ~ 12.7% at k=64) of the truth
+    for grp, truth in (("A", 300), ("B", 200)):
+        assert by[grp].n_s == KMV_K
+        assert abs(by[grp].est - truth) / truth < 4 / (KMV_K - 2) ** 0.5, by[grp]
+
+
+def test_kmv_sample_partition_invariant(spark):
+    """The two-level top-k must return the same synopsis regardless of
+    input partitioning — the k smallest survive any partition prefilter."""
+    from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
+
+    df = _planted_sets(spark)
+    a = kmv_sample(df.repartition(1), F.col("k").cast("string"), ["grp"])
+    b = kmv_sample(df.repartition(13), F.col("k").cast("string"), ["grp"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_union_sample_merge_equals_direct(spark):
+    """Mergeability: KMV of (S_A ∪ S_B samples) == KMV built on A ∪ B
+    directly — the property that lets stored per-set synopses answer
+    set algebra without rescanning raw keys."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.operators.sketches import KMV_K, kmv_sample
+
+    df = _planted_sets(spark)
+    s = kmv_sample(df, F.col("k").cast("string"), ["grp"])
+    merged = (
+        s.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rk") <= KMV_K)
+        .select("h")
+    )
+    direct = kmv_sample(
+        df.select(F.lit("U").alias("grp"), "k").distinct(),
+        F.col("k").cast("string"),
+        ["grp"],
+    ).select("h")
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_a23_union_bounds_and_inclusion_exclusion(spark):
+    """est_union <= est_a + est_b (up to rounding) and every estimate is
+    positive; exact_intersect is a true count."""
+    rows = _q("a23_theta_overlap")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.est_a > 0 and r.est_b > 0 and r.est_union > 0, r
+        assert r.est_union <= r.est_a + r.est_b + 0.01, r
+        assert r.est_intersect <= r.est_union + 0.01, r
+        assert r.exact_intersect >= 0, r
