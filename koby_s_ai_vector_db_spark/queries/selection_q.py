@@ -346,3 +346,96 @@ def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_sample(
         _dsir_scored(spark, sf_dir), k=DSIR_K, tau=DSIR_TAU
     )
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+# The other canonical mixing policy next to the explicit-weight
+# token_budget_mix above: multilingual pretraining corpora (XLM-R,
+# mT5 style) draw strata with probability p_i ∝ (tokens_i)^alpha,
+# alpha < 1 flattening the natural distribution so low-resource strata
+# are upsampled without hand-tuned weights. Everything is a per-stratum
+# scalar pipeline: one map-side-combined aggregate per stratum, then
+# arithmetic over a handful of rows — no second pass over the corpus.
+TEMP_ALPHA = 0.3
+TEMP_BUDGET = 50_000
+
+_TEMP_ORACLE = f"""
+WITH toks AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''))::BIGINT AS n_tokens
+    FROM documents
+),
+strata AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+    FROM toks GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs, avail_tokens,
+           round(pow(CAST(avail_tokens AS DOUBLE),
+                     CAST({TEMP_ALPHA!r} AS DOUBLE)), 6) AS wq
+    FROM strata
+),
+tot AS (
+    SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_tokens,
+           CAST(sum(wq) AS DOUBLE) AS tot_w
+    FROM w
+)
+SELECT lang, n_docs, avail_tokens,
+       round(CAST(avail_tokens AS DOUBLE) / tot_tokens, 6) AS p_raw,
+       round(wq / tot_w, 6) AS p_temp,
+       round(wq / tot_w * CAST({TEMP_BUDGET} AS DOUBLE), 2) AS target_tokens,
+       round(wq / tot_w * CAST({TEMP_BUDGET} AS DOUBLE)
+             / CAST(avail_tokens AS DOUBLE), 6) AS epochs
+FROM w CROSS JOIN tot
+"""
+
+
+@register("mix_temperature", _TEMP_ORACLE)
+def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (p_i ∝ tokens_i^alpha,
+    alpha=0.3): per-language natural share, flattened share, token
+    target under the budget and the implied epoch factor. One
+    map-side-combined per-stratum aggregate, then scalar arithmetic over
+    |strata| rows — the weights derive from the data, not a hand-written
+    table (contrast mix_token_budget). wq is quantized to 6 dp before
+    the share division so the cross-engine pow() ulp never reaches the
+    driver hash."""
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.size(words_expr("text")).cast("long").alias("n_tokens")
+    )
+    strata = toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("avail_tokens"),
+    )
+    w = strata.withColumn(
+        "wq",
+        F.round(
+            F.pow(F.col("avail_tokens").cast("double"), F.lit(TEMP_ALPHA)), 6
+        ),
+    )
+    tot = w.agg(
+        F.sum("avail_tokens").alias("tot_tokens"),
+        F.sum("wq").alias("tot_w"),
+    )
+    budget = F.lit(TEMP_BUDGET).cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        F.round(
+            F.col("avail_tokens").cast("double") / F.col("tot_tokens"), 6
+        ).alias("p_raw"),
+        F.round(F.col("wq") / F.col("tot_w"), 6).alias("p_temp"),
+        F.round(F.col("wq") / F.col("tot_w") * budget, 2)
+        .alias("target_tokens"),
+        F.round(
+            F.col("wq") / F.col("tot_w") * budget
+            / F.col("avail_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )

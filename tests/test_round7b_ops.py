@@ -87,6 +87,30 @@ def test_kmv_union_sample_merge_equals_direct(spark):
     )
 
 
+# --- temperature mixing --------------------------------------------------
+
+
+def test_mix_temperature_flattens_shares(spark):
+    """alpha < 1 compresses the share distribution: order is preserved,
+    but every stratum's flattened share is strictly between its natural
+    share and the uniform share (for non-degenerate inputs); shares sum
+    to ~1 and targets sum to ~budget."""
+    from koby_s_ai_vector_db_spark.queries.selection_q import TEMP_BUDGET
+
+    rows = _q("mix_temperature")(spark, SF).collect()
+    assert len(rows) >= 2
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        lo, hi = sorted((r.p_raw, uniform))
+        assert lo - 1e-6 <= r.p_temp <= hi + 1e-6, r
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_tokens for r in rows) - TEMP_BUDGET) < 1.0
+    # ordering preserved
+    by_raw = [r.lang for r in sorted(rows, key=lambda r: r.p_raw)]
+    by_temp = [r.lang for r in sorted(rows, key=lambda r: r.p_temp)]
+    assert by_raw == by_temp
+
+
 def test_a23_union_bounds_and_inclusion_exclusion(spark):
     """est_union <= est_a + est_b (up to rounding) and every estimate is
     positive; exact_intersect is a true count."""
