@@ -728,3 +728,135 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_jac_q6"),
         )
     )
+
+
+# --- normalization-aware exact dedup -----------------------------------------
+# Exact dedup misses trivially-mangled copies (case flips, punctuation,
+# whitespace runs) that are bit-identical after canonicalization — the
+# cheapest near-dup tier, run BEFORE the probabilistic ones because it
+# is still a pure hash-groupBy (no candidate generation at all). The
+# fixture arm plants uppercased+padded copies so the fold is visible:
+# groups report how many RAW variants they absorbed. Whitespace is an
+# explicit class [ \t\n\r\f] on both engines (Java \s includes \x0B,
+# RE2 \s does not — the one divergence this tier could hit).
+_NORM_WS = r"[ \t\n\r\f]"
+_DOCS_NORM_SQL = f"""
+{DOCS_DD_SQL}
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       upper(text) || '  ' AS text
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+_NORM_EXPR_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    rf"'[^\p{{L}}\p{{N}}{_NORM_WS[1:-1]}]', '', 'g'), "
+    f"'{_NORM_WS}+', ' ', 'g'))"
+)
+
+_NORM_ORACLE = f"""
+WITH docs_nn AS ({_DOCS_NORM_SQL}),
+normed AS (
+    SELECT doc_id, md5(text) AS raw_hash, md5({_NORM_EXPR_DUCK}) AS norm_hash
+    FROM docs_nn
+)
+SELECT norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+FROM normed GROUP BY norm_hash
+HAVING count(*) > 1
+"""
+
+
+def _docs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DOCS_NORM_SQL)
+
+
+def norm_text_expr(col: str) -> F.Column:
+    """Canonical text: lower → strip non-letter/digit/space → collapse
+    whitespace → trim. Map-only; the Spark twin of _NORM_EXPR_DUCK."""
+    stripped = F.regexp_replace(
+        F.lower(F.col(col)), rf"[^\p{{L}}\p{{N}}{_NORM_WS[1:-1]}]", ""
+    )
+    return F.trim(F.regexp_replace(stripped, f"{_NORM_WS}+", " "))
+
+
+@register("dedup_normalized", _NORM_ORACLE)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: hash-groupBy on canonicalized
+    text (lower/strip-punct/collapse-ws), emitting groups with >1 copy
+    and the number of distinct RAW variants each group absorbed (>1 =
+    folds exact dedup would miss). Same scale shape as dedup_exact: one
+    map-only normalization pass, one hash shuffle."""
+    docs = _docs_nn(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("raw_hash"),
+            F.md5(norm_text_expr("text")).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# --- soft dedup: duplicate-count down-weighting -------------------------------
+# The non-destructive alternative to dropping duplicates: keep every
+# copy but weight it 1/n_copies so a group of k identical documents
+# contributes exactly one document's worth of training signal (the
+# reweighting view of dedup used when removal would distort the mixture).
+# Per-doc grain so the weights are directly consumable as a sampling
+# column; eff_tokens is the doc's token mass after down-weighting.
+_SOFT_ORACLE = f"""
+WITH docs_dd AS ({DOCS_DD_SQL}),
+toks AS (
+    SELECT doc_id, md5(text) AS h,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''))::BIGINT AS n_tokens
+    FROM docs_dd
+),
+grp AS (
+    SELECT *, count(*) OVER (PARTITION BY h) AS n_copies FROM toks
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies, n_tokens,
+       round(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight,
+       round(CAST(n_tokens AS DOUBLE) / n_copies, 6) AS eff_tokens
+FROM grp
+"""
+
+
+@register("softdedup_weights", _SOFT_ORACLE)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: per-document weight 1/n_copies over exact-hash groups
+    — duplicates are down-weighted, not dropped, so a k-copy group
+    carries one document of signal. One hash-partition window (shuffle
+    on the content hash, no join); weights ride the doc row for any
+    downstream weighted sampler (cf. sample_weighted_k)."""
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = _docs_dd(spark, sf_dir)
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(words_expr("text")).cast("long").alias("n_tokens"),
+    )
+    grp = toks.withColumn(
+        "n_copies", F.count("*").over(Window.partitionBy("h"))
+    )
+    return grp.select(
+        "doc_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        "n_tokens",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_copies"), 6)
+        .alias("eff_tokens"),
+    )

@@ -87,6 +87,35 @@ def test_kmv_union_sample_merge_equals_direct(spark):
     )
 
 
+# --- normalization dedup & soft dedup -------------------------------------
+
+
+def test_dedup_normalized_folds_case_variants(spark):
+    """The planted uppercased+padded copies are invisible to exact
+    dedup but must fold here: at least one group absorbs >1 raw
+    variant, and every group has n_raw_variants <= n_copies."""
+    rows = _q("dedup_normalized")(spark, SF).collect()
+    assert rows
+    assert any(r.n_raw_variants > 1 for r in rows)
+    for r in rows:
+        assert 1 <= r.n_raw_variants <= r.n_copies, r
+
+
+def test_softdedup_weights_mass_conservation(spark):
+    """Each exact-dup group's weights sum to 1, so total weight equals
+    the number of DISTINCT texts; unique docs carry weight 1.0."""
+    import collections
+
+    rows = _q("softdedup_weights")(spark, SF).collect()
+    by_copies = collections.Counter(r.n_copies for r in rows)
+    n_groups = sum(cnt // k for k, cnt in by_copies.items())
+    assert abs(sum(r.weight for r in rows) - n_groups) < 1e-3
+    for r in rows:
+        assert abs(r.weight * r.n_copies - 1.0) < 1e-5, r
+        if r.n_copies == 1:
+            assert r.weight == 1.0 and r.eff_tokens == r.n_tokens, r
+
+
 # --- temperature mixing --------------------------------------------------
 
 
