@@ -691,6 +691,29 @@ GROUP BY s.lang
 """
 
 
+def quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized compact quality projection (doc_id, lang, n_tok, qq) —
+    ~40 B/row vs multi-KB text. Shared by quality_percentile_gate and
+    curriculum_order (training_q): every consumer re-reads the persisted
+    projection instead of re-running the regex-heavy score over text.
+    Catalyst prunes an unused Window rather than sharing its input, so
+    without the persist each consumer pass would be a full text scan."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+    from koby_s_ai_vector_db_spark.operators.text_analysis import quality_score
+
+    return memo_persist(
+        spark,
+        ("qgate_scored", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.size(words_expr("text")).cast("long").alias("n_tok"),
+            F.round(quality_score("text") * 1000000).cast("long").alias("qq"),
+        ),
+    )
+
+
 @register("quality_percentile_gate", _QGATE_ORACLE)
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language P20 quality cutoff (rank-based percentile_disc on the
@@ -702,24 +725,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number spills; no collect)."""
     from pyspark.sql import Window
 
-    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
-    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
-    from koby_s_ai_vector_db_spark.operators.text_analysis import quality_score
-
-    # Memoized compact projection (~40 B/row vs multi-KB text): the rank
-    # pass and the keep-statistics pass both need qq, and Catalyst prunes
-    # an unused Window rather than sharing its input — without the persist
-    # the regex-heavy score expression would run two full text scans.
-    scored = memo_persist(
-        spark,
-        ("qgate_scored", sf_dir),
-        lambda: load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            "lang",
-            F.size(words_expr("text")).cast("long").alias("n_tok"),
-            F.round(quality_score("text") * 1000000).cast("long").alias("qq"),
-        ),
-    )
+    scored = quality_scored(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("qq", "doc_id")
     ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy("lang"))

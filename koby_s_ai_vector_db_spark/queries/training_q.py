@@ -247,3 +247,175 @@ def seq_len_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_tokens",
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
     ).orderBy("len_from")
+
+
+# --- curriculum phase manifest ------------------------------------------------
+# Curriculum pretraining orders the corpus easy/clean-first: split the
+# corpus into quality quartiles and emit one manifest row per phase.
+# Scale note: NO global row_number — a single-task sort at 100 TB. The
+# quartile cutoffs come from a cumulative histogram over the DISTINCT
+# quantized scores (bounded by the 1e6 score granularity, not corpus
+# size); docs sharing a cutoff score share a phase, so phase sizes are
+# exact only up to score ties (the deterministic, shuffle-free policy).
+from pyspark.sql import functions as F  # noqa: E402
+
+from koby_s_ai_vector_db_spark.queries.text_q import (  # noqa: E402
+    _QUALITY_EXPR,
+    _QUALITY_T_CTE,
+)
+
+CURR_PHASES = (0.25, 0.5, 0.75)
+
+_CURR_ORACLE = f"""
+WITH {_QUALITY_T_CTE},
+scored AS (
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(round(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qq
+    FROM t
+),
+hist AS (
+    SELECT qq, count(*) AS c FROM scored GROUP BY qq
+),
+cum AS (
+    SELECT qq, sum(c) OVER (ORDER BY qq ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER () AS n
+    FROM hist
+),
+cuts AS (
+    SELECT
+      min(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT) THEN qq END) AS c25,
+      min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN qq END) AS c50,
+      min(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT) THEN qq END) AS c75
+    FROM cum
+)
+SELECT CAST(4 - ((s.qq > c.c25)::INT + (s.qq > c.c50)::INT
+              + (s.qq > c.c75)::INT) AS INT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(s.qq) AS BIGINT) AS min_qq,
+       CAST(max(s.qq) AS BIGINT) AS max_qq
+FROM scored s CROSS JOIN cuts c
+GROUP BY 1
+"""
+
+
+@register("curriculum_order", _CURR_ORACLE)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum manifest: corpus quartiles by quantized quality
+    score, phase 1 = best. Cutoffs come from a cumulative histogram over
+    distinct scores (bounded by score granularity — no global sort of
+    the corpus); assignment is a broadcast compare. Reuses the memoized
+    quality projection shared with quality_percentile_gate."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.queries.text_q import quality_scored
+
+    scored = quality_scored(spark, sf_dir)
+    hist = scored.groupBy("qq").agg(F.count("*").alias("c"))
+    w = Window.orderBy("qq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "qq",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                    F.col("qq"),
+                )
+            ).alias(f"c{int(q * 100)}")
+            for q in CURR_PHASES
+        ]
+    )
+    phase = (
+        F.lit(4)
+        - (
+            (F.col("qq") > F.col("c25")).cast("int")
+            + (F.col("qq") > F.col("c50")).cast("int")
+            + (F.col("qq") > F.col("c75")).cast("int")
+        )
+    ).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("qq").alias("min_qq"),
+            F.max("qq").alias("max_qq"),
+        )
+    )
+
+
+# --- deterministic train/val/test split ---------------------------------------
+# Hash-based splits are the reproducible alternative to random ones:
+# membership is a pure function of the id (stable across re-runs,
+# engines, and corpus growth — a doc never migrates between splits when
+# new data arrives). Map-only; the manifest is one tiny aggregate.
+from koby_s_ai_vector_db_spark.functions.hashing import (  # noqa: E402
+    portable_hash32,
+    sql_hash32,
+)
+
+SPLIT_SEED = 41
+SPLIT_TRAIN, SPLIT_VAL = 80, 90   # percent boundaries
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", seed=SPLIT_SEED)} % 100
+                     < {SPLIT_TRAIN} THEN 'train'
+                WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", seed=SPLIT_SEED)} % 100
+                     < {SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''))::BIGINT AS n_tokens
+    FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang), 6) AS share
+FROM assigned GROUP BY lang, split
+"""
+
+
+@register("split_assign", _SPLIT_ORACLE)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by portable id hash,
+    reported per (lang, split) with the within-language share. Membership
+    is a pure function of doc_id — stable under re-runs and corpus
+    growth. Map-only assignment, one small aggregate."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"), seed=SPLIT_SEED) % 100
+    assigned = docs.select(
+        "lang",
+        F.when(h < SPLIT_TRAIN, "train")
+        .when(h < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(words_expr("text")).cast("long").alias("n_tokens"),
+    )
+    agg = assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("lang")),
+            6,
+        ).alias("share"),
+    )

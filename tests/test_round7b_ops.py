@@ -87,6 +87,36 @@ def test_kmv_union_sample_merge_equals_direct(spark):
     )
 
 
+# --- curriculum & split ----------------------------------------------------
+
+
+def test_curriculum_phases_partition_by_quality(spark):
+    """Phases 1..4 partition the corpus; value-disjoint: every doc in
+    phase k scores strictly above every doc in phase k+1."""
+    rows = sorted(
+        _q("curriculum_order")(spark, SF).collect(), key=lambda r: r.phase
+    )
+    assert [r.phase for r in rows] == [1, 2, 3, 4]
+    n = sum(r.n_docs for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_qq > b.max_qq, (a, b)
+        # quartile sizes are exact up to score ties at the cutoffs
+        assert abs(a.n_docs - n / 4) <= n / 8, a
+
+
+def test_split_assign_shares_and_stability(spark):
+    rows = _q("split_assign")(spark, SF).collect()
+    langs = {r.lang for r in rows}
+    for lang in langs:
+        assert abs(sum(r.share for r in rows if r.lang == lang) - 1.0) < 1e-4
+    total = sum(r.n_docs for r in rows)
+    train = sum(r.n_docs for r in rows if r.split == "train")
+    assert 0.7 < train / total < 0.9
+    # determinism: a second run assigns identically
+    again = _q("split_assign")(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 # --- normalization dedup & soft dedup -------------------------------------
 
 
