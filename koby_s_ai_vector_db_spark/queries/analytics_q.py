@@ -357,3 +357,99 @@ def a21_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting cannot give (operators/zorder.py; locality asserted in
     tests/test_zorder.py)."""
     return zorder_bucket_stats(load_table(spark, sf_dir, "events"))
+
+
+# --- a24: key-skew diagnostics ------------------------------------------------
+# The pre-flight a 100 TB join/aggregation plan needs: per-key row counts
+# for the hot shuffle keys, their share of the table, and the max/avg
+# skew ratio — the number that decides whether a key needs salting or
+# AQE skew-join handles it. Per-key counts are one map-side-combined
+# aggregate; the hot-key top-10 uses the same two-level prefilter as the
+# KMV sketch (per-partition top-k, then global), so no task ever sorts a
+# full key column.
+SKEW_TOP = 10
+
+
+def _skew_counts_sql(col_label: str, key_sql: str, table: str) -> str:
+    return (
+        f"SELECT '{col_label}' AS col, {key_sql}::VARCHAR AS key, "
+        f"count(*) AS cnt FROM {table} GROUP BY 2"
+    )
+
+
+_SKEW_ORACLE = f"""
+WITH allk AS (
+    {_skew_counts_sql("events.user_id", "user_id", "events")}
+    UNION ALL
+    {_skew_counts_sql("lineitem.l_suppkey", "l_suppkey", "lineitem")}
+),
+stats AS (
+    SELECT col, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt
+    FROM allk GROUP BY col
+),
+top AS (
+    SELECT col, key, CAST(cnt AS BIGINT) AS cnt FROM allk
+    QUALIFY row_number() OVER (PARTITION BY col ORDER BY cnt DESC, key)
+            <= {SKEW_TOP}
+)
+SELECT t.col, t.key, t.cnt,
+       round(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share,
+       s.n_keys, s.n_rows,
+       round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
+         AS skew_ratio
+FROM top t JOIN stats s USING (col)
+"""
+
+
+@register("a24_skew_report", _SKEW_ORACLE)
+def a24_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the two hottest join keys:
+    top-10 keys by row count with their table share, plus per-column
+    key cardinality and the max/avg skew ratio (>~ a few: salt the key
+    or rely on AQE skew-join). One map-side-combined count per column;
+    hot keys via two-level top-k."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    allk = (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("events.user_id").alias("col"), "key", "cnt")
+        .unionByName(
+            li.groupBy(F.col("l_suppkey").cast("string").alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("lineitem.l_suppkey").alias("col"), "key", "cnt")
+        )
+    )
+    stats = allk.groupBy("col").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    pre = Window.partitionBy("col", F.spark_partition_id()).orderBy(
+        F.desc("cnt"), F.asc("key")
+    )
+    fin = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("key"))
+    top = (
+        allk.withColumn("_rk", F.row_number().over(pre))
+        .where(F.col("_rk") <= SKEW_TOP)
+        .withColumn("_rk", F.row_number().over(fin))
+        .where(F.col("_rk") <= SKEW_TOP)
+    )
+    return top.join(F.broadcast(stats), "col").select(
+        "col",
+        "key",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6)
+        .alias("share"),
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -746,3 +746,78 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+# --- unigram entropy quality filter -------------------------------------------
+# The information-theoretic member of the quality-filter family: boilerplate
+# and keyword-stuffed documents have low token entropy relative to their
+# length, natural prose sits near the vocabulary ceiling ln(n_unique).
+# Entropy is in NATS (ln, not log2) so both engines evaluate the same
+# libm call; the normalized column divides by the per-doc ceiling.
+# Scale shape: explode → two map-side-combined aggregations keyed by doc
+# — the same plan as ta_token_count, no joins, no windows over text.
+_ENTROPY_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest({_W_DUCK}) AS w FROM documents
+),
+cnt AS (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+),
+terms AS (
+    SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tok,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           sum(CAST(c AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / c)) AS ent
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tok, n_unique,
+       round(ent, 6) AS entropy,
+       CASE WHEN n_unique > 1
+            THEN round(ent / ln(CAST(n_unique AS DOUBLE)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy
+FROM agg
+"""
+
+
+@register("ta_entropy", _ENTROPY_ORACLE)
+def ta_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy (nats) and its normalization
+    by the ln(n_unique) ceiling — low normalized entropy flags repeated
+    boilerplate, near-1 is natural prose. Explode plus two
+    map-side-combined per-doc aggregations; no text ever crosses a
+    second time."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(words_expr("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
+    agg = cnt.select(
+        "doc_id",
+        F.col("c"),
+        (F.col("c").cast("double") / n * F.log(n / F.col("c"))).alias("term"),
+    ).groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count("*").alias("n_unique"),
+        F.sum("term").alias("ent"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_unique",
+        F.round("ent", 6).alias("entropy"),
+        F.when(
+            F.col("n_unique") > 1,
+            F.round(F.col("ent") / F.log(F.col("n_unique").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

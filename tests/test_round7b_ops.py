@@ -87,6 +87,53 @@ def test_kmv_union_sample_merge_equals_direct(spark):
     )
 
 
+# --- skew report & entropy ---------------------------------------------------
+
+
+def test_skew_report_shares_and_ratio(spark):
+    rows = _q("a24_skew_report")(spark, SF).collect()
+    cols = {r.col for r in rows}
+    assert cols == {"events.user_id", "lineitem.l_suppkey"}
+    for col in cols:
+        sub = [r for r in rows if r.col == col]
+        assert len(sub) <= 10
+        cnts = [r.cnt for r in sub]
+        assert cnts == sorted(cnts, reverse=True)
+        for r in sub:
+            # top key's count/avg can't exceed the reported max/avg ratio
+            assert r.cnt * r.n_keys / r.n_rows <= r.skew_ratio + 1e-6, r
+            assert 0 < r.share <= 1, r
+
+
+def test_ta_entropy_bounds_and_extremes(spark):
+    """0 <= entropy <= ln(n_unique); a planted constant doc scores 0 and
+    an all-distinct doc hits the ceiling exactly."""
+    import math
+
+    from koby_s_ai_vector_db_spark.queries.text_q import ta_entropy
+
+    rows = ta_entropy(spark, SF).collect()
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(max(r.n_unique, 2)) + 1e-6, r
+        assert 0 <= r.norm_entropy <= 1 + 1e-9, r
+
+    planted = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    import unittest.mock as _m
+
+    with _m.patch(
+        "koby_s_ai_vector_db_spark.queries.text_q.load_table",
+        return_value=planted,
+    ):
+        got = {r.doc_id: r for r in ta_entropy(spark, "ignored").collect()}
+    assert got[1].entropy == 0.0 and got[1].norm_entropy == 0.0
+    assert abs(got[2].entropy - math.log(4)) < 1e-6
+    assert abs(got[2].norm_entropy - 1.0) < 1e-6
+    assert got[3].norm_entropy == 0.0  # n_unique == 1 guard
+
+
 # --- curriculum & split ----------------------------------------------------
 
 
