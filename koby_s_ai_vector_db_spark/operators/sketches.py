@@ -421,10 +421,12 @@ qh_out AS (
 # identical literals on both engines, estimates rounded to 2 decimals.
 #
 # Scale shape: the build is distinct(group, h) — map-side combinable —
-# then a two-level top-k (per-partition prefilter, then per-group final)
-# so no task ever sorts a group's full distinct set; the k smallest
-# survive any partition-level prefilter, so the result is independent of
-# partitioning. Set algebra downstream touches only k-row samples.
+# then one rank-then-filter window whose row_number(<= k) plans as
+# WindowGroupLimit (Spark >= 3.5): each task pre-truncates its input to
+# k rows per group BEFORE the exchange, so the final per-group sort sees
+# at most k x (upstream partitions) rows, never a group's full distinct
+# set. (A hand-rolled spark_partition_id prefilter costs one EXTRA
+# exchange for the same truncation — measured and removed.)
 
 KMV_K = 64
 KMV_DOMAIN = 1 << 60   # portable_hash64 draws 15 hex digits -> [0, 2^60)
@@ -441,17 +443,12 @@ def kmv_sample(
 
     from koby_s_ai_vector_db_spark.functions.hashing import portable_hash64
 
-    hashed = (
-        df.select(*group_cols, portable_hash64(key, seed=seed).alias("h"))
-        .distinct()
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    pre = Window.partitionBy(*group_cols, "_pid").orderBy("h")
+    hashed = df.select(
+        *group_cols, portable_hash64(key, seed=seed).alias("h")
+    ).distinct()
     fin = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        hashed.withColumn("_rk", F.row_number().over(pre))
-        .where(F.col("_rk") <= k)
-        .withColumn("_rk", F.row_number().over(fin))
+        hashed.withColumn("_rk", F.row_number().over(fin))
         .where(F.col("_rk") <= k)
         .select(*group_cols, "h")
     )

@@ -364,9 +364,9 @@ def a21_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the hot shuffle keys, their share of the table, and the max/avg
 # skew ratio — the number that decides whether a key needs salting or
 # AQE skew-join handles it. Per-key counts are one map-side-combined
-# aggregate; the hot-key top-10 uses the same two-level prefilter as the
-# KMV sketch (per-partition top-k, then global), so no task ever sorts a
-# full key column.
+# aggregate; the hot-key top-10 is a rank-then-filter window that plans
+# as WindowGroupLimit — every task pre-truncates to 10 rows per column
+# before the exchange, so no task ever sorts a full key column.
 SKEW_TOP = 10
 
 
@@ -409,35 +409,37 @@ def a24_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 keys by row count with their table share, plus per-column
     key cardinality and the max/avg skew ratio (>~ a few: salt the key
     or rely on AQE skew-join). One map-side-combined count per column;
-    hot keys via two-level top-k."""
+    hot keys via a WindowGroupLimit-pre-truncated rank window. The
+    keys-sized count table is memo-persisted: the stats pass and the
+    top-k pass both consume it, and Catalyst would otherwise plan each
+    as its own full scan of both base tables."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    li = load_table(spark, sf_dir, "lineitem")
-    allk = (
-        ev.groupBy(F.col("user_id").cast("string").alias("key"))
-        .agg(F.count("*").alias("cnt"))
-        .select(F.lit("events.user_id").alias("col"), "key", "cnt")
-        .unionByName(
-            li.groupBy(F.col("l_suppkey").cast("string").alias("key"))
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    def _counts() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            ev.groupBy(F.col("user_id").cast("string").alias("key"))
             .agg(F.count("*").alias("cnt"))
-            .select(F.lit("lineitem.l_suppkey").alias("col"), "key", "cnt")
+            .select(F.lit("events.user_id").alias("col"), "key", "cnt")
+            .unionByName(
+                li.groupBy(F.col("l_suppkey").cast("string").alias("key"))
+                .agg(F.count("*").alias("cnt"))
+                .select(F.lit("lineitem.l_suppkey").alias("col"), "key", "cnt")
+            )
         )
-    )
+
+    allk = memo_persist(spark, ("skew_allk", sf_dir), _counts)
     stats = allk.groupBy("col").agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
     )
-    pre = Window.partitionBy("col", F.spark_partition_id()).orderBy(
-        F.desc("cnt"), F.asc("key")
-    )
     fin = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("key"))
-    top = (
-        allk.withColumn("_rk", F.row_number().over(pre))
-        .where(F.col("_rk") <= SKEW_TOP)
-        .withColumn("_rk", F.row_number().over(fin))
-        .where(F.col("_rk") <= SKEW_TOP)
+    top = allk.withColumn("_rk", F.row_number().over(fin)).where(
+        F.col("_rk") <= SKEW_TOP
     )
     return top.join(F.broadcast(stats), "col").select(
         "col",

@@ -412,18 +412,23 @@ def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("avail_tokens"),
     )
+    from pyspark.sql import Window
+
     w = strata.withColumn(
         "wq",
         F.round(
             F.pow(F.col("avail_tokens").cast("double"), F.lit(TEMP_ALPHA)), 6
         ),
     )
-    tot = w.agg(
-        F.sum("avail_tokens").alias("tot_tokens"),
-        F.sum("wq").alias("tot_w"),
+    # Totals via a window over the |strata|-row aggregate — NOT a second
+    # aggregate subtree, which Catalyst would plan as a second full scan
+    # of the corpus (no subtree reuse across the crossJoin).
+    wt = Window.partitionBy()
+    w = w.withColumn("tot_tokens", F.sum("avail_tokens").over(wt)).withColumn(
+        "tot_w", F.sum("wq").over(wt)
     )
     budget = F.lit(TEMP_BUDGET).cast("double")
-    return w.crossJoin(F.broadcast(tot)).select(
+    return w.select(
         "lang",
         "n_docs",
         "avail_tokens",

@@ -86,6 +86,15 @@ PROBE_QUERIES = [
     "a22_hll_daily_merge",
     "m10_read_asof",
     "emb_quality_report",
+    # late round 7
+    "a23_theta_overlap",
+    "mix_temperature",
+    "dedup_normalized",
+    "softdedup_weights",
+    "curriculum_order",
+    "split_assign",
+    "a24_skew_report",
+    "ta_entropy",
 ]
 
 
@@ -171,8 +180,26 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
         }
     )
     pq.write_table(ev, f"{out_dir}/events.parquet")
+
+    # Minimal lineitem at 10x sf0.1 (6M rows, 10k suppliers — the key
+    # columns the skew probe touches; fillers keep the schema readable).
+    n_li = 6_000_000
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(
+                rng.integers(0, 1_500_000, size=n_li), pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(1, 10_001, size=n_li), pa.int64()
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, size=n_li).astype("float64")
+            ),
+        }
+    )
+    pq.write_table(li, f"{out_dir}/lineitem.parquet")
     print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs / {n_ev} events "
-          f"in {out_dir}", file=sys.stderr)
+          f"/ {n_li} lineitem in {out_dir}", file=sys.stderr)
 
 
 def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:

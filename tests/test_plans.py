@@ -213,3 +213,19 @@ def test_fixed_k_sample_pretruncates(spark):
     (per-task pre-truncation to k before the shuffle) — a global sort
     would carry the corpus."""
     assert "WindowGroupLimit" in _plan(spark, "sample_fixed_k")
+
+
+def test_late_round7_plan_shapes(spark):
+    """Late-round-7 scale shapes: the KMV synopsis and the skew top-10
+    pre-truncate via WindowGroupLimit (each task keeps <= k rows per
+    group before the exchange); temperature mixing reads the corpus
+    exactly once (the totals ride a window over the |strata|-row
+    aggregate, not a second aggregate subtree); soft dedup spends exactly
+    one keyed exchange (the content-hash window, no join-back)."""
+    assert "WindowGroupLimit" in _plan(spark, "a23_theta_overlap")
+    assert "WindowGroupLimit" in _plan(spark, "a24_skew_report")
+    p = _plan(spark, "mix_temperature")
+    assert p.count("FileScan parquet") == 1, p.splitlines()[0]
+    p = _plan(spark, "softdedup_weights")
+    assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
+    assert "Join" not in p

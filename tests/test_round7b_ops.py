@@ -50,8 +50,8 @@ def test_kmv_estimates_planted_overlap(spark):
 
 
 def test_kmv_sample_partition_invariant(spark):
-    """The two-level top-k must return the same synopsis regardless of
-    input partitioning — the k smallest survive any partition prefilter."""
+    """The synopsis must be identical regardless of input partitioning —
+    the k smallest survive WindowGroupLimit's per-task pre-truncation."""
     from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
 
     df = _planted_sets(spark)
