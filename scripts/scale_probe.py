@@ -257,7 +257,8 @@ def main() -> int:
     if unknown:
         # Fail in milliseconds, not after minutes of corpus generation.
         ap.error(f"unknown --queries names: {unknown} (choose from PROBE_QUERIES)")
-    if not os.path.exists(f"{args.sf1_dir}/embeddings.parquet"):
+    # lineitem is the newest generated table — its presence implies all.
+    if not os.path.exists(f"{args.sf1_dir}/lineitem.parquet"):
         generate(args.sf1_dir)
 
     t01 = time_queries(SF01, names)
