@@ -757,8 +757,9 @@ _NORM_EXPR_DUCK = (
 _NORM_ORACLE = f"""
 WITH docs_nn AS ({_DOCS_NORM_SQL}),
 normed AS (
-    SELECT doc_id, md5(text) AS raw_hash, md5({_NORM_EXPR_DUCK}) AS norm_hash
-    FROM docs_nn
+    SELECT doc_id, md5(text) AS raw_hash, md5(norm) AS norm_hash
+    FROM (SELECT doc_id, text, {_NORM_EXPR_DUCK} AS norm FROM docs_nn)
+    WHERE norm <> ''
 )
 SELECT norm_hash,
        CAST(min(doc_id) AS BIGINT) AS canonical_id,
@@ -789,14 +790,19 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (lower/strip-punct/collapse-ws), emitting groups with >1 copy
     and the number of distinct RAW variants each group absorbed (>1 =
     folds exact dedup would miss). Same scale shape as dedup_exact: one
-    map-only normalization pass, one hash shuffle."""
+    map-only normalization pass, one hash shuffle. Docs whose canonical
+    form is EMPTY (symbol-only content) are excluded — they are not
+    copies of each other, and at corpus scale they would otherwise fuse
+    into one giant spurious group."""
     docs = _docs_nn(spark, sf_dir)
     return (
         docs.select(
             "doc_id",
             F.md5("text").alias("raw_hash"),
-            F.md5(norm_text_expr("text")).alias("norm_hash"),
+            norm_text_expr("text").alias("norm"),
         )
+        .where(F.col("norm") != "")
+        .select("doc_id", "raw_hash", F.md5("norm").alias("norm_hash"))
         .groupBy("norm_hash")
         .agg(
             F.min("doc_id").alias("canonical_id"),

@@ -770,13 +770,17 @@ agg AS (
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tok,
            CAST(count(*) AS BIGINT) AS n_unique,
-           sum(CAST(c AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / c)) AS ent
+           CAST(sum(CAST(round(CAST(c AS DOUBLE) / n
+                               * ln(CAST(n AS DOUBLE) / c) * 1000000000000)
+                         AS BIGINT)) AS BIGINT) AS ent_q
     FROM terms GROUP BY doc_id
 )
 SELECT doc_id, n_tok, n_unique,
-       round(ent, 6) AS entropy,
+       round(CAST(ent_q AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+         AS entropy,
        CASE WHEN n_unique > 1
-            THEN round(ent / ln(CAST(n_unique AS DOUBLE)), 6)
+            THEN round(CAST(ent_q AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+                       / ln(CAST(n_unique AS DOUBLE)), 6)
             ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy
 FROM agg
 """
@@ -799,24 +803,31 @@ def ta_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
+    # Terms are int64-quantized (1e-12 grain) BEFORE the sum: integer
+    # addition is order-independent, so Spark's arbitrary partial-agg
+    # order and DuckDB's scan order cannot diverge at the driver hash
+    # (the repo's standing quantize-before-compare convention).
     n = F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
-    agg = cnt.select(
-        "doc_id",
-        F.col("c"),
-        (F.col("c").cast("double") / n * F.log(n / F.col("c"))).alias("term"),
-    ).groupBy("doc_id").agg(
+    term_q = F.round(
+        F.col("c").cast("double") / n * F.log(n / F.col("c"))
+        * F.lit(1_000_000_000_000.0)
+    ).cast("long")
+    agg = cnt.select("doc_id", F.col("c"), term_q.alias("term_q")).groupBy(
+        "doc_id"
+    ).agg(
         F.sum("c").cast("long").alias("n_tok"),
         F.count("*").alias("n_unique"),
-        F.sum("term").alias("ent"),
+        F.sum("term_q").cast("long").alias("ent_q"),
     )
+    ent = F.col("ent_q").cast("double") / F.lit(1_000_000_000_000.0)
     return agg.select(
         "doc_id",
         "n_tok",
         "n_unique",
-        F.round("ent", 6).alias("entropy"),
+        F.round(ent, 6).alias("entropy"),
         F.when(
             F.col("n_unique") > 1,
-            F.round(F.col("ent") / F.log(F.col("n_unique").cast("double")), 6),
+            F.round(ent / F.log(F.col("n_unique").cast("double")), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),

@@ -106,7 +106,7 @@ _PRIORITY: list[str] = [
     # oracle-less queries) and the remaining 28 r04-green names
     # (a1–a4/a9–a11/a5_live_users/a6_session_stats/a7_user_activity,
     # m4/m5/m6, q4/q5/q6, rel_pricing/rel_top_parts, s1/s2/s3/s6,
-    # t3/t5/t6/t7, u2/u4) plus the EIGHTEEN group-(d) names round-7
+    # t3/t5/t6/t7, u2/u4) plus the TWENTY group-(d) names round-7
     # work displaced (q3_contribution_search, m7_sessions_from_events,
     # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
     # ta_quality_score, t2_embed, q15_image_search, s8_ingest,

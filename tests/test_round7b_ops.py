@@ -95,10 +95,12 @@ def test_skew_report_shares_and_ratio(spark):
     cols = {r.col for r in rows}
     assert cols == {"events.user_id", "lineitem.l_suppkey"}
     for col in cols:
-        sub = [r for r in rows if r.col == col]
+        # collect() order is plan-dependent; the contract is the SET of
+        # top-10 keys, so sort before asserting the descending property.
+        sub = sorted(
+            (r for r in rows if r.col == col), key=lambda r: -r.cnt
+        )
         assert len(sub) <= 10
-        cnts = [r.cnt for r in sub]
-        assert cnts == sorted(cnts, reverse=True)
         for r in sub:
             # top key's count/avg can't exceed the reported max/avg ratio
             assert r.cnt * r.n_keys / r.n_rows <= r.skew_ratio + 1e-6, r
@@ -176,6 +178,23 @@ def test_dedup_normalized_folds_case_variants(spark):
     assert any(r.n_raw_variants > 1 for r in rows)
     for r in rows:
         assert 1 <= r.n_raw_variants <= r.n_copies, r
+
+
+def test_dedup_normalized_excludes_empty_canonical_form(spark):
+    """Symbol-only docs normalize to '' — they are NOT copies of each
+    other and must not fuse into one spurious group."""
+    import unittest.mock as _m
+
+    from koby_s_ai_vector_db_spark.queries import dedup_q
+
+    planted = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "Same text."), (4, "same TEXT")],
+        "doc_id long, text string",
+    )
+    with _m.patch.object(dedup_q, "_docs_nn", return_value=planted):
+        rows = dedup_q.dedup_normalized(spark, "ignored").collect()
+    assert len(rows) == 1 and rows[0].canonical_id == 3, rows
+    assert rows[0].n_copies == 2 and rows[0].n_raw_variants == 2
 
 
 def test_softdedup_weights_mass_conservation(spark):
