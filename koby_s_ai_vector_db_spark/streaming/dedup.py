@@ -101,3 +101,45 @@ def emit_first_seen(
         .dropDuplicatesWithinWatermark(["_hash"])
         .drop("_hash")
     )
+
+
+def streaming_kmv_sketch(
+    df: DataFrame, group_col: str = "event_type", k: int = 64
+) -> DataFrame:
+    """Continuously-maintained KMV (theta) synopsis per group — the
+    streaming twin of operators/sketches.kmv_sample, as a CUSTOM
+    stateful operator (applyInPandasWithState). State per group is the
+    sorted array of the k smallest distinct hashes seen so far; each
+    microbatch merges its hashes in and re-truncates. Truncation is
+    safe: the true k-min over a growing stream only ever moves DOWN, so
+    a hash dropped at rank > k can never re-enter. Update mode emits the
+    refreshed synopsis per group per microbatch; the LAST emission per
+    group equals the batch kmv_sample over everything seen
+    (tests/test_streaming.py proves equality across a forced 2-batch
+    run). The hash is computed JVM-side BEFORE the Python hop (the
+    portable md5 column), so the stateful op only maintains a k-array —
+    Arrow-batched, state bounded at k longs per group.
+
+    At 100 TB this is how the set-algebra sketches stay fresh on an
+    ingest stream: the stored per-group synopsis IS the queryable
+    artifact (a23_theta_overlap's algebra runs on it unchanged), no
+    re-scan of raw history per question."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{group_col} string, h bigint"
+    state_schema = "hs array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        kept = list(state.get[0]) if state.exists else []
+        s = set(kept)
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        kept = sorted(s)[:k]
+        state.update((kept,))
+        yield pd.DataFrame({group_col: key[0], "h": kept})
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

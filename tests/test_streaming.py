@@ -390,3 +390,69 @@ def test_click_attribution_stream_equals_batch(spark):
     stream = spark.sql(f"SELECT * FROM {name}")
     assert _rows(stream) == _rows(batch)
     assert len(_rows(batch)) > 0
+
+
+def test_streaming_kmv_sketch_equals_batch(spark, tmp_path):
+    """The stateful KMV synopsis converges to the batch kmv_sample over
+    everything seen, across a forced multi-batch run — truncation to k
+    per microbatch loses nothing (k-min is monotone)."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash64
+    from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
+    from koby_s_ai_vector_db_spark.streaming.dedup import streaming_kmv_sketch
+
+    ev = load_table(spark, SF_DIR, "events")
+    hashed = ev.select(
+        "event_type",
+        "event_id",
+        portable_hash64(F.col("user_id").cast("string"), seed=7).alias("h"),
+    )
+    src = str(tmp_path / "kmv_split")
+    hashed.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/half=0"
+    )
+    hashed.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/half=1"
+    )
+    stream_in = (
+        spark.readStream.schema("event_type string, event_id bigint, h bigint")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    name = f"s_kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_kmv_sketch(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "state was never exercised across batches"
+
+    # Each microbatch re-emits the group's FULL refreshed synopsis; with
+    # availableNow the final state is the union's k-min, and because the
+    # synopsis only shrinks hash-wise, the distinct (group, h) pairs that
+    # are <= the group's final k-th hash form exactly the batch sample.
+    updates = spark.sql(f"SELECT * FROM {name}")
+    batch = kmv_sample(ev, F.col("user_id").cast("string"), ["event_type"])
+    got = {
+        (r.event_type, r.h)
+        for r in updates.groupBy("event_type")
+        .agg(F.collect_set("h").alias("hs"))
+        .select("event_type", F.explode("hs").alias("h"))
+        .join(
+            batch.groupBy("event_type").agg(F.max("h").alias("kth")),
+            "event_type",
+        )
+        .where(F.col("h") <= F.col("kth"))
+        .select("event_type", "h")
+        .collect()
+    }
+    want = {(r.event_type, r.h) for r in batch.collect()}
+    assert got == want and len(want) > 0
