@@ -131,3 +131,73 @@ SELECT shard, s.seq_id, doc_id, off AS doc_offset,
 FROM with_off,
      LATERAL (SELECT unnest(range(off // {seq_len}, (off + nt - 1) // {seq_len} + 1)) AS seq_id) s
 """
+
+
+def pack_bestfit_bins(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boundary-PRESERVING packing: First-Fit-Decreasing bins per shard.
+
+    The other packing mode next to pack_sequences' concat-and-chunk:
+    each document lands INTACT in exactly one seq_len-capacity bin
+    (models trained without cross-document attention need unsplit
+    docs), at the cost of padding waste FFD minimizes (<= 11/9 OPT + 1
+    bins). Docs longer than seq_len are truncated to capacity and
+    flagged. Deterministic: FFD order is (-n_tokens, doc_id), shard
+    assignment the portable id hash.
+
+    Scale shape: the per-shard FFD is inherently sequential, so it runs
+    as ONE Arrow-batched applyInPandas task per shard over the compact
+    (doc_id, n_tokens) projection — never the text. Choose n_shards >=
+    cluster parallelism; a shard's projection is corpus_docs/n_shards
+    rows of 16 bytes, and the in-task scan is O(docs x open bins)
+    (bucket open bins by remaining capacity if a shard ever holds
+    billions of docs). Returns one row per doc:
+    (shard, bin_id, doc_id, n_tokens, truncated).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words_expr(text_col)).cast("long").alias("n_tokens"),
+        (portable_hash32(F.col(id_col).cast("string"), seed=seed) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    ).where(F.col("n_tokens") > 0)
+
+    schema = (
+        "shard int, bin_id bigint, doc_id bigint, n_tokens bigint, "
+        "truncated boolean"
+    )
+
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        remaining: list[int] = []
+        out = []
+        shard = int(pdf["shard"].iloc[0])
+        for doc_id, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+            take = min(int(nt), seq_len)
+            for b, room in enumerate(remaining):
+                if room >= take:
+                    remaining[b] = room - take
+                    break
+            else:
+                b = len(remaining)
+                remaining.append(seq_len - take)
+            out.append((shard, b, int(doc_id), take, int(nt) > seq_len))
+        return pd.DataFrame(
+            out, columns=["shard", "bin_id", "doc_id", "n_tokens", "truncated"]
+        )
+
+    return toks.groupBy("shard").applyInPandas(ffd, schema)

@@ -419,3 +419,62 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+# --- boundary-preserving FFD packing (rows-only) -------------------------------
+# First-Fit-Decreasing is sequential within a shard — not expressible as
+# one DuckDB SQL statement — so like the BPE tier this registers
+# WITHOUT an oracle (driver records a rows-only check) and the exact
+# assignment is pinned in pytest against a straight-Python FFD
+# (tests/test_training_ops.py) plus packing invariants (no bin over
+# capacity, bin count >= the token-volume lower bound).
+from koby_s_ai_vector_db_spark.operators.packing import pack_bestfit_bins  # noqa: E402
+
+BESTFIT_SEQ = 128
+BESTFIT_SHARDS = 4
+
+
+@register("pack_bestfit")
+def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of boundary-preserving FFD packing (each doc
+    intact in one seq_len bin — the no-cross-document-attention packing
+    mode; contrast pack_sequences' concat-and-chunk). One compact
+    projection, one applyInPandas task per shard, one summary
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = pack_bestfit_bins(
+        docs, seq_len=BESTFIT_SEQ, n_shards=BESTFIT_SHARDS
+    )
+    from pyspark.sql import functions as F
+
+    per_bin = bins.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    used = per_bin.groupBy("shard").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("fill").cast("long").alias("used_tokens"),
+    )
+    summary = bins.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("truncated").cast("long")).cast("long")
+        .alias("n_truncated"),
+    )
+    return (
+        summary.join(used, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_bins",
+            "used_tokens",
+            (F.col("n_bins") * BESTFIT_SEQ - F.col("used_tokens"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.round(
+                F.col("used_tokens").cast("double")
+                / (F.col("n_bins") * BESTFIT_SEQ).cast("double"),
+                6,
+            ).alias("util"),
+            "n_truncated",
+        )
+        .orderBy("shard")
+    )

@@ -91,9 +91,9 @@ _PRIORITY: list[str] = [
     # r04 ∪ r06 union this round)
     "a23_theta_overlap", "mix_temperature", "dedup_normalized",
     "softdedup_weights", "curriculum_order", "split_assign",
-    "a24_skew_report", "ta_entropy",
-    # (d) r04-green pre-coverage for round 8 (heaviest families kept)
-    "q7_fusion", "dedup_minhash_lsh",
+    "a24_skew_report", "ta_entropy", "pack_bestfit",
+    # (d) r04-green pre-coverage for round 8 (heaviest family kept)
+    "q7_fusion",
     # Rotated out this round (all green in r04 or r06, the two records
     # unioned for round 7 — still pytest-parity-checked in-repo every
     # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
@@ -106,15 +106,16 @@ _PRIORITY: list[str] = [
     # oracle-less queries) and the remaining 28 r04-green names
     # (a1–a4/a9–a11/a5_live_users/a6_session_stats/a7_user_activity,
     # m4/m5/m6, q4/q5/q6, rel_pricing/rel_top_parts, s1/s2/s3/s6,
-    # t3/t5/t6/t7, u2/u4) plus the TWENTY group-(d) names round-7
+    # t3/t5/t6/t7, u2/u4) plus the TWENTY-ONE group-(d) names round-7
     # work displaced (q3_contribution_search, m7_sessions_from_events,
     # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
     # ta_quality_score, t2_embed, q15_image_search, s8_ingest,
     # s9_upsert_users, rollup_events, knn_self_join, then the late-r7
     # batch: q1_topk_cosine, q2_ann, q2_ann_pq, q2_ann_ivfpq,
     # dedup_groups, curate_corpus, a5_sliding_live_users,
-    # a6_session_windows) — those 48 are the round-8 window's mandatory
-    # core once r07 lands (SURVEY §9), leaving 2 free r8 slots.
+    # a6_session_windows, dedup_minhash_lsh) — those 49 are the round-8
+    # window's mandatory core once r07 lands (SURVEY §9), leaving 1 free
+    # r8 slot (lean on the documented consolidation folds for more).
 ]
 
 

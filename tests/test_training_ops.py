@@ -365,3 +365,63 @@ def test_giant_document_no_cliff(spark):
     # The giant doc crosses ~n/2048 boundaries -> that many +1 rows.
     n_rows = packed.filter("doc_id = 1").count()
     assert n_rows in (n // 2048, n // 2048 + 1, n // 2048 + 2)
+
+
+def test_pack_bestfit_matches_reference_ffd(spark):
+    """pack_bestfit_bins must equal a straight-Python First-Fit-Decreasing
+    over the same (shard, n_tokens) inputs, and respect the packing
+    invariants (no bin over capacity, bin count >= the volume lower
+    bound, truncation flagged exactly for docs > seq_len)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+    from koby_s_ai_vector_db_spark.operators.packing import pack_bestfit_bins
+    from koby_s_ai_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_DIRS
+
+    seq_len, n_shards = 128, 4
+    docs = load_table(spark, SF_DIRS["t1"], "documents")
+    got = pack_bestfit_bins(docs, seq_len=seq_len, n_shards=n_shards).collect()
+
+    inputs = docs.select(
+        "doc_id",
+        F.size(words_expr("text")).cast("long").alias("n_tokens"),
+        (portable_hash32(F.col("doc_id").cast("string")) % n_shards).alias(
+            "shard"
+        ),
+    ).where(F.col("n_tokens") > 0).collect()
+
+    # Straight-Python FFD, same order contract (-n_tokens, doc_id).
+    want = {}
+    for shard in {r.shard for r in inputs}:
+        rows = sorted(
+            (r for r in inputs if r.shard == shard),
+            key=lambda r: (-r.n_tokens, r.doc_id),
+        )
+        remaining = []
+        for r in rows:
+            take = min(r.n_tokens, seq_len)
+            for b, room in enumerate(remaining):
+                if room >= take:
+                    remaining[b] = room - take
+                    break
+            else:
+                b = len(remaining)
+                remaining.append(seq_len - take)
+            want[r.doc_id] = (shard, b, take, r.n_tokens > seq_len)
+    assert {
+        r.doc_id: (r.shard, r.bin_id, r.n_tokens, r.truncated) for r in got
+    } == want
+
+    # Invariants.
+    fills = {}
+    for r in got:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(f <= seq_len for f in fills.values())
+    for shard in {r.shard for r in got}:
+        vol = sum(r.n_tokens for r in got if r.shard == shard)
+        n_bins = len({r.bin_id for r in got if r.shard == shard})
+        assert n_bins >= math.ceil(vol / seq_len)
