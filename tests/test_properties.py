@@ -194,3 +194,59 @@ def test_fuzzy_pairs_lossless_with_short_strings(spark, texts_, t):
         if a < b and lev(ta, tb) <= t
     }
     assert got == want
+
+
+# --- KMV truncated-merge safety ---------------------------------------------
+# The claim both the batch kmv_sample and streaming_kmv_sketch rest on:
+# folding batches into a k-element state WITH truncation after every
+# batch equals the k smallest of the global distinct set — a value
+# dropped at rank > k can never re-enter, because the running k-min is
+# monotone non-increasing. Pure-Python property (no Spark): this pins
+# the algebra, the engines only evaluate it.
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, (1 << 60) - 1), min_size=0, max_size=300),
+    n_batches=st.integers(1, 6),
+    k=st.integers(1, 64),
+)
+def test_kmv_truncated_batch_fold_equals_global_kmin(vals, n_batches, k):
+    state: list[int] = []
+    per = max(1, -(-len(vals) // n_batches))
+    for i in range(0, len(vals), per):
+        state = sorted(set(state) | set(vals[i : i + per]))[:k]
+    assert state == sorted(set(vals))[:k]
+
+
+# --- canonical-text normalization idempotence ---------------------------------
+# dedup_normalized's fold key must be a FIXPOINT: normalizing an
+# already-normalized string changes nothing (otherwise two docs could
+# hash differently depending on how many passes they took). Exercised
+# through the real Spark expression on adversarial unicode/whitespace.
+@settings(max_examples=15, deadline=None)
+@given(
+    texts_=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_norm_text_expr_idempotent(spark, texts_):
+    from koby_s_ai_vector_db_spark.queries.dedup_q import norm_text_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    rows = (
+        df.select(norm_text_expr("text").alias("text"))
+        .select(
+            F.col("text").alias("once"), norm_text_expr("text").alias("twice")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.once == r.twice, repr((r.once, r.twice))
