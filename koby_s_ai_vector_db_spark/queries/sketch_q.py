@@ -398,13 +398,23 @@ def a23_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches (k=64): per-type distinct, union, and intersection
     estimates from the fixed-size samples alone. The exact arm rides
     along for accuracy exhibition; production keeps only the sketch arms
-    (pairwise algebra over <= k-row samples)."""
+    (pairwise algebra over <= k-row samples). The synopsis is
+    memo-persisted (the repo's bounded caching pattern — a bare cache()
+    would accumulate anonymous entries across applications): three
+    consumers (stats, pair membership, type list) read it without
+    re-running the distinct + rank build."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
 
     ev = load_table(spark, sf_dir, "events")
-    s = kmv_sample(
-        ev, F.col("user_id").cast("string"), ["event_type"], seed=_KMV_SEED
-    ).cache()
+    s = memo_persist(
+        spark,
+        ("kmv_events", sf_dir),
+        lambda: kmv_sample(
+            ev, F.col("user_id").cast("string"), ["event_type"],
+            seed=_KMV_SEED,
+        ),
+    )
     st = s.groupBy("event_type").agg(
         F.count("*").alias("n_s"), F.max("h").alias("u_s")
     )
