@@ -141,24 +141,27 @@ def pack_bestfit_bins(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Boundary-PRESERVING packing: First-Fit-Decreasing bins per shard.
+    """Boundary-PRESERVING packing: Best-Fit-Decreasing bins per shard.
 
     The other packing mode next to pack_sequences' concat-and-chunk:
     each document lands INTACT in exactly one seq_len-capacity bin
     (models trained without cross-document attention need unsplit
-    docs), at the cost of padding waste FFD minimizes (<= 11/9 OPT + 1
-    bins). Docs longer than seq_len are truncated to capacity and
-    flagged. Deterministic: FFD order is (-n_tokens, doc_id), shard
-    assignment the portable id hash.
+    docs), at the cost of padding waste BFD minimizes (same 11/9 OPT
+    asymptotic guarantee as FFD). Docs longer than seq_len are truncated
+    to capacity and flagged. Deterministic: placement order is
+    (-n_tokens, doc_id); each doc goes to the TIGHTEST bin with room
+    (smallest remaining >= take), lowest bin_id on ties; shard
+    assignment is the portable id hash.
 
-    Scale shape: the per-shard FFD is inherently sequential, so it runs
+    Scale shape: the per-shard fold is inherently sequential, so it runs
     as ONE Arrow-batched applyInPandas task per shard over the compact
     (doc_id, n_tokens) projection — never the text. Choose n_shards >=
     cluster parallelism; a shard's projection is corpus_docs/n_shards
-    rows of 16 bytes, and the in-task scan is O(docs x open bins)
-    (bucket open bins by remaining capacity if a shard ever holds
-    billions of docs). Returns one row per doc:
-    (shard, bin_id, doc_id, n_tokens, truncated).
+    rows of 16 bytes, and open bins are bucketed BY REMAINING CAPACITY
+    (integer 0..seq_len), so placement is O(seq_len) per doc instead of
+    a linear scan of open bins — the in-task cost is O(docs x seq_len)
+    regardless of how many bins a shard accumulates. Returns one row per
+    doc: (shard, bin_id, doc_id, n_tokens, truncated).
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -177,27 +180,33 @@ def pack_bestfit_bins(
         "truncated boolean"
     )
 
-    def ffd(pdf):
+    def bfd(pdf):
+        import heapq
+
         import pandas as pd
 
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         )
-        remaining: list[int] = []
+        # by_room[r] = min-heap of bin ids with exactly r tokens left.
+        by_room: list[list[int]] = [[] for _ in range(seq_len + 1)]
+        n_bins = 0
         out = []
         shard = int(pdf["shard"].iloc[0])
         for doc_id, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
             take = min(int(nt), seq_len)
-            for b, room in enumerate(remaining):
-                if room >= take:
-                    remaining[b] = room - take
+            for room in range(take, seq_len + 1):
+                if by_room[room]:
+                    b = heapq.heappop(by_room[room])
+                    heapq.heappush(by_room[room - take], b)
                     break
             else:
-                b = len(remaining)
-                remaining.append(seq_len - take)
+                b = n_bins
+                n_bins += 1
+                heapq.heappush(by_room[seq_len - take], b)
             out.append((shard, b, int(doc_id), take, int(nt) > seq_len))
         return pd.DataFrame(
             out, columns=["shard", "bin_id", "doc_id", "n_tokens", "truncated"]
         )
 
-    return toks.groupBy("shard").applyInPandas(ffd, schema)
+    return toks.groupBy("shard").applyInPandas(bfd, schema)

@@ -421,11 +421,11 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- boundary-preserving FFD packing (rows-only) -------------------------------
-# First-Fit-Decreasing is sequential within a shard — not expressible as
+# --- boundary-preserving BFD packing (rows-only) -------------------------------
+# Best-Fit-Decreasing is sequential within a shard — not expressible as
 # one DuckDB SQL statement — so like the BPE tier this registers
 # WITHOUT an oracle (driver records a rows-only check) and the exact
-# assignment is pinned in pytest against a straight-Python FFD
+# assignment is pinned in pytest against a straight-Python BFD
 # (tests/test_training_ops.py) plus packing invariants (no bin over
 # capacity, bin count >= the token-volume lower bound).
 from koby_s_ai_vector_db_spark.operators.packing import pack_bestfit_bins  # noqa: E402
@@ -436,7 +436,7 @@ BESTFIT_SHARDS = 4
 
 @register("pack_bestfit")
 def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard manifest of boundary-preserving FFD packing (each doc
+    """Per-shard manifest of boundary-preserving BFD packing (each doc
     intact in one seq_len bin — the no-cross-document-attention packing
     mode; contrast pack_sequences' concat-and-chunk). One compact
     projection, one applyInPandas task per shard, one summary

@@ -95,6 +95,7 @@ PROBE_QUERIES = [
     "split_assign",
     "a24_skew_report",
     "ta_entropy",
+    "pack_bestfit",
 ]
 
 

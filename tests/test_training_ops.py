@@ -367,11 +367,12 @@ def test_giant_document_no_cliff(spark):
     assert n_rows in (n // 2048, n // 2048 + 1, n // 2048 + 2)
 
 
-def test_pack_bestfit_matches_reference_ffd(spark):
-    """pack_bestfit_bins must equal a straight-Python First-Fit-Decreasing
-    over the same (shard, n_tokens) inputs, and respect the packing
-    invariants (no bin over capacity, bin count >= the volume lower
-    bound, truncation flagged exactly for docs > seq_len)."""
+def test_pack_bestfit_matches_reference_bfd(spark):
+    """pack_bestfit_bins must equal a straight-Python Best-Fit-Decreasing
+    (tightest bin with room, lowest id on ties) over the same
+    (shard, n_tokens) inputs, and respect the packing invariants (no bin
+    over capacity, bin count >= the volume lower bound, truncation
+    flagged exactly for docs > seq_len)."""
     import math
 
     from pyspark.sql import functions as F
@@ -394,7 +395,8 @@ def test_pack_bestfit_matches_reference_ffd(spark):
         ),
     ).where(F.col("n_tokens") > 0).collect()
 
-    # Straight-Python FFD, same order contract (-n_tokens, doc_id).
+    # Straight-Python BFD, same contracts: order (-n_tokens, doc_id),
+    # tightest bin with room, lowest bin id on ties.
     want = {}
     for shard in {r.shard for r in inputs}:
         rows = sorted(
@@ -404,10 +406,12 @@ def test_pack_bestfit_matches_reference_ffd(spark):
         remaining = []
         for r in rows:
             take = min(r.n_tokens, seq_len)
-            for b, room in enumerate(remaining):
-                if room >= take:
-                    remaining[b] = room - take
-                    break
+            fits = [
+                (room, b) for b, room in enumerate(remaining) if room >= take
+            ]
+            if fits:
+                room, b = min(fits)
+                remaining[b] = room - take
             else:
                 b = len(remaining)
                 remaining.append(seq_len - take)
