@@ -239,3 +239,38 @@ class TestStreamingDeletes:
             map(tuple, search_text_index(spark, batch, queries).collect())
         )
         assert got == want and got
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Exactly-once across RESTARTS: a second stream started on the SAME
+    checkpoint after more files arrive absorbs only the new files — the
+    first wave is not replayed into the index (the committed-offsets
+    contract a 100 TB continuous ingest rests on)."""
+    root = tmp_path_factory.mktemp("stream_restart")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    wave1 = emb.filter(F.col("vec_id") % 4 == 1)
+    wave2 = emb.filter(F.col("vec_id") % 4 == 2)
+
+    path = str(root / "index")
+    build_ivfpq_index(base.select("vec_id", "embedding"), path, n_lists=10)
+
+    src = str(root / "incoming")
+    ckpt = str(root / "ckpt")
+    _stage_files(wave1, src, n_files=2)
+    q1 = stream_vectors_into_ivfpq(spark, src, path, checkpoint=ckpt)
+    q1.awaitTermination(120)
+    n_after_first = spark.read.parquet(path + "/data").count()
+    assert n_after_first == base.count() + wave1.count()
+
+    # More files land; a NEW query resumes from the same checkpoint.
+    wave2.repartition(2).write.mode("append").parquet(src)
+    q2 = stream_vectors_into_ivfpq(spark, src, path, checkpoint=ckpt)
+    q2.awaitTermination(120)
+
+    data = spark.read.parquet(path + "/data")
+    expected = base.count() + wave1.count() + wave2.count()
+    assert data.count() == expected, "wave1 replayed or wave2 dropped"
+    assert data.select("vec_id").distinct().count() == expected
