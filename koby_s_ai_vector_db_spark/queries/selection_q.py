@@ -373,20 +373,22 @@ strata AS (
 ),
 w AS (
     SELECT lang, n_docs, avail_tokens,
-           round(pow(CAST(avail_tokens AS DOUBLE),
-                     CAST({TEMP_ALPHA!r} AS DOUBLE)), 6) AS wq
+           CAST(round(pow(CAST(avail_tokens AS DOUBLE),
+                          CAST({TEMP_ALPHA!r} AS DOUBLE)) * 1000000)
+                AS BIGINT) AS wq
     FROM strata
 ),
 tot AS (
     SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_tokens,
-           CAST(sum(wq) AS DOUBLE) AS tot_w
+           CAST(sum(wq) AS BIGINT) AS tot_w
     FROM w
 )
 SELECT lang, n_docs, avail_tokens,
        round(CAST(avail_tokens AS DOUBLE) / tot_tokens, 6) AS p_raw,
-       round(wq / tot_w, 6) AS p_temp,
-       round(wq / tot_w * CAST({TEMP_BUDGET} AS DOUBLE), 2) AS target_tokens,
-       round(wq / tot_w * CAST({TEMP_BUDGET} AS DOUBLE)
+       round(CAST(wq AS DOUBLE) / tot_w, 6) AS p_temp,
+       round(CAST(wq AS DOUBLE) / tot_w * CAST({TEMP_BUDGET} AS DOUBLE), 2)
+         AS target_tokens,
+       round(CAST(wq AS DOUBLE) / tot_w * CAST({TEMP_BUDGET} AS DOUBLE)
              / CAST(avail_tokens AS DOUBLE), 6) AS epochs
 FROM w CROSS JOIN tot
 """
@@ -399,9 +401,10 @@ def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target under the budget and the implied epoch factor. One
     map-side-combined per-stratum aggregate, then scalar arithmetic over
     |strata| rows — the weights derive from the data, not a hand-written
-    table (contrast mix_token_budget). wq is quantized to 6 dp before
-    the share division so the cross-engine pow() ulp never reaches the
-    driver hash."""
+    table (contrast mix_token_budget). wq is INT64-quantized (1e-6
+    grain) before the totals so both the cross-engine pow() ulp AND the
+    sum's addition order are out of the driver hash — a rounded-double
+    sum would still be order-dependent (the ta_entropy lesson)."""
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -417,17 +420,20 @@ def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = strata.withColumn(
         "wq",
         F.round(
-            F.pow(F.col("avail_tokens").cast("double"), F.lit(TEMP_ALPHA)), 6
-        ),
+            F.pow(F.col("avail_tokens").cast("double"), F.lit(TEMP_ALPHA))
+            * 1_000_000
+        ).cast("long"),
     )
     # Totals via a window over the |strata|-row aggregate — NOT a second
     # aggregate subtree, which Catalyst would plan as a second full scan
-    # of the corpus (no subtree reuse across the crossJoin).
+    # of the corpus (no subtree reuse across the crossJoin). Integer
+    # sums, so window row order cannot matter.
     wt = Window.partitionBy()
     w = w.withColumn("tot_tokens", F.sum("avail_tokens").over(wt)).withColumn(
         "tot_w", F.sum("wq").over(wt)
     )
     budget = F.lit(TEMP_BUDGET).cast("double")
+    share = F.col("wq").cast("double") / F.col("tot_w")
     return w.select(
         "lang",
         "n_docs",
@@ -435,12 +441,9 @@ def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("avail_tokens").cast("double") / F.col("tot_tokens"), 6
         ).alias("p_raw"),
-        F.round(F.col("wq") / F.col("tot_w"), 6).alias("p_temp"),
-        F.round(F.col("wq") / F.col("tot_w") * budget, 2)
-        .alias("target_tokens"),
+        F.round(share, 6).alias("p_temp"),
+        F.round(share * budget, 2).alias("target_tokens"),
         F.round(
-            F.col("wq") / F.col("tot_w") * budget
-            / F.col("avail_tokens").cast("double"),
-            6,
+            share * budget / F.col("avail_tokens").cast("double"), 6
         ).alias("epochs"),
     )

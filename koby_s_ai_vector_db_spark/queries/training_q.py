@@ -447,20 +447,19 @@ def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import functions as F
 
-    per_bin = bins.groupBy("shard", "bin_id").agg(
-        F.sum("n_tokens").alias("fill")
-    )
-    used = per_bin.groupBy("shard").agg(
-        F.count("*").alias("n_bins"),
-        F.sum("fill").cast("long").alias("used_tokens"),
-    )
+    # ONE aggregate over the fold's output: used_tokens is the same sum
+    # whether grouped per-bin first or not, and n_bins is a distinct
+    # count — a second aggregation arm joined back would plan the
+    # sequential BFD fold (and its scan) twice.
     summary = bins.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("used_tokens"),
         F.sum(F.col("truncated").cast("long")).cast("long")
         .alias("n_truncated"),
     )
     return (
-        summary.join(used, "shard")
+        summary
         .select(
             "shard",
             "n_docs",

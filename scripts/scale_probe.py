@@ -276,7 +276,9 @@ def main() -> int:
 
     if args.wide_vocab:
         wide_dir = f"{args.sf1_dir}_wide{args.wide_vocab}"
-        if not os.path.exists(f"{wide_dir}/embeddings.parquet"):
+        # Same sentinel as the sf1 dir: lineitem is written LAST, so its
+        # presence implies a complete generation.
+        if not os.path.exists(f"{wide_dir}/lineitem.parquet"):
             generate(wide_dir, wide_vocab=args.wide_vocab)
         tw = time_queries(wide_dir, names)
         out["wide_vocab"] = {
