@@ -456,3 +456,48 @@ def test_streaming_kmv_sketch_equals_batch(spark, tmp_path):
     }
     want = {(r.event_type, r.h) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """The HLL register build is a plain groupBy-max, so it runs AS a
+    streaming aggregation with no custom state: the complete-mode
+    register table after consuming a forced multi-batch stream is
+    bit-identical to the batch build — the per-day stored-rollup story
+    (a22_hll_daily_merge) holds on a live ingest stream too."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    src = str(tmp_path / "hll_split")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/half=0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/half=1"
+    )
+    stream_in = (
+        spark.readStream.schema("event_type string, event_id bigint, k string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    name = f"s_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        hll_registers(stream_in, F.col("k"), ["event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "registers were never updated across batches"
+
+    got = _rows(spark.sql(f"SELECT * FROM {name}"))
+    want = _rows(hll_registers(ev, F.col("k"), ["event_type"]))
+    assert got == want and len(want) > 0
