@@ -501,3 +501,52 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     got = _rows(spark.sql(f"SELECT * FROM {name}"))
     want = _rows(hll_registers(ev, F.col("k"), ["event_type"]))
     assert got == want and len(want) > 0
+
+
+def test_streaming_cm_and_qh_cells_equal_batch(spark, tmp_path):
+    """The other two sketch builds are also plain streaming aggregations
+    (count-min: groupBy-count; quantile histogram: groupBy-count over
+    integer buckets) — complete-mode cell tables over a forced
+    multi-batch stream are bit-identical to the batch builds. With the
+    HLL and KMV tests above, every member of the mergeable-sketch family
+    is proven streaming-maintainable."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.sketches import cm_cells, qh_cells
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "sk_split")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/half=0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/half=1"
+    )
+    stream_in = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    for label, build in (
+        ("cm", lambda df: cm_cells(df, F.col("event_type"))),
+        ("qh", lambda df: qh_cells(df, "value", ["event_type"])),
+    ):
+        name = f"s_{label}_{uuid.uuid4().hex[:8]}"
+        q = (
+            build(stream_in)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 2, f"{label}: cells never updated across batches"
+        got = _rows(spark.sql(f"SELECT * FROM {name}"))
+        want = _rows(build(ev))
+        assert got == want and len(want) > 0, label
