@@ -171,9 +171,14 @@ GROUP BY event_type
 """
 
 
-@register("a7_activity_breakdown", _A7_ORACLE)
 def a7_activity_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 (session_utils.py:271-308): last-7-days per-type counts."""
+    """A7 (session_utils.py:271-308): last-7-days per-type counts.
+
+    FOLDED (round 8, SURVEY §9 candidate 1): unregistered in favour of the
+    a7 family survivor `a7_user_activity` — same events aggregate at a
+    second grain. The function and its pytest parity check against
+    `_A7_ORACLE` remain (tests/test_oracle_parity.py exercises folded
+    queries directly)."""
     return activity_breakdown(_events(spark, sf_dir), days=7)
 
 

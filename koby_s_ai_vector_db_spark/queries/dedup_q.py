@@ -35,13 +35,20 @@ from koby_s_ai_vector_db_spark.operators.similarity import ivf_topk, topk_cosine
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_table
 
+# Planted duplicate ids live at doc_id + k*PLANT_OFFSET; everything that
+# maps a planted id back to its base document (dedup_source_matrix's
+# modular attribution) must share THIS constant, and fixture arms must
+# assert max(base doc_id) < PLANT_OFFSET so a larger corpus fails loudly
+# instead of silently misattributing (ADVICE r07).
+PLANT_OFFSET = 1_000_000
+
 # Runs verbatim on both engines (ANSI subset).
-DOCS_DD_SQL = """
+DOCS_DD_SQL = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
-SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 17 = 0
 UNION ALL
-SELECT doc_id + 2000000 AS doc_id,
+SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id,
        substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
 FROM documents WHERE doc_id % 10 = 0
 """
@@ -691,8 +698,8 @@ SELECT least(sa.source, sb.source) AS source_a,
        CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
            AS sum_jac_q6
 FROM pairs p
-JOIN src sa ON sa.doc_id = p.doc_id_a % 1000000
-JOIN src sb ON sb.doc_id = p.doc_id_b % 1000000
+JOIN src sa ON sa.doc_id = p.doc_id_a % {PLANT_OFFSET}
+JOIN src sb ON sb.doc_id = p.doc_id_b % {PLANT_OFFSET}
 GROUP BY 1, 2
 """
 
@@ -708,11 +715,21 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # Modular attribution is only sound while base ids stay below the
+    # planted-id offset — fail loudly the day a scale factor crosses it
+    # (ADVICE r07). One footer-stats max over the 2-column projection.
+    max_id = src.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= PLANT_OFFSET:
+        raise ValueError(
+            f"dedup_source_matrix: max(documents.doc_id)={max_id} >= "
+            f"PLANT_OFFSET={PLANT_OFFSET}; planted-id modular attribution "
+            f"would misattribute sources — raise PLANT_OFFSET"
+        )
     sa = src.select(F.col("doc_id").alias("base_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("base_b"), F.col("source").alias("sb"))
     return (
-        pairs.withColumn("base_a", F.col("doc_id_a") % 1000000)
-        .withColumn("base_b", F.col("doc_id_b") % 1000000)
+        pairs.withColumn("base_a", F.col("doc_id_a") % PLANT_OFFSET)
+        .withColumn("base_b", F.col("doc_id_b") % PLANT_OFFSET)
         .join(sa, "base_a")
         .join(sb, "base_b")
         .select(

@@ -192,9 +192,13 @@ SELECT query_id, round(faiss_quality, 6) AS faiss_quality FROM meta
 """
 
 
-@register("q8_faiss_quality", _Q8_ORACLE)
 def q8_faiss_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 (enhanced_search.py:170-194): min(avg(sim)+min(n/5,.2), 1)."""
+    """Q8 (enhanced_search.py:170-194): min(avg(sim)+min(n/5,.2), 1).
+
+    FOLDED (round 8, SURVEY §9 candidate 2): unregistered — this is a
+    strict projection of `q7_fusion`, which hash-checks the same
+    faiss_quality column (plus the rest of the fusion metadata) against
+    the shared _ARMS_CTE oracle every window it occupies."""
     qtext, vec, _, lex = _inputs(spark, sf_dir)
     return fusion_metadata(qtext, vec, lex).select(
         "query_id", F.round("faiss_quality", 6).alias("faiss_quality")
@@ -206,9 +210,11 @@ SELECT query_id, round(contribution_quality, 6) AS contribution_quality FROM met
 """
 
 
-@register("q9_contribution_quality", _Q9_ORACLE)
 def q9_contribution_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q9 (enhanced_search.py:197-226): sim + rating + count bonuses."""
+    """Q9 (enhanced_search.py:197-226): sim + rating + count bonuses.
+
+    FOLDED (round 8, SURVEY §9 candidate 2): unregistered — strict
+    projection of `q7_fusion` (see q8_faiss_quality's note)."""
     qtext, vec, _, lex = _inputs(spark, sf_dir)
     return fusion_metadata(qtext, vec, lex).select(
         "query_id", F.round("contribution_quality", 6).alias("contribution_quality")

@@ -243,9 +243,14 @@ FROM ranked WHERE rank <= {K}
     )
 
 
-@register("q2_ann_pq", _pq_oracle())
 def q2_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN (operators/pq.py): 4-bit product-quantized codes (64x
+    """FOLDED (round 8, SURVEY §9 candidate 3): unregistered — the
+    persisted twin `q2_ann_pq_idx` shares this exact oracle and is the
+    documented production path (§8); results are row-identical
+    (tests/test_pq_index.py). Function kept for the inline no-index tier
+    and its plan/recall tests.
+
+    PQ ANN (operators/pq.py): 4-bit product-quantized codes (64x
     smaller scan), per-query ADC distance tables, shortlist of 64, exact
     re-rank — the FAISS IndexIVFPQ compression axis the reference's
     IndexFlatIP (core/utils.py:203-214) trades memory for. Scores are
@@ -332,9 +337,12 @@ FROM ranked WHERE rank <= {K}
     )
 
 
-@register("q2_ann_ivfpq", _ivfpq_oracle())
 def q2_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ composed ANN (operators/ivfpq.py — the FAISS IndexIVFPQ
+    """FOLDED (round 8, SURVEY §9 candidate 3): unregistered — the
+    persisted twin `q2_ann_ivfpq_idx` shares this exact oracle
+    (see q2_ann_pq's note).
+
+    IVF+PQ composed ANN (operators/ivfpq.py — the FAISS IndexIVFPQ
     shape): probe the 2 nearest of 10 coarse cells, ADC-scan only those
     cells' 4-bit codes, exact re-rank a shortlist of 64. At scale:
     (n_probe/n_lists) of the corpus scanned at 1/64th the bytes."""
@@ -739,7 +747,7 @@ _EMB_QUALITY_ORACLE = """
 WITH norms AS (
     SELECT vec_id, label,
            CAST(round(sqrt(list_sum(list_transform(embedding,
-                     x -> x::DOUBLE * x::DOUBLE))), 6) * 1000000 AS BIGINT)
+                     x -> x::DOUBLE * x::DOUBLE))) * 1000000) AS BIGINT)
                AS qnorm
     FROM embeddings
 ),
@@ -773,16 +781,18 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qnorm = (
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.col("embedding").cast("array<double>"),
-                    F.lit(0.0),
-                    lambda a, x: a + x * x,
-                )
-            ),
-            6,
+    # Round AFTER scaling (repo convention): round(x, 6) * 1e6 leaves the
+    # product ~1e-8 off an integer, and Spark's double→long cast TRUNCATES
+    # while DuckDB's CAST rounds — ~1% of non-unit norms would diverge by
+    # 1 between engines (ADVICE r07). round(x * 1e6) hands the cast an
+    # exactly-integer double on both sides.
+    qnorm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
         )
         * 1000000
     ).cast("long")

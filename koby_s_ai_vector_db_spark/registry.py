@@ -50,72 +50,44 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-7 window: with CORRECTNESS_r06 landed, the union checked this
-# round is r04 ∪ r06, which displaces every r03-only name at once.
-# (a) the 23 r03-only queries — MANDATORY (they would breach the
-#     two-record staleness bound otherwise; exact set = r03 − r04 − r06);
-# (b) the 4 queries whose r06 row is non-green (oracle HUGEINT/DECIMAL
-#     hash artifact, casts fixed this round — VERDICT r06 item 1) —
-#     MANDATORY (a red row may not rotate out);
-# (c) a20_quantile_sketch — its oracle was edited this round (DECIMAL q
-#     → DOUBLE, same hazard class), so it re-earns a green row;
-# (d) 22 r04-green names pre-covered for round 8 (the full r04 record
-#     falls out of the union when r07 lands; SURVEY §9 budgets them
-#     across r7/r8 — the heavy/distinctive families go first).
-# New round-7 queries displace group-(d) tail names as they land.
+# Round-8 window: with CORRECTNESS_r07 landed, the union checked this
+# round is r06 ∪ r07 (95 distinct names), which displaces the entire
+# r04 record at once. The 49 names below are exactly
+# (registered − r06 − r07), i.e. every query whose last external check
+# was r04 — all MANDATORY, minus the three consolidation folds executed
+# this round (SURVEY §9 candidates, noted in §8):
+#   - a7_activity_breakdown → folded into the a7 family (function +
+#     pytest parity retained; unregistered);
+#   - q8_faiss_quality / q9_contribution_quality → strict projections of
+#     q7_fusion, which hash-checks both quality columns (unregistered);
+#   - q2_ann_pq / q2_ann_ivfpq inline tiers → the persisted
+#     q2_ann_pq_idx / q2_ann_ivfpq_idx twins share the SAME oracles and
+#     are the documented production path (unregistered).
+# q8/q9 were r07-green so their fold frees no r8 slot; the other three
+# were in the mandatory set, leaving 46 mandatory + 4 free slots for
+# round-8 work (each new/edited-oracle query appended below as it lands).
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # (a) r03-only — mandatory re-window
-    "a13_corpus_summary", "curate_corpus_neardup", "dedup_embedding_cosine",
-    "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_exact_stream", "dedup_ngram_jaccard", "m1_update_status",
-    "m2_bulk_update_status", "m3_approve_all_pending", "mm_binary_features",
-    "mm_decode", "mm_frames", "mm_resize", "q10_prioritize", "q11_sources",
-    "q13_effectiveness", "q14_fallback_routing", "q8_faiss_quality",
-    "q9_contribution_quality", "ta_fingerprint", "ta_token_count",
-    # (b) r06 non-green, oracles recast — mandatory
-    "mix_token_budget", "curate_pretrain_pipeline", "shard_manifest",
-    "curate_training_mix",
-    # (c) oracle/operator edited this round (a20: DECIMAL cast;
-    # dedup_fuzzy_*: the short-string brute tier changed BOTH the
-    # operator and oracle semantics, so each re-earns a green row)
-    # + new round-7 queries (never recorded)
-    "a20_quantile_sketch", "dedup_fuzzy_edit", "dedup_fuzzy_groups",
-    "emb_pca_audit", "q17_filtered_ann",
-    "dedup_source_matrix", "seq_len_histogram", "quality_percentile_gate",
-    "ta_boilerplate", "mine_hard_negatives", "a22_hll_daily_merge",
-    "m10_read_asof", "emb_quality_report",
-    # (c2) late-round-7 queries (never recorded) — each displaced one
-    # group-(d) pre-coverage name (all r04-green, so still inside the
-    # r04 ∪ r06 union this round)
-    "a23_theta_overlap", "mix_temperature", "dedup_normalized",
-    "softdedup_weights", "curriculum_order", "split_assign",
-    "a24_skew_report", "ta_entropy", "pack_bestfit",
-    # (d) r04-green pre-coverage for round 8 (heaviest family kept)
-    "q7_fusion",
-    # Rotated out this round (all green in r04 or r06, the two records
-    # unioned for round 7 — still pytest-parity-checked in-repo every
-    # round): the entire r6 window (r06-green: dedup_fuzzy_*, q16_mmr,
-    # a19, a20 family, selection/tokenizer tiers, bm25/vocab/contam/
-    # asof/range/funnel/retention/pii, q2_ann_*_idx, sketches, zorder,
-    # snapshots — a20_quantile_sketch and the dedup_fuzzy_* pair
-    # excepted per (c); the rows-only four
-    # bpe_train/bpe_encode/q2_ann_ivf_idx/emb_pca_project carry
-    # err='no_oracle' rows, which the rotation test accepts as green for
-    # oracle-less queries) and the remaining 28 r04-green names
-    # (a1–a4/a9–a11/a5_live_users/a6_session_stats/a7_user_activity,
-    # m4/m5/m6, q4/q5/q6, rel_pricing/rel_top_parts, s1/s2/s3/s6,
-    # t3/t5/t6/t7, u2/u4) plus the TWENTY-ONE group-(d) names round-7
-    # work displaced (q3_contribution_search, m7_sessions_from_events,
-    # a7_activity_breakdown, rel_revenue_by_nation, ta_lang_id,
-    # ta_quality_score, t2_embed, q15_image_search, s8_ingest,
-    # s9_upsert_users, rollup_events, knn_self_join, then the late-r7
-    # batch: q1_topk_cosine, q2_ann, q2_ann_pq, q2_ann_ivfpq,
-    # dedup_groups, curate_corpus, a5_sliding_live_users,
-    # a6_session_windows, dedup_minhash_lsh) — those 49 are the round-8
-    # window's mandatory core once r07 lands (SURVEY §9), leaving 1 free
-    # r8 slot (lean on the documented consolidation folds for more).
+    # Mandatory: last externally checked in r04 (displaced when r07 landed)
+    "a1_doc_summary", "a2_contribution_analytics", "a3_top_rated",
+    "a4_recent_qa", "a5_live_users", "a5_sliding_live_users",
+    "a6_session_stats", "a6_session_windows", "a7_user_activity",
+    "a9_pending_count", "a10_recent_users", "a11_active_sessions",
+    "curate_corpus", "dedup_groups", "dedup_minhash_lsh", "knn_self_join",
+    "m4_terminate_session", "m5_gc_sessions", "m6_flip_catalog_status",
+    "m7_sessions_from_events", "q1_topk_cosine", "q2_ann",
+    "q3_contribution_search", "q4_keyword_search", "q5_ilike_pagination",
+    "q6_session_search", "q15_image_search", "rel_pricing_summary",
+    "rel_revenue_by_nation", "rel_top_parts_by_brand", "rollup_events",
+    "s1_scan", "s2_extract_join", "s3_extract_pages", "s6_upload_catalog",
+    "s8_ingest", "s9_upsert_users", "t2_embed", "t3_normalize",
+    "t5_preview", "t6_validate", "t7_sanitize", "ta_lang_id",
+    "ta_quality_score", "u2_nokey_answer", "u4_image_answer",
+    # Round-8 slots (new queries / edited-oracle re-earns land here)
+    # emb_quality_report: r07-green, but its oracle was edited this round
+    # (quantization order fix, ADVICE r07) — edited oracle re-earns.
+    "emb_quality_report",
 ]
 
 

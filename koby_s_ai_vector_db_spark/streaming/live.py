@@ -117,13 +117,20 @@ def apply_watermark(events: DataFrame, late: str = LATE) -> DataFrame:
             import datetime
             import zoneinfo
 
+            # Probe BOTH a winter and a summer instant: a DST zone whose
+            # STANDARD offset is zero (Europe/London) passes a single
+            # winter probe yet shifts summer-dated events by an hour —
+            # exactly the corruption this guard exists to catch
+            # (ADVICE r07).
             try:
-                off = zoneinfo.ZoneInfo(tz).utcoffset(
-                    datetime.datetime(2026, 1, 1)
-                )
+                zone = zoneinfo.ZoneInfo(tz)
+                offs = {
+                    zone.utcoffset(datetime.datetime(2026, 1, 1)),
+                    zone.utcoffset(datetime.datetime(2026, 7, 1)),
+                }
             except Exception:
-                off = None
-            if off != datetime.timedelta(0):
+                offs = {None}
+            if offs != {datetime.timedelta(0)}:
                 raise ValueError(
                     f"apply_watermark requires a zero-UTC-offset "
                     f"spark.sql.session.timeZone for a value-preserving "

@@ -24,6 +24,29 @@ def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
 
 
+# Round-8 consolidation folds (SURVEY §9 → §8): unregistered from the
+# driver window, but the capability keeps its oracle parity here so a
+# regression in the shared library paths stays loud.
+def _folded():
+    from koby_s_ai_vector_db_spark.queries import analytics_q, fusion_q, vector_q
+
+    return [
+        ("a7_activity_breakdown", analytics_q.a7_activity_breakdown,
+         analytics_q._A7_ORACLE),
+        ("q8_faiss_quality", fusion_q.q8_faiss_quality, fusion_q._Q8_ORACLE),
+        ("q9_contribution_quality", fusion_q.q9_contribution_quality,
+         fusion_q._Q9_ORACLE),
+        ("q2_ann_pq", vector_q.q2_ann_pq, vector_q._pq_oracle()),
+        ("q2_ann_ivfpq", vector_q.q2_ann_ivfpq, vector_q._ivfpq_oracle()),
+    ]
+
+
+@pytest.mark.parametrize("name,fn,sql", _folded(), ids=lambda p: p if isinstance(p, str) else "")
+def test_folded_query_matches_oracle(spark, duck, name, fn, sql):
+    register_views(duck, SF_DIR)
+    assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
+
+
 def test_all_queries_return_rows(spark):
     """Queries without an oracle still must run and be non-degenerate."""
     for name, fn in registry.queries().items():

@@ -30,6 +30,13 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _fn_plan(spark, fn) -> str:
+    """Plan of an UNREGISTERED (folded) query function — the round-8
+    consolidation folds keep their plan pins here."""
+    df = fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_no_cartesian_product_anywhere(spark):
     offenders = {}
     for name in entry_mod.queries():
@@ -90,7 +97,9 @@ def test_pq_encode_is_map_side(spark):
     appear before the shortlist window, and the shortlist must pre-truncate
     via WindowGroupLimit. The only exchanges are the broadcast of the
     per-query distance tables and the two rank windows' query_id shuffles."""
-    plan = _plan(spark, "q2_ann_pq")
+    from koby_s_ai_vector_db_spark.queries.vector_q import q2_ann_pq
+
+    plan = _fn_plan(spark, q2_ann_pq)
     assert "WindowGroupLimit" in plan
     assert "hashpartitioning(vec_id" not in plan, "codes reassembled via per-id shuffle"
 
@@ -99,7 +108,9 @@ def test_ivfpq_probe_and_encode_shapes(spark):
     """IVF+PQ composition: the probe must ride broadcasts (no shuffle of
     the corpus by label for the probe join), PQ encode stays map-side, and
     the shortlist pre-truncates via WindowGroupLimit."""
-    plan = _plan(spark, "q2_ann_ivfpq")
+    from koby_s_ai_vector_db_spark.queries.vector_q import q2_ann_ivfpq
+
+    plan = _fn_plan(spark, q2_ann_ivfpq)
     assert "WindowGroupLimit" in plan
     assert "hashpartitioning(vec_id" not in plan, "codes reassembled via per-id shuffle"
     assert "CartesianProduct" not in plan

@@ -1,0 +1,93 @@
+"""Behavioral tests for the round-8 work (oracle parity is covered by
+test_oracle_parity auto-parameterization; these pin semantics the oracle
+comparison alone can't express)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark import registry
+from tests.conftest import SF_DIRS
+
+SF = SF_DIRS["t1"]
+
+
+def _q(name):
+    return registry.queries()[name]
+
+
+def test_norm_quantization_matches_duckdb_on_non_unit_vectors(spark, duck):
+    """ADVICE r07 (confirmed numerically): round(x, 6) * 1e6 lands ~1e-8
+    off an integer, and Spark's double→long cast TRUNCATES while DuckDB's
+    CAST rounds — ~1% of non-unit norms diverged by 1. The repo convention
+    (round AFTER scaling) hands both casts an exactly-integer double. The
+    driver fixture is all unit-norm, so this pins the convention on the
+    vectors the fixture can't supply."""
+    rng = random.Random(8)
+    vecs = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(16)]) for i in range(500)
+    ]
+    sdf = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    qnorm = F.round(
+        F.sqrt(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        * 1000000
+    ).cast("long")
+    got = {
+        r.vec_id: r.q for r in sdf.select("vec_id", qnorm.alias("q")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _nq(vec_id BIGINT, embedding DOUBLE[])")
+    duck.executemany("INSERT INTO _nq VALUES (?, ?)", vecs)
+    want = dict(
+        duck.execute(
+            "SELECT vec_id, CAST(round(sqrt(list_sum(list_transform(embedding,"
+            " x -> x * x))) * 1000000) AS BIGINT) FROM _nq"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE _nq")
+    # the old round-then-scale form diverges on this data; the fixed form
+    # must be bit-identical on every row
+    assert got == want
+    # sanity: the data actually exercises non-unit norms
+    assert len({v for v in want.values()}) > 400
+
+
+def test_watermark_tz_guard_rejects_dst_zones(spark):
+    """ADVICE r07: Europe/London has a ZERO standard offset, so a single
+    winter-instant probe passes it — yet the NTZ cast shifts summer events
+    by an hour. The guard must probe both seasons and reject it."""
+    import datetime
+
+    import pytest
+
+    from koby_s_ai_vector_db_spark.streaming.live import apply_watermark
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 7, 1, 12, 0))], "user_id: long, ts: timestamp_ntz"
+    )
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "Europe/London")
+        with pytest.raises(ValueError, match="zero-UTC-offset"):
+            apply_watermark(df)
+        # a year-round zero-offset zone still passes
+        spark.conf.set(tz_key, "Etc/UTC")
+        apply_watermark(df)
+    finally:
+        spark.conf.set(tz_key, old)
+
+
+def test_emb_quality_report_handles_non_unit_norms(spark):
+    """End-to-end shape check of the hygiene report on the driver fixture
+    (all unit-norm): p50/min/max must equal 1e6 and sum = n_vecs * 1e6."""
+    rows = _q("emb_quality_report")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_norm_q6 <= r.p50_norm_q6 <= r.max_norm_q6, r
+        assert r.n_zero == 0, r
+        assert r.n_vecs * r.min_norm_q6 <= r.sum_norm_q6 <= r.n_vecs * r.max_norm_q6, r
