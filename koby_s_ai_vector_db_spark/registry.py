@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     # emb_quality_report: r07-green, but its oracle was edited this round
     # (quantization order fix, ADVICE r07) — edited oracle re-earns.
     "emb_quality_report",
+    # pack_bestfit_audit: NEW — the hash-checked audit arm for the
+    # rows-only BFD packing (VERDICT r07 item 3).
+    "pack_bestfit_audit",
 ]
 
 
