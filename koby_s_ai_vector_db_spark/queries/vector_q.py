@@ -818,3 +818,94 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qnorm").cast("long").alias("sum_norm_q6"),
         )
     )
+
+
+# --- embedding-space decontamination -----------------------------------------
+# The eval-leakage check the n-gram tier misses: a benchmark item
+# PARAPHRASED from a corpus document shares no 8-gram but sits at high
+# cosine. Benchmark-side vectors are a bounded set (eval suites are
+# thousands of items, not billions), so they broadcast; the corpus pays
+# one map-side scan — per doc, dot products against every eval vector,
+# threshold the int64-quantized sim BEFORE the rank window (for top-1 +
+# threshold, filter-then-rank equals rank-then-filter, and the exchange
+# then carries only contamination candidates, not the corpus), then
+# rank-1 per doc attributes the strongest matching eval item. This is
+# the reference's Q1 scan shape (core/utils.py:221-232) with the window
+# keyed on the CORPUS id instead of the query id. Fixture eval set:
+# every 50th embedding perturbed by +0.5 on the first coordinate (the
+# EMB_DD near-dup recipe, dedup_q.py) — a paraphrase stand-in that
+# lands ~0.85-0.95 cosine against its source doc, far above random-pair
+# sims (~N(0, 1/8) at dim 64), so the 0.8 gate separates cleanly.
+DECON_MOD = 50           # every 50th vector seeds an eval item
+DECON_OFFSET = 5_000_000  # eval ids live far above corpus vec_ids
+DECON_T_Q6 = 800_000      # cosine >= 0.80, int64-quantized
+
+_DECON_RAW_DUCK = (
+    "list_concat([embedding[1]::DOUBLE + 0.5], "
+    "list_transform(embedding[2:], x -> x::DOUBLE))"
+)
+
+_DECON_ORACLE = f"""
+WITH c AS (
+    SELECT vec_id, {sql_normalize('embedding')} AS v FROM embeddings
+),
+e AS (
+    SELECT vec_id + {DECON_OFFSET} AS eval_id,
+           {sql_normalize(_DECON_RAW_DUCK)} AS ev
+    FROM embeddings WHERE vec_id % {DECON_MOD} = 0
+),
+cand AS (
+    SELECT c.vec_id, e.eval_id,
+           CAST(round(list_sum(list_transform(c.v, (x, i) -> x * e.ev[i]))
+                      * 1000000) AS BIGINT) AS qsim
+    FROM c CROSS JOIN e
+),
+ranked AS (
+    SELECT vec_id, eval_id, qsim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY qsim DESC, eval_id ASC) AS r
+    FROM cand WHERE qsim >= {DECON_T_Q6}
+)
+SELECT vec_id, eval_id, qsim AS max_sim_q6 FROM ranked WHERE r = 1
+"""
+
+
+@register("emb_decontaminate", _DECON_ORACLE)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (see the oracle note above):
+    per corpus doc, the strongest eval-vector match at cosine >= 0.80.
+    Complements ngram_contamination — paraphrased leakage has no shared
+    n-gram but survives in embedding space."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    from koby_s_ai_vector_db_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = spread(emb.select("vec_id", "embedding")).withColumn(
+        "embedding", l2_normalize("embedding")
+    )
+    ed = F.col("embedding").cast("array<double>")
+    evalq = (
+        emb.filter(F.col("vec_id") % DECON_MOD == 0)
+        .select(
+            (F.col("vec_id") + DECON_OFFSET).alias("eval_id"),
+            F.concat(
+                F.array(F.element_at(ed, 1) + 0.5), F.slice(ed, 2, 10_000)
+            ).alias("ev"),
+        )
+        .withColumn("ev", l2_normalize("ev"))
+    )
+    cand = (
+        c.join(F.broadcast(evalq))
+        .withColumn(
+            "qsim", F.round(dot("embedding", "ev") * 1000000).cast("long")
+        )
+        .filter(F.col("qsim") >= DECON_T_Q6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("qsim"), F.asc("eval_id"))
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 1)
+        .select("vec_id", "eval_id", F.col("qsim").alias("max_sim_q6"))
+    )

@@ -91,6 +91,9 @@ _PRIORITY: list[str] = [
     # pack_bestfit_audit: NEW — the hash-checked audit arm for the
     # rows-only BFD packing (VERDICT r07 item 3).
     "pack_bestfit_audit",
+    # emb_decontaminate: NEW — embedding-space eval-leakage check
+    # (VERDICT r07 item 5).
+    "emb_decontaminate",
 ]
 
 

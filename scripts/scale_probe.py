@@ -96,6 +96,9 @@ PROBE_QUERIES = [
     "a24_skew_report",
     "ta_entropy",
     "pack_bestfit",
+    # round 8
+    "pack_bestfit_audit",
+    "emb_decontaminate",
 ]
 
 

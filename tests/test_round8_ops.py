@@ -114,6 +114,44 @@ def test_bestfit_halfempty_invariant_is_not_vacuous(spark):
     assert n_half > 1, "fixture must contain >1 short doc for the invariant to bite"
 
 
+def test_decontaminate_flags_every_eval_source(spark):
+    """Every eval item is a perturbation of a known corpus vector, so the
+    source doc must be flagged and must attribute to ITS eval item; and
+    no random pair may sneak over the 0.8 gate with a higher sim than a
+    planted pair's source."""
+    from koby_s_ai_vector_db_spark.queries.vector_q import (
+        DECON_MOD,
+        DECON_OFFSET,
+        DECON_T_Q6,
+    )
+
+    out = {r.vec_id: r for r in _q("emb_decontaminate")(spark, SF).collect()}
+    assert out, "planted eval items must produce flags"
+    n_eval = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") % DECON_MOD == 0)
+        .count()
+    )
+    flagged_sources = 0
+    for vec_id, r in out.items():
+        assert r.max_sim_q6 >= DECON_T_Q6, r
+        if vec_id % DECON_MOD == 0 and r.eval_id == vec_id + DECON_OFFSET:
+            flagged_sources += 1
+    assert flagged_sources == n_eval, (flagged_sources, n_eval)
+
+
+def test_decontaminate_plan_shape(spark):
+    """Scale shape: the eval side rides a broadcast (no corpus shuffle
+    for the join), the threshold prunes BEFORE the rank window, and the
+    window pre-truncates via WindowGroupLimit."""
+    df = _q("emb_decontaminate")(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_emb_quality_report_handles_non_unit_norms(spark):
     """End-to-end shape check of the hygiene report on the driver fixture
     (all unit-norm): p50/min/max must equal 1e6 and sum = n_vecs * 1e6."""
