@@ -261,3 +261,121 @@ FROM cand JOIN d_all da ON da.id = a JOIN d_all db ON db.id = b
 WHERE levenshtein(da.txt, db.txt) <= {t}
 ORDER BY doc_id_a, doc_id_b
 """
+
+
+# --- block-pair SimHash blocking: the adversarial-vocabulary scale path ------
+# PassJoin's candidate keys are SUBSTRING CONTENT, so their entropy is
+# whatever the corpus vocabulary gives: on the driver fixture's 31-word
+# vocabulary the sf0.1→sf1 probe crowded to 13.3× on 10× data
+# (BASELINE.md), against ~7× on natural text. This variant swaps the
+# candidate generator for one whose key entropy comes from the HASH, not
+# the text: a 60-bit character-4-gram SimHash per doc, split into 6
+# ten-bit blocks, keyed on all C(6,2)=15 ordered block PAIRS (20-bit
+# values). Pigeonhole: sketches within Hamming ≤ 4 differ in ≤ 4 blocks,
+# so ≥ 2 blocks agree, so the pair shares ≥ 1 block-pair key — the
+# hamming≤4 → candidate guarantee is exact (no bucket cap, the
+# simhash_near_dup_pairs precedent: the scale knob is key entropy).
+# The edit→hamming step is the approximate one: b char edits touch ≤ 4b
+# of the char 4-grams, which flips few majority votes on medium/long
+# texts but can exceed 4 on very short ones — so this tier is the
+# APPROXIMATE scale path for adversarial corpora, recall-measured in
+# tests/test_fuzzy_edit.py against the exact PassJoin tier, not a
+# drop-in replacement (fuzzy_edit_pairs stays the registered/oracle
+# semantics).
+
+
+def char_simhash_expr(text_col: str, bits: int = 60, n: int = 4) -> F.Column:
+    """60-bit SimHash over character n-grams (with multiplicity), one
+    map-only aggregate expression per doc — the character-level analogue
+    of operators/dedup.simhash_expr (word tokens). Lowercased so case
+    drift lands near, like the normalized-dedup tier."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
+    grams = (
+        f"transform(sequence(1, greatest(1, length({text_col}) - {n - 1})),"
+        f" i -> substring(lower({text_col}), i, {n}))"
+    )
+    th = (
+        f"transform({grams}, t -> CAST(conv(substr(md5(t), 1, {bits // 4}),"
+        f" 16, 10) AS BIGINT))"
+    )
+    return F.expr(
+        f"aggregate({th}, array_repeat(0L, {bits}),"
+        " (acc, h) -> zip_with(acc,"
+        f"   transform(sequence(0, {bits - 1}), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
+        "   (a, x) -> a + x),"
+        f" acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
+        "   (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x))"
+    )
+
+
+def fuzzy_edit_pairs_blocked(
+    docs: DataFrame,
+    t: int = EDIT_T,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    n_blocks: int = 6,
+    gram_n: int = 4,
+) -> DataFrame:
+    """Approximate near-dup pairs (levenshtein <= t) via block-pair
+    SimHash candidate generation + exact verify. Returns
+    (doc_id_a, doc_id_b, dist) ordered, a subset of fuzzy_edit_pairs'
+    rows (verify is exact; only candidate RECALL is approximate)."""
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible into {n_blocks} blocks")
+    block_bits = bits // n_blocks
+    block_mask = (1 << block_bits) - 1
+
+    d_all = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+    )
+    sigs = d_all.select(
+        "id", char_simhash_expr("txt", bits=bits, n=gram_n).alias("sh")
+    )
+    # C(n_blocks, 2) pair keys: key_id = i*n_blocks + j (i < j),
+    # key_val = (block_i << block_bits) | block_j — 2*block_bits-entropy
+    # values regardless of corpus vocabulary.
+    pair_keys = (
+        f"flatten(transform(sequence(0, {n_blocks - 2}), i ->"
+        f" transform(sequence(i + 1, {n_blocks - 1}), j -> named_struct("
+        f"   'key_id', i * {n_blocks} + j,"
+        f"   'key_val', (((sh >> (i * {block_bits})) & {block_mask}L)"
+        f"     << {block_bits}) | ((sh >> (j * {block_bits})) & {block_mask}L)))))"
+    )
+    keyed = sigs.select(
+        "id", F.explode(F.expr(pair_keys)).alias("k")
+    ).select("id", F.col("k.key_id").alias("key_id"), F.col("k.key_val").alias("key_val"))
+    buckets = (
+        keyed.groupBy("key_id", "key_val")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1),"
+                    " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                    " b -> struct(ids[i-1] AS a, b AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    da = d_all.select(F.col("id").alias("a"), F.col("txt").alias("ta"))
+    db = d_all.select(F.col("id").alias("b"), F.col("txt").alias("tb"))
+    return (
+        F.broadcast(cand)
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_id_a"),
+            F.col("b").alias("doc_id_b"),
+            F.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= F.lit(t))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
