@@ -836,7 +836,13 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EMB_DD near-dup recipe, dedup_q.py) — a paraphrase stand-in that
 # lands ~0.85-0.95 cosine against its source doc, far above random-pair
 # sims (~N(0, 1/8) at dim 64), so the 0.8 gate separates cleanly.
-DECON_MOD = 50           # every 50th vector seeds an eval item
+DECON_MOD = 50            # every 50th vector below the cap seeds an eval item
+DECON_SEED_CAP = 2_000    # eval seed ids are FIXED (benchmark suites do
+#                           not grow with the crawl): capping the seed
+#                           range makes the eval side scale-invariant, so
+#                           corpus growth scales the scan linearly — the
+#                           production shape. Without the cap the sf1
+#                           probe measured 128x on 10x data (N²/50 pairs).
 DECON_OFFSET = 5_000_000  # eval ids live far above corpus vec_ids
 DECON_T_Q6 = 800_000      # cosine >= 0.80, int64-quantized
 
@@ -852,7 +858,8 @@ WITH c AS (
 e AS (
     SELECT vec_id + {DECON_OFFSET} AS eval_id,
            {sql_normalize(_DECON_RAW_DUCK)} AS ev
-    FROM embeddings WHERE vec_id % {DECON_MOD} = 0
+    FROM embeddings
+    WHERE vec_id % {DECON_MOD} = 0 AND vec_id < {DECON_SEED_CAP}
 ),
 cand AS (
     SELECT c.vec_id, e.eval_id,
@@ -887,7 +894,10 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = F.col("embedding").cast("array<double>")
     evalq = (
-        emb.filter(F.col("vec_id") % DECON_MOD == 0)
+        emb.filter(
+            (F.col("vec_id") % DECON_MOD == 0)
+            & (F.col("vec_id") < DECON_SEED_CAP)
+        )
         .select(
             (F.col("vec_id") + DECON_OFFSET).alias("eval_id"),
             F.concat(

@@ -207,6 +207,21 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
           f"/ {n_li} lineitem in {out_dir}", file=sys.stderr)
 
 
+# Non-registered operators probed alongside the registry queries (the
+# registry is the driver surface; these are documented scale-path
+# variants). Each entry: name -> fn(spark, sf_dir) -> DataFrame.
+def _blocked_fuzzy(spark, sf_dir):
+    from koby_s_ai_vector_db_spark.operators.fuzzy import fuzzy_edit_pairs_blocked
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_edit_pairs_blocked(docs, t=8)
+
+
+EXTRA_PROBES = {
+    "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
+}
+
+
 def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     from koby_s_ai_vector_db_spark import registry
 
@@ -217,7 +232,7 @@ def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float
     qs = registry.queries()
     out: dict[str, float] = {}
     for name in names or PROBE_QUERIES:
-        fn = qs[name]
+        fn = EXTRA_PROBES.get(name) or qs[name]
         spark = _spark()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
@@ -258,7 +273,7 @@ def main() -> int:
     )
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else PROBE_QUERIES
-    unknown = [n for n in names if n not in PROBE_QUERIES]
+    unknown = [n for n in names if n not in PROBE_QUERIES and n not in EXTRA_PROBES]
     if unknown:
         # Fail in milliseconds, not after minutes of corpus generation.
         ap.error(f"unknown --queries names: {unknown} (choose from PROBE_QUERIES)")

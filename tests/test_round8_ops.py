@@ -122,6 +122,7 @@ def test_decontaminate_flags_every_eval_source(spark):
     from koby_s_ai_vector_db_spark.queries.vector_q import (
         DECON_MOD,
         DECON_OFFSET,
+        DECON_SEED_CAP,
         DECON_T_Q6,
     )
 
@@ -129,7 +130,10 @@ def test_decontaminate_flags_every_eval_source(spark):
     assert out, "planted eval items must produce flags"
     n_eval = (
         spark.read.parquet(f"{SF}/embeddings.parquet")
-        .filter(F.col("vec_id") % DECON_MOD == 0)
+        .filter(
+            (F.col("vec_id") % DECON_MOD == 0)
+            & (F.col("vec_id") < DECON_SEED_CAP)
+        )
         .count()
     )
     flagged_sources = 0
