@@ -217,8 +217,19 @@ def _blocked_fuzzy(spark, sf_dir):
     return fuzzy_edit_pairs_blocked(docs, t=8)
 
 
+def _exact_fuzzy(spark, sf_dir):
+    # The OPERATOR, not the registered query: dedup_fuzzy_edit memoizes
+    # its pair table, so its timed pass reads a persisted result — this
+    # probes the actual PassJoin plan for a fair blocked-vs-exact pair.
+    from koby_s_ai_vector_db_spark.operators.fuzzy import fuzzy_edit_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_edit_pairs(docs, t=8)
+
+
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
+    "fuzzy_edit_exact": _exact_fuzzy,
 }
 
 
