@@ -460,3 +460,163 @@ def a24_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+# --- round-9 prebuilds (NOT registered: the round-8 window is full) ----------
+# Function + oracle + parity test land this round (tests/test_prebuilt_r9.py);
+# @register is added in round 9 when the rotation frees slots.
+
+# a26: semi-structured extraction — events.props is a JSON payload nothing
+# else in the repo touches. get_json_object is JVM-side (no UDF); the
+# profile is one map-only parse + one partial+final aggregate per type.
+_A26_ORACLE = """
+WITH parsed AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+       CAST(coalesce(min(k), -1) AS BIGINT) AS min_k,
+       CAST(coalesce(max(k), -1) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM parsed
+GROUP BY event_type
+"""
+
+
+def a26_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type profile of the JSON `props` payload: parse stays inside
+    whole-stage codegen (get_json_object, no Python), rows collapse map-side
+    before the 5-key shuffle. The missing-key path (n_with_k < n_events)
+    is exercised in tests via a synthetic frame; fixture props always
+    carry k."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_k"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("sum_k"),
+        F.coalesce(F.min("k"), F.lit(-1)).cast("long").alias("min_k"),
+        F.coalesce(F.max("k"), F.lit(-1)).cast("long").alias("max_k"),
+        F.countDistinct("k").cast("long").alias("n_distinct_k"),
+    )
+
+
+# a27: robust anomaly detection — median/MAD on the int64-quantized value,
+# flag |x - med| > 3·MAD. Median is the rank definition (smallest value
+# whose cumulative count reaches ceil(n/2)), computed over the DISTINCT-
+# value histogram (curriculum_order pattern): windows run over the bounded
+# histogram, never the corpus, so a hot event_type cannot pin one task.
+MAD_K = 3
+
+_A27_ORACLE = f"""
+WITH q AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 1000000) AS BIGINT) AS vq
+    FROM events
+),
+vhist AS (SELECT event_type, vq, count(*) AS c FROM q GROUP BY 1, 2),
+vcum AS (
+    SELECT event_type, vq,
+           sum(c) OVER (PARTITION BY event_type ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM vhist
+),
+med AS (
+    SELECT event_type, min(vq) AS med_q6 FROM vcum
+    WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY 1
+),
+dev AS (
+    SELECT q.event_type, abs(q.vq - m.med_q6) AS d
+    FROM q JOIN med m USING (event_type)
+),
+dhist AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+dcum AS (
+    SELECT event_type, d,
+           sum(c) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM dhist
+),
+mad AS (
+    SELECT event_type, min(d) AS mad_q6 FROM dcum
+    WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(me.med_q6) AS BIGINT) AS med_q6,
+       CAST(min(ma.mad_q6) AS BIGINT) AS mad_q6,
+       CAST(sum(CASE WHEN v.d > {MAD_K} * ma.mad_q6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       CAST(max(v.d) AS BIGINT) AS max_dev_q6
+FROM dev v JOIN med me USING (event_type) JOIN mad ma USING (event_type)
+GROUP BY v.event_type
+"""
+
+
+def _rank_median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+    """Rank-based median (= percentile_disc(0.5)) via the distinct-value
+    cumulative histogram: the window input is |distinct values| rows per
+    partition, not the corpus (curriculum_order pattern)."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(part, val).agg(F.count("*").alias("c"))
+    wc = Window.partitionBy(part).orderBy(val).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        part,
+        val,
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy(part)).alias("n"),
+    )
+    return (
+        cum.filter(F.col("cum") >= F.ceil(0.5 * F.col("n")))
+        .groupBy(part)
+        .agg(F.min(val).alias(out))
+    )
+
+
+def a27_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly report per event_type on the quantized value
+    column: two histogram-median passes (each a small-key aggregate plus a
+    histogram window), one broadcast join of the 5-row med/mad tables back
+    to the deviations, one final aggregate. All integer math after the
+    single quantization — bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("vq"),
+    )
+    med = _rank_median(q, "event_type", "vq", "med_q6")
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_q6",
+        F.abs(F.col("vq") - F.col("med_q6")).alias("d"),
+    )
+    mad = _rank_median(dev, "event_type", "d", "mad_q6")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("med_q6").cast("long").alias("med_q6"),
+            F.min("mad_q6").cast("long").alias("mad_q6"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad_q6"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            F.max("d").cast("long").alias("max_dev_q6"),
+        )
+    )

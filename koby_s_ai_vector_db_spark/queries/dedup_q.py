@@ -883,3 +883,98 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / F.col("n_copies"), 6)
         .alias("eff_tokens"),
     )
+
+
+# --- round-9 prebuild (NOT registered: the round-8 window is full) -----------
+# Inter-source overlap matrix: Jaccard over each source's DISTINCT 3-gram
+# set — the governance readout that says which provenance feeds duplicate
+# each other BEFORE any doc-level dedup runs (e.g. two crawls of the same
+# site). Complements dedup_source_matrix (doc-level planted dups) with a
+# corpus-level content measure. Parity: tests/test_prebuilt_r9.py.
+_SRC_OVERLAP_ORACLE = """
+WITH words AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+posts AS (
+    SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)])) AS g
+        FROM words WHERE len(w) >= 3
+    )
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM posts GROUP BY 1
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_inter
+    FROM posts a JOIN posts b USING (g)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_inter,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       CAST(round(1000000.0 * p.n_inter
+                  / (sa.n_grams + sb.n_grams - p.n_inter)) AS BIGINT)
+           AS jaccard_q6
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.source
+JOIN sizes sb ON p.src_b = sb.source
+"""
+
+
+def src_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram Jaccard. Plan: shingle explode →
+    DISTINCT (source, gram) postings (ONE corpus shuffle, map-side
+    combined), then a postings self-join on the gram key whose fan-out is
+    bounded by C(sources_present_per_gram, 2) — sources are hundreds at
+    most, never corpus-scale — and a pair-key aggregate. Output is
+    |sources|² rows. No all-pairs doc comparison anywhere; at 100 TB the
+    postings table is bounded by |vocab|ⁿ · |sources|, not by row count."""
+    from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = (
+        docs.select("source", F.explode(shingles_expr("text")).alias("g"))
+        .distinct()
+    )
+    sizes = posts.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        posts.alias("a")
+        .join(posts.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("n_grams", "n_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("n_grams", "n_b")
+            ).withColumnRenamed("source", "source_b"),
+            F.col("src_b") == F.col("source_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                1000000.0
+                * F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_q6"),
+        )
+    )

@@ -460,3 +460,122 @@ def m10_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").cast("long").alias("last_ts_epoch"),
         F.round("value", 6).cast("double").alias("last_value"),
     )
+
+
+# --- round-9 prebuild (NOT registered: the round-8 window is full) -----------
+# Incremental decontamination gate: before promoting corpus snapshot v2,
+# scan ONLY the delta (added + changed docs — the m8 diff) for n-gram
+# leakage against the benchmark set. At 100 TB this is the whole point of
+# keeping snapshots: the unchanged bulk is never re-shingled. Composes the
+# m8 digest diff with the ngram_contamination postings join (VERDICT r07
+# item 6). Parity: tests/test_prebuilt_r9.py.
+
+
+def _m11_oracle() -> str:
+    # corpus_q is a sibling queries module (top-level import would be
+    # circular through queries/__init__) — the _pipe_oracle pattern.
+    from koby_s_ai_vector_db_spark.queries.corpus_q import CONTAM_MOD, CONTAM_N
+
+    assert CONTAM_N == 3, "gram template below is written for n=3"
+    return f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+v2 AS ({_SNAP_V2}),
+delta AS (
+    SELECT v2.doc_id, v2.text,
+           CASE WHEN v1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+    FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+    WHERE v1.doc_id IS NULL OR md5(v2.text) <> v1.h
+),
+d_words AS (
+    SELECT doc_id, status,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM delta
+),
+d_post AS (
+    SELECT doc_id, status,
+           unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)])) AS g
+    FROM d_words WHERE len(w) >= 3
+),
+b_words AS (
+    SELECT doc_id AS bid,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents WHERE doc_id % {CONTAM_MOD} = 0
+),
+b_post AS (
+    SELECT bid,
+           unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)])) AS g
+    FROM b_words WHERE len(w) >= 3
+),
+pairs AS (
+    SELECT d.doc_id, d.status, b.bid, count(*) AS n_shared
+    FROM d_post d JOIN b_post b USING (g)
+    WHERE d.doc_id <> b.bid
+    GROUP BY 1, 2, 3
+),
+agg_delta AS (
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM delta GROUP BY 1
+),
+agg_pairs AS (
+    SELECT status,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_shared) AS BIGINT) AS n_shared_grams
+    FROM pairs GROUP BY 1
+)
+SELECT d.status, d.n_docs,
+       CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(p.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+FROM agg_delta d LEFT JOIN agg_pairs p USING (status)
+"""
+
+
+def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-only decontamination: m8's digest join finds added/changed
+    docs (text never shuffles — only 32-char digests), then ONLY those
+    docs shingle into the broadcast benchmark postings join. Per status:
+    delta size, contaminated-doc count, pair count, shared-gram total.
+    Plan: one id-key join over digests, one postings equi-join bounded by
+    the DELTA size (not corpus size), two tiny status aggregates."""
+    from koby_s_ai_vector_db_spark.operators.corpus import ngram_contamination
+    from koby_s_ai_vector_db_spark.queries.corpus_q import CONTAM_MOD, CONTAM_N
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    v1 = spark.sql("SELECT doc_id, md5(text) AS h FROM documents")
+    v2 = spark.sql(f"SELECT doc_id, text FROM ({_SNAP_V2})")
+    delta = (
+        v2.join(v1, "doc_id", "left")
+        .filter(F.col("h").isNull() | (F.md5("text") != F.col("h")))
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("h").isNull(), "added")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )
+    bench = spark.sql(
+        f"SELECT doc_id AS bench_id, text FROM documents "
+        f"WHERE doc_id % {CONTAM_MOD} = 0"
+    )
+    pairs = ngram_contamination(delta, bench, n=CONTAM_N).filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    with_status = delta.select("doc_id", "status").join(
+        F.broadcast(pairs), "doc_id"
+    )
+    agg_pairs = with_status.groupBy("status").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated"),
+        F.count("*").alias("n_pairs"),
+        F.sum("n_shared").cast("long").alias("n_shared_grams"),
+    )
+    agg_delta = delta.groupBy("status").agg(F.count("*").alias("n_docs"))
+    return agg_delta.join(F.broadcast(agg_pairs), "status", "left").select(
+        "status",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+    )

@@ -134,3 +134,72 @@ def rel_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("p_partkey", "p_brand", "revenue", "rank")
     )
+
+
+# --- round-9 prebuild (NOT registered: the round-8 window is full) -----------
+# Pre-earned per SURVEY §9 fold mechanics in reverse: function + oracle +
+# parity test land this round; the @register decoration is added in round 9
+# when the window rotation frees slots. Parity is enforced every pytest run
+# by tests/test_prebuilt_r9.py.
+
+# TPC-H Q3 shape ("shipping priority"): segment-filtered customers joined to
+# unshipped orders, revenue per order, top-10. The reference has no multi-
+# table OLAP at all (SURVEY §2.7); this rounds out the relational family
+# beyond Q1 (rel_pricing_summary) and the two join shapes above.
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = "1998-03-15 00:00:00"
+
+_REL_SHIP_PRIO = f"""
+WITH rev AS (
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           sum(l.l_extendedprice::DECIMAL(18,2)
+               * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS rev_d
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUT}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUT}'
+    GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, round(CAST(rev_d AS DOUBLE), 4) AS revenue
+FROM rev
+ORDER BY rev_d DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: both date filters push into the parquet scans, the
+    segment-filtered customer key set joins orders (AQE picks broadcast at
+    fixture scale; at 100 TB it is a shuffle join on custkey — 1/5 of
+    customers is not a broadcastable dimension), then one shuffle on
+    orderkey and a partial+final aggregate. Top-10 is TakeOrdered on the
+    EXACT decimal revenue (display rounding happens after the cut), so the
+    boundary is deterministic cross-engine."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.to_timestamp(F.lit(Q3_CUT))
+    cust = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = t["orders"].filter(F.col("o_orderdate") < cut)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cut)
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("rev_d"))
+    )
+    return (
+        rev.orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+        )
+    )

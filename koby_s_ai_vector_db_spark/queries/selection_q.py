@@ -447,3 +447,174 @@ def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             share * budget / F.col("avail_tokens").cast("double"), 6
         ).alias("epochs"),
     )
+
+
+# --- round-9 prebuild (NOT registered: the round-8 window is full) -----------
+# Per-source token-budget selection (VERDICT r07 item 6): each provenance
+# source gets a token budget proportional to its spec weight; docs are
+# admitted in deterministic hash order until the source's budget is spent
+# (greedy prefix — running total INCLUDING the doc must fit). Differs from
+# mix_token_budget (an epochs/copies SUMMARY per stratum) in that this
+# SELECTS the actual doc set and audits it (kept_id_sum is the set
+# checksum). Parity: tests/test_prebuilt_r9.py.
+TOKB_TOTAL = 50_000
+TOKB_SEED = 41
+_TOKB_W = {f"src{i}": (i % 4) + 1 for i in range(20)}
+TOKB_BUDGETS = {
+    s: TOKB_TOTAL * w // sum(_TOKB_W.values()) for s, w in _TOKB_W.items()
+}
+# Bucket = high bits of the 32-bit portable hash → 4096 buckets; bucket
+# order is hash order, so bucket-prefix + boundary-bucket resolution
+# reproduces the global per-source (h, doc_id) cumsum exactly.
+TOKB_BUCKET_SHIFT = 20
+
+
+def _tokb_budget_case(col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} = '{s}' THEN {b}"
+            for s, b in sorted(TOKB_BUDGETS.items())
+        )
+        + " ELSE 0 END"
+    )
+
+
+def _tokb_oracle() -> str:
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", seed=TOKB_SEED)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''))::BIGINT AS n_tok,
+           {h} AS h
+    FROM documents
+),
+sel AS (
+    SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+),
+kept AS (SELECT * FROM sel WHERE cum <= ({_tokb_budget_case('source')})),
+avail AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_avail,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_avail
+    FROM toks GROUP BY 1
+),
+ka AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+    FROM kept GROUP BY 1
+)
+SELECT a.source,
+       CAST(({_tokb_budget_case('a.source')}) AS BIGINT) AS budget_tokens,
+       a.n_avail, a.tokens_avail,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(k.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+FROM avail a LEFT JOIN ka k USING (source)
+"""
+
+
+def _tokb_budget_col(src_col: str):
+    col = None
+    for s, b in sorted(TOKB_BUDGETS.items()):
+        col = (
+            F.when(F.col(src_col) == s, b)
+            if col is None
+            else col.when(F.col(src_col) == s, b)
+        )
+    return col.otherwise(0).cast("long")
+
+
+def tok_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe greedy-prefix selection: the oracle's per-source window
+    cumsum would be |sources| tasks each sorting its whole source at
+    100 TB, so the engine runs the two-phase form — (source, hash-bucket)
+    token sums (map-side combined), a cumulative window over the ≤4096-row
+    bucket table, whole buckets below the budget admit in bulk, and ONLY
+    the single boundary bucket per source resolves per-doc (a window over
+    one bucket's rows). Bucket order extends hash order, so the result is
+    exactly the oracle's global cumsum prefix."""
+    from pyspark.sql import Window
+
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    proj = memo_persist(
+        spark,
+        ("tokb_proj", sf_dir),
+        lambda: spread(load_table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "source",
+            F.size(words_expr("text")).cast("long").alias("n_tok"),
+            portable_hash32(
+                F.col("doc_id").cast("string"), seed=TOKB_SEED
+            ).alias("h"),
+        ),
+    ).withColumn("bucket", F.shiftright("h", TOKB_BUCKET_SHIFT))
+
+    ba = proj.groupBy("source", "bucket").agg(
+        F.sum("n_tok").alias("btok"),
+        F.count("*").alias("bn"),
+        F.sum("doc_id").alias("bid_sum"),
+    )
+    wb = Window.partitionBy("source").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bc = (
+        ba.withColumn("cum", F.sum("btok").over(wb))
+        .withColumn("base", F.col("cum") - F.col("btok"))
+        .withColumn("budget", _tokb_budget_col("source"))
+    )
+    whole = bc.filter(F.col("cum") <= F.col("budget")).groupBy("source").agg(
+        F.sum("bn").alias("n_kept"),
+        F.sum("btok").alias("kept_tokens"),
+        F.sum("bid_sum").alias("kept_id_sum"),
+    )
+    boundary = bc.filter(
+        (F.col("base") < F.col("budget")) & (F.col("cum") > F.col("budget"))
+    ).select("source", "bucket", "base", "budget")
+    wd = Window.partitionBy("source", "bucket").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bres = (
+        proj.join(F.broadcast(boundary), ["source", "bucket"])
+        .withColumn("dcum", F.sum("n_tok").over(wd))
+        .filter(F.col("base") + F.col("dcum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").alias("kept_tokens"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )
+    kept = (
+        whole.unionByName(bres)
+        .groupBy("source")
+        .agg(
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+            F.sum("kept_id_sum").alias("kept_id_sum"),
+        )
+    )
+    avail = proj.groupBy("source").agg(
+        F.count("*").alias("n_avail"),
+        F.sum("n_tok").cast("long").alias("tokens_avail"),
+    )
+    return (
+        avail.withColumn("budget_tokens", _tokb_budget_col("source"))
+        .join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "budget_tokens",
+            "n_avail",
+            "tokens_avail",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
+    )

@@ -919,3 +919,120 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 1)
         .select("vec_id", "eval_id", F.col("qsim").alias("max_sim_q6"))
     )
+
+
+# --- round-9 prebuild (NOT registered: the round-8 window is full) -----------
+# Cluster-quality audit over the label column: per-label centroid plus the
+# cosine-to-centroid dispersion — the readout an embedding-space curation
+# pass (SemDeDup-style pruning, drift monitoring) reads before picking
+# thresholds. Parity enforced by tests/test_prebuilt_r9.py until the r9
+# registration.
+#
+# Exactness recipe: components quantize to int64 once (round(x·1e6));
+# dimension sums are exact integer aggregates; the centroid is the
+# integer-quantized MEAN m_i = round(s_i / n) (s_i stays < 2^53, so the
+# double division is exact-input deterministic); every dot product is an
+# integer sum; only the final cosine touches floats (sqrt of exact
+# integers — same libm value both engines) before the q6 quantization.
+EMB_DIM = 64
+
+_EMB_CENT_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, label, i AS pos,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+    FROM embeddings CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+),
+sums AS (
+    SELECT label, pos, CAST(sum(v) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, pos, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m
+    FROM sums
+),
+mm AS (SELECT label, CAST(sum(m * m) AS BIGINT) AS mm FROM cent GROUP BY 1),
+dots AS (
+    SELECT e.vec_id, e.label,
+           CAST(sum(e.v * c.m) AS BIGINT) AS vm,
+           CAST(sum(e.v * e.v) AS BIGINT) AS vv
+    FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+    GROUP BY 1, 2
+),
+cos AS (
+    SELECT d.label,
+           CAST(round(1000000.0 * d.vm
+                      / (sqrt(CAST(d.vv AS DOUBLE)) * sqrt(CAST(m.mm AS DOUBLE))))
+                AS BIGINT) AS cq
+    FROM dots d JOIN mm m USING (label)
+)
+SELECT c.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(sqrt(CAST(min(m.mm) AS DOUBLE))) AS BIGINT) AS centroid_norm_q6,
+       CAST(sum(c.cq) AS BIGINT) AS sum_cos_q6,
+       CAST(min(c.cq) AS BIGINT) AS min_cos_q6,
+       CAST(max(c.cq) AS BIGINT) AS max_cos_q6
+FROM cos c JOIN mm m USING (label)
+GROUP BY c.label
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cosine-to-centroid dispersion. Plan: one
+    posexplode aggregate to (label, dim) sums (64·|labels| keys, map-side
+    combined — the only corpus-wide shuffle), centroids collapse to one
+    array row per label and BROADCAST back, then the per-vector cosine is
+    map-only zip_with/aggregate integer math; the final per-label aggregate
+    carries ~16 B/row. At 100 TB the exploded shuffle is 64× row count but
+    fixed-width — bytes ≈ 24·64·N, all combinable map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    base = emb.select("vec_id", "label", vq.alias("vq"))
+    ex = base.select("vec_id", "label", F.posexplode("vq").alias("pos", "v"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda st: st.getField("m"),
+        ).alias("marr"),
+        F.sum(F.col("m") * F.col("m")).alias("mm"),
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731 — integer array sum
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = base.join(F.broadcast(carr), "label").select(
+        "label",
+        F.round(
+            1000000.0
+            * lsum(F.zip_with("vq", "marr", lambda a, b: a * b))
+            / (
+                F.sqrt(lsum(F.transform("vq", lambda x: x * x)).cast("double"))
+                * F.sqrt(F.col("mm").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cq"),
+        "mm",
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sqrt(F.min("mm").cast("double")))
+        .cast("long")
+        .alias("centroid_norm_q6"),
+        F.sum("cq").cast("long").alias("sum_cos_q6"),
+        F.min("cq").cast("long").alias("min_cos_q6"),
+        F.max("cq").cast("long").alias("max_cos_q6"),
+    )
