@@ -592,11 +592,18 @@ def a27_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram window), one broadcast join of the 5-row med/mad tables back
     to the deviations, one final aggregate. All integer math after the
     single quantization — bit-identical cross-engine."""
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 1000000).cast("long").alias("vq"),
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    # Three consumers walk the quantized projection (median hist, the
+    # deviation join, MAD hist) — persist the 2-column frame once instead
+    # of re-scanning events per consumer (quality_scored precedent).
+    q = memo_persist(
+        spark,
+        ("a27_vq", sf_dir),
+        lambda: load_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.round(F.col("value") * 1000000).cast("long").alias("vq"),
+        ),
     )
     med = _rank_median(q, "event_type", "vq", "med_q6")
     dev = q.join(F.broadcast(med), "event_type").select(

@@ -227,9 +227,47 @@ def _exact_fuzzy(spark, sf_dir):
     return fuzzy_edit_pairs(docs, t=8)
 
 
+def _prebuilt_r9(name):
+    # Round-9 prebuilds (unregistered until the r9 rotation): probed at
+    # sf1 the session they were written, per SURVEY §9 probe hygiene.
+    # rel_shipping_priority is excluded — the generated probe corpus
+    # carries only a minimal 3-column lineitem (no orders/customer).
+    def fn(spark, sf_dir):
+        from koby_s_ai_vector_db_spark.queries import (
+            analytics_q,
+            dedup_q,
+            mutations_q,
+            selection_q,
+            vector_q,
+        )
+
+        fns = {
+            "a26_props_profile": analytics_q.a26_props_profile,
+            "a27_value_mad": analytics_q.a27_value_mad,
+            "emb_label_centroids": vector_q.emb_label_centroids,
+            "src_overlap_matrix": dedup_q.src_overlap_matrix,
+            "m11_contamination_diff": mutations_q.m11_contamination_diff,
+            "tok_source_budget": selection_q.tok_source_budget,
+        }
+        return fns[name](spark, sf_dir)
+
+    return fn
+
+
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
+    **{
+        n: _prebuilt_r9(n)
+        for n in (
+            "a26_props_profile",
+            "a27_value_mad",
+            "emb_label_centroids",
+            "src_overlap_matrix",
+            "m11_contamination_diff",
+            "tok_source_budget",
+        )
+    },
 }
 
 

@@ -240,3 +240,66 @@ def test_late_round7_plan_shapes(spark):
     p = _plan(spark, "softdedup_weights")
     assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
     assert "Join" not in p
+
+
+def test_prebuilt_r9_plan_shapes(spark):
+    """Round-9 prebuilds (unregistered until rotation — tests/
+    test_prebuilt_r9.py holds the value parity): pin the scale shapes.
+
+    - rel_shipping_priority: both date filters reach the parquet scans
+      (pushdown), top-10 is TakeOrderedAndProject, never a global sort;
+    - a26_props_profile: JSON parse is JVM-side get_json_object in a
+      map-only projection — no Python eval anywhere;
+    - a27_value_mad: both medians ride windows over the DISTINCT-value
+      histogram (two hist aggregates), meds/mads join back broadcast;
+    - emb_label_centroids: per-vector cosine is map-only after ONE
+      exploded aggregate; the centroid table arrives broadcast;
+    - tok_source_budget: the corpus never sorts per source — the only
+      windows run over the bucket table and the single boundary bucket;
+    - src_overlap_matrix: candidates come from the postings equi-join
+      (no CartesianProduct, no nested-loop)."""
+    from koby_s_ai_vector_db_spark.queries.analytics_q import (
+        a26_props_profile,
+        a27_value_mad,
+    )
+    from koby_s_ai_vector_db_spark.queries.dedup_q import src_overlap_matrix
+    from koby_s_ai_vector_db_spark.queries.relational_q import (
+        rel_shipping_priority,
+    )
+    from koby_s_ai_vector_db_spark.queries.selection_q import tok_source_budget
+    from koby_s_ai_vector_db_spark.queries.vector_q import emb_label_centroids
+
+    p = _fn_plan(spark, rel_shipping_priority)
+    assert "TakeOrderedAndProject" in p
+    assert p.count("LessThan(o_orderdate") == 1, "order-date pushdown lost"
+    assert p.count("GreaterThan(l_shipdate") == 1, "ship-date pushdown lost"
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, "segment pushdown lost"
+
+    p = _fn_plan(spark, a26_props_profile)
+    assert "get_json_object" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _fn_plan(spark, a27_value_mad)
+    wlines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert wlines and all("sum(c#" in ln for ln in wlines), (
+        "a window left the histogram grain (input must be hist counts)"
+    )
+    assert "BroadcastExchange" in p
+
+    p = _fn_plan(spark, emb_label_centroids)
+    assert p.count("Generate posexplode") == 1
+    assert "BroadcastExchange" in p
+
+    p = _fn_plan(spark, tok_source_budget)
+    # Every window is bucket-keyed: the per-source bucket cumsum (orders
+    # by bucket; subtree may appear under both the whole-bucket and the
+    # boundary branch) and the boundary per-doc resolution (partitions by
+    # source+bucket). A window partitioned by source alone ordering the
+    # raw (h, doc_id) stream would be the corpus-wide sort this query
+    # exists to avoid.
+    wlines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert wlines and all("bucket#" in ln for ln in wlines), wlines
+
+    p = _fn_plan(spark, src_overlap_matrix)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
