@@ -108,3 +108,155 @@ def test_tok_source_budget_invariants(spark):
         assert r["n_kept"] <= r["n_avail"], r
         if r["n_kept"] == r["n_avail"]:
             assert r["kept_tokens"] == r["tokens_avail"], r
+
+
+# --- synthetic-input edge cases (fixture data can't exercise these) ----------
+
+
+def _write_docs(tmpdir, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmpdir}/documents.parquet")
+    return str(tmpdir)
+
+
+def test_tok_source_budget_matches_bruteforce(spark, tmp_path):
+    """The two-phase bucket plan must equal the global greedy prefix —
+    brute-forced here in Python with the same md5 hash, including an
+    EXACT budget hit (src0: 8 docs x 125 tokens == budget 1000, so the
+    boundary condition cum == budget keeps the whole bucket and admits
+    no further doc)."""
+    import hashlib
+
+    from koby_s_ai_vector_db_spark.queries.selection_q import (
+        TOKB_BUDGETS,
+        TOKB_SEED,
+        tok_source_budget,
+    )
+
+    rows = []
+    # src0 (budget 1000): 20 docs of exactly 125 tokens → greedy keeps 8.
+    for i in range(20):
+        rows.append((i, " ".join(f"w{j}" for j in range(125)), "en", "src0"))
+    # src1 (budget 2000): ragged lengths around the boundary.
+    for i in range(40):
+        n = 37 + (i * 13) % 90
+        rows.append((100 + i, " ".join(f"w{j}" for j in range(n)), "en", "src1"))
+    sf = _write_docs(tmp_path, rows)
+
+    def h32(doc_id):
+        s = f"{TOKB_SEED}:{doc_id}".encode()
+        return int(hashlib.md5(s).hexdigest()[:8], 16)
+
+    expect = {}
+    for src in ("src0", "src1"):
+        docs = [(r[0], len(r[1].split())) for r in rows if r[3] == src]
+        docs.sort(key=lambda d: (h32(d[0]), d[0]))
+        cum = kept = ktok = ids = 0
+        for doc_id, n_tok in docs:
+            cum += n_tok
+            if cum > TOKB_BUDGETS[src]:
+                break
+            kept, ktok, ids = kept + 1, ktok + n_tok, ids + doc_id
+        expect[src] = (kept, ktok, ids)
+
+    got = {
+        r["source"]: (r["n_kept"], r["kept_tokens"], r["kept_id_sum"])
+        for r in tok_source_budget(spark, sf).collect()
+    }
+    assert got == expect
+    assert expect["src0"][1] == 1000, "fixture must hit the budget exactly"
+
+
+def test_emb_label_centroids_singleton_label(spark, tmp_path):
+    """A single-vector label's centroid IS the vector (quantized mean at
+    n=1 is the identity), so its cosine must be exactly 1.0 → cq ==
+    1_000_000 with zero dispersion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from koby_s_ai_vector_db_spark.queries.vector_q import (
+        EMB_DIM,
+        emb_label_centroids,
+    )
+
+    vecs = [
+        (0, [0.1 * ((i % 7) + 1) for i in range(EMB_DIM)], 0),
+        (1, [0.05 * ((i % 5) + 2) for i in range(EMB_DIM)], 1),
+        (2, [-0.08 * ((i % 3) + 1) for i in range(EMB_DIM)], 1),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+
+    out = {r["label"]: r for r in emb_label_centroids(spark, str(tmp_path)).collect()}
+    assert out[0]["n_vecs"] == 1
+    assert out[0]["min_cos_q6"] == out[0]["max_cos_q6"] == 1_000_000
+    assert out[0]["sum_cos_q6"] == 1_000_000
+    assert out[1]["n_vecs"] == 2
+
+
+def test_a27_constant_values_zero_mad(spark, tmp_path):
+    """All-identical values → med = value, MAD = 0, zero anomalies (the
+    d > 3*MAD gate must not fire on d == 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from koby_s_ai_vector_db_spark.queries.analytics_q import a27_value_mad
+
+    n = 50
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_704_067_200_000_000 + i for i in range(n)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["ping"] * n),
+            "value": pa.array([42.5] * n, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    (row,) = a27_value_mad(spark, str(tmp_path)).collect()
+    assert row["med_q6"] == 42_500_000
+    assert row["mad_q6"] == 0
+    assert row["n_anomalies"] == 0
+    assert row["max_dev_q6"] == 0
+
+
+def test_src_overlap_disjoint_sources_emit_no_pair(spark, tmp_path):
+    """Sources with zero shared 3-grams must be ABSENT from the matrix
+    (pairs exist only via the postings join), and identical sources must
+    score jaccard_q6 == 1_000_000."""
+    from koby_s_ai_vector_db_spark.queries.dedup_q import src_overlap_matrix
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "srcA"),
+        (1, "alpha beta gamma delta", "en", "srcB"),  # identical to srcA
+        (2, "one two three four five", "en", "srcC"),  # disjoint
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in src_overlap_matrix(spark, sf).collect()
+    }
+    assert set(out) == {("srcA", "srcB")}
+    assert out[("srcA", "srcB")]["jaccard_q6"] == 1_000_000
