@@ -27,4 +27,5 @@ from koby_s_ai_vector_db_spark.queries import (  # noqa: F401
     sketch_q,
     training_q,
     selection_q,
+    graph_q,
 )

@@ -550,3 +550,117 @@ def ta_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boiler_ratio_q6"),
         )
     )
+
+
+# --- round-10 prebuild (NOT registered: r8 window full, r9 slots pre-earned) --
+# Collocation mining: pointwise mutual information over adjacent word
+# bigrams — the corpus-statistics tool that separates real phrases from
+# chance co-occurrence (tokenizer-merge candidates, template detection).
+# PMI = ln( P(w1w2) / (P(w1)P(w2)) ) with all probabilities as ratios of
+# EXACT integer counts folded into one double expression evaluated in
+# the identical order by both engines, then q6-quantized; top-K selection
+# is by the integer bigram count (deterministic, ties on the gram).
+PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH words AS (
+    SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+ucnt AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(w) AS tok FROM words) GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(len(w)) AS BIGINT) AS t_tok,
+           CAST(sum(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)
+                AS BIGINT) AS t_big
+    FROM words
+),
+bcnt AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM (
+        SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        FROM words WHERE len(w) >= 2
+    ) GROUP BY 1
+),
+top AS (SELECT g, c12 FROM bcnt ORDER BY c12 DESC, g ASC LIMIT {PMI_TOP})
+SELECT t.g AS bigram, t.c12, u1.c AS c1, u2.c AS c2,
+       CAST(round(1000000 * ln(
+           (CAST(t.c12 AS DOUBLE) * tot.t_tok * tot.t_tok)
+           / (CAST(tot.t_big AS DOUBLE) * u1.c * u2.c)
+       )) AS BIGINT) AS pmi_q6
+FROM top t
+JOIN ucnt u1 ON u1.tok = string_split(t.g, ' ')[1]
+JOIN ucnt u2 ON u2.tok = string_split(t.g, ' ')[2]
+CROSS JOIN tot
+"""
+
+
+def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} adjacent bigrams by count with exact-count PMI.
+    Plan: two map-side-combined explode aggregates (unigrams, sliding
+    bigrams — the shingle expression the Jaccard tiers share, TF
+    semantics), TakeOrdered top-K on the integer count, then the K-row
+    table joins the broadcast vocabulary-bounded unigram counts and the
+    broadcast 1-row totals. The corpus crosses the wire only inside the
+    two count aggregations."""
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        shingles_expr,
+        words_expr,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(words_expr("text").alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = words.agg(
+        F.sum(F.size("w")).cast("long").alias("t_tok"),
+        F.sum(
+            F.when(F.size("w") >= 2, F.size("w") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_big"),
+    )
+    bcnt = (
+        docs.select(
+            F.explode(shingles_expr("text", 2, distinct=False)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("c12"))
+    )
+    top = (
+        bcnt.orderBy(F.desc("c12"), F.asc("g"))
+        .limit(PMI_TOP)
+        .select(
+            F.col("g").alias("bigram"),
+            "c12",
+            F.split(F.col("g"), " ").getItem(0).alias("tok1"),
+            F.split(F.col("g"), " ").getItem(1).alias("tok2"),
+        )
+    )
+    u1 = uni.select(F.col("tok").alias("tok1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("tok2"), F.col("c").alias("c2"))
+    return (
+        top.join(F.broadcast(u1), "tok1")
+        .join(F.broadcast(u2), "tok2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                1000000
+                * F.log(
+                    (F.col("c12").cast("double") * F.col("t_tok") * F.col("t_tok"))
+                    / (F.col("t_big").cast("double") * F.col("c1") * F.col("c2"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_q6"),
+        )
+    )

@@ -1,0 +1,153 @@
+"""Graph analytics over the relational backbone — round-10 prebuild.
+
+NOT registered yet: the round-8 window is full and the seven round-9
+slots are pre-earned (SURVEY §9); this module is the first of the ~3
+round-10 free slots. Parity lives in tests/test_prebuilt_r9.py until
+registration (same mechanics as the round-8 folds).
+
+The reference app has no graph operators at all; a corpus/provenance
+platform at 100 TB needs at least one iterative graph primitive beyond
+connected components (operators/dedup.py has large-star/small-star CC).
+PageRank is the canonical one, and the repo convention makes it
+oracle-checkable: EVERY iteration boundary is integer arithmetic
+(rank quantized to q6; per-edge contribution FLOOR(rq/deg); damped
+update 150000 + FLOOR(0.85 * sum)), so a fixed-iteration run is
+bit-identical between Spark and an unrolled DuckDB CTE chain — no
+float accumulation ever crosses an aggregation.
+
+Graph: the customer→supplier purchase graph (distinct (o_custkey,
+l_suppkey) pairs through orders ⋈ lineitem), made BIDIRECTIONAL so no
+node is dangling (every node with an edge has out-degree ≥ 1 — the
+usual trick for co-purchase graphs; dangling-mass redistribution would
+add a second exchange per iteration for no fixture value). Node ids
+are namespaced into one integer key space: customer c → 10c,
+supplier s → 10s + 1.
+
+Scale shape: one distinct-pair aggregation builds the edge list (the
+only corpus-sized shuffle), then each iteration is one hash join of
+the rank table onto the persisted edge list plus one groupBy(dst) —
+the textbook distributed PageRank step. Rank tables are |V| rows.
+Exactness window: per-node incoming contribution sums stay exact while
+total rank mass (≈ |V|·1e6) < 2^53, i.e. |V| < ~9e9 nodes; beyond
+that, re-scale the quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.sources.tables import load_tables
+
+PR_ITERS = 3
+PR_DAMP_Q6 = 850_000  # 0.85 in q6 — documented; the update uses 0.85 below
+PR_TOP = 20
+
+_PR_EDGES_CTE = """
+e0 AS (
+    SELECT DISTINCT o.o_custkey * 10 AS src, l.l_suppkey * 10 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)
+"""
+
+
+def _pr_iter_cte(prev: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT e.dst AS node,
+           CAST(150000 + FLOOR(0.85 * CAST(sum(
+               CAST(FLOOR(CAST(r.rq AS DOUBLE) / d.d) AS BIGINT)
+           ) AS DOUBLE)) AS BIGINT) AS rq
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY 1
+)"""
+
+
+def _pr_oracle() -> str:
+    its = ",\n".join(
+        _pr_iter_cte(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS)
+    )
+    return f"""
+WITH {_PR_EDGES_CTE},
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rq FROM deg),
+{its}
+SELECT CAST((r.node - 1) // 10 AS BIGINT) AS s_suppkey,
+       r.rq AS rank_q6, d.d AS degree
+FROM r{PR_ITERS} r JOIN deg d ON d.src = r.node
+WHERE r.node % 10 = 1
+ORDER BY r.rq DESC, s_suppkey ASC
+LIMIT {PR_TOP}
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP} suppliers by PageRank on the bidirectional purchase
+    graph after PR_ITERS exact-integer iterations. The edge list (with
+    degrees attached) persists once; each iteration is one shuffle join
+    on the node key + one groupBy(dst) — no driver-side graph state, no
+    collect. Reference parity target: none (capability beyond the
+    reference; SURVEY §2.7 relational-gap note)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    def build_edges():
+        t = load_tables(spark, sf_dir, "orders", "lineitem")
+        e0 = (
+            t["orders"]
+            .join(
+                t["lineitem"],
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                (F.col("o_custkey") * 10).alias("src"),
+                (F.col("l_suppkey") * 10 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return e0.unionByName(rev)
+
+    edges = memo_persist(spark, ("pagerank_edges", sf_dir), build_edges)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src")  # (src, dst, d)
+
+    rank = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rq")
+    )
+    for _ in range(PR_ITERS):
+        contrib = ed.join(rank, ed["src"] == rank["node"]).select(
+            "dst",
+            F.floor(F.col("rq").cast("double") / F.col("d"))
+            .cast("long")
+            .alias("c"),
+        )
+        rank = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(150_000)
+                    + F.floor(0.85 * F.col("s").cast("double")).cast("long")
+                )
+                .cast("long")
+                .alias("rq"),
+            )
+        )
+    return (
+        rank.filter(F.col("node") % 10 == 1)
+        .join(deg, rank["node"] == deg["src"])
+        .select(
+            F.expr("CAST((node - 1) DIV 10 AS BIGINT)").alias("s_suppkey"),
+            F.col("rq").alias("rank_q6"),
+            F.col("d").alias("degree"),
+        )
+        .orderBy(F.desc("rank_q6"), F.asc("s_suppkey"))
+        .limit(PR_TOP)
+    )

@@ -1036,3 +1036,105 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cq").cast("long").alias("min_cos_q6"),
         F.max("cq").cast("long").alias("max_cos_q6"),
     )
+
+
+# --- round-10 prebuild (NOT registered: r8 window full, r9 slots pre-earned) --
+# ANN quality evaluation: recall@K of the IVF tier (q2_ann's exact plan
+# shape) against the exact top-K (q1's, threshold disabled), per query —
+# the metric an operator watches when tuning n_probe / list count. The
+# fixture number (~0.31 at 2/10 random cells) is documented on q2_ann and
+# pinned in tests/test_ann_recall.py; this makes the measurement itself a
+# driver-checkable query instead of test-only evidence.
+
+_Q18_ORACLE = (
+    _NORM_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {NQ}),
+ex AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_sum(list_transform(c.v, (x, i) -> x * q.qv[i]))
+                            DESC, c.vec_id ASC) AS rank
+        FROM c CROSS JOIN q)
+    WHERE rank <= {K}
+),
+expl AS (
+    SELECT label, unnest(list_transform(v, (x, i) -> {{'i': i, 'x': x}})) AS s FROM c
+),
+cent AS (SELECT label, s.i AS i, avg(s.x) AS x FROM expl GROUP BY label, s.i),
+centroids AS (SELECT label, list(x ORDER BY i) AS centroid FROM cent GROUP BY label),
+probes AS (
+    SELECT query_id, label FROM (
+        SELECT q.query_id, cn.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_sum(list_transform(q.qv,
+                            (x, i) -> x * cn.centroid[i])) DESC,
+                            cn.label ASC) AS prank
+        FROM q CROSS JOIN centroids cn)
+    WHERE prank <= {N_PROBE}
+),
+ann AS (
+    SELECT query_id, vec_id FROM (
+        SELECT p.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_sum(list_transform(c.v, (x, i) -> x * q.qv[i]))
+                            DESC, c.vec_id ASC) AS rank
+        FROM probes p JOIN c ON c.label = p.label
+        JOIN q ON q.query_id = p.query_id)
+    WHERE rank <= {K}
+),
+hits AS (
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM ex e JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY 1
+),
+base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1)
+SELECT b.query_id, b.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(round(1000000.0 * coalesce(h.n_hit, 0) / b.n_exact) AS BIGINT)
+           AS recall_q6
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
+)
+
+
+def q18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{K} of the IVF probe against exact search. Both
+    arms are the existing operators (topk_cosine with the threshold
+    disabled; ivf_topk at the q2 settings); the comparison itself is one
+    id-key join of two K·|queries|-row tables — the corpus cost is the
+    two search arms, each already probed at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = topk_cosine(
+        emb.select("vec_id", "embedding"), queries, k=K, threshold=-2.0
+    ).select("query_id", "vec_id")
+    ann = ivf_topk(
+        emb.select("vec_id", "label", "embedding"),
+        queries,
+        k=K,
+        n_probe_labels=N_PROBE,
+    ).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return base.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            1000000.0
+            * F.coalesce("n_hit", F.lit(0))
+            / F.col("n_exact")
+        )
+        .cast("long")
+        .alias("recall_q6"),
+    )

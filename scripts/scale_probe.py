@@ -203,8 +203,22 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
         }
     )
     pq.write_table(li, f"{out_dir}/lineitem.parquet")
+
+    # Minimal orders at 10x sf0.1 (1.5M rows over 150k customers — just
+    # the join keys the purchase-graph probe touches). Written LAST: it
+    # is the completeness sentinel in main().
+    n_ord = 1_500_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, 150_000, size=n_ord), pa.int64()
+            ),
+        }
+    )
+    pq.write_table(orders, f"{out_dir}/orders.parquet")
     print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs / {n_ev} events "
-          f"/ {n_li} lineitem in {out_dir}", file=sys.stderr)
+          f"/ {n_li} lineitem / {n_ord} orders in {out_dir}", file=sys.stderr)
 
 
 # Non-registered operators probed alongside the registry queries (the
@@ -241,6 +255,8 @@ def _prebuilt_r9(name):
             vector_q,
         )
 
+        from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q
+
         fns = {
             "a26_props_profile": analytics_q.a26_props_profile,
             "a27_value_mad": analytics_q.a27_value_mad,
@@ -248,6 +264,10 @@ def _prebuilt_r9(name):
             "src_overlap_matrix": dedup_q.src_overlap_matrix,
             "m11_contamination_diff": mutations_q.m11_contamination_diff,
             "tok_source_budget": selection_q.tok_source_budget,
+            # round-10 prebuilds (same hygiene: probed the session written)
+            "graph_pagerank": graph_q.graph_pagerank,
+            "ta_pmi_collocations": corpus_q.ta_pmi_collocations,
+            "q18_ann_recall": vector_q.q18_ann_recall,
         }
         return fns[name](spark, sf_dir)
 
@@ -266,6 +286,9 @@ EXTRA_PROBES = {
             "src_overlap_matrix",
             "m11_contamination_diff",
             "tok_source_budget",
+            "graph_pagerank",
+            "ta_pmi_collocations",
+            "q18_ann_recall",
         )
     },
 }
@@ -326,8 +349,8 @@ def main() -> int:
     if unknown:
         # Fail in milliseconds, not after minutes of corpus generation.
         ap.error(f"unknown --queries names: {unknown} (choose from PROBE_QUERIES)")
-    # lineitem is the newest generated table — its presence implies all.
-    if not os.path.exists(f"{args.sf1_dir}/lineitem.parquet"):
+    # orders is the last-written table — its presence implies all.
+    if not os.path.exists(f"{args.sf1_dir}/orders.parquet"):
         generate(args.sf1_dir)
 
     t01 = time_queries(SF01, names)
@@ -344,9 +367,9 @@ def main() -> int:
 
     if args.wide_vocab:
         wide_dir = f"{args.sf1_dir}_wide{args.wide_vocab}"
-        # Same sentinel as the sf1 dir: lineitem is written LAST, so its
+        # Same sentinel as the sf1 dir: orders is written LAST, so its
         # presence implies a complete generation.
-        if not os.path.exists(f"{wide_dir}/lineitem.parquet"):
+        if not os.path.exists(f"{wide_dir}/orders.parquet"):
             generate(wide_dir, wide_vocab=args.wide_vocab)
         tw = time_queries(wide_dir, names)
         out["wide_vocab"] = {

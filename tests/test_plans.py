@@ -303,3 +303,27 @@ def test_prebuilt_r9_plan_shapes(spark):
     p = _fn_plan(spark, src_overlap_matrix)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_prebuilt_r10_plan_shapes(spark):
+    """Round-10 prebuilds: PageRank's edge list is planned once
+    (InMemoryRelation) and the top-20 is TakeOrdered, never a global
+    sort; PMI's top-K selection is TakeOrdered on the integer count with
+    no Python eval; the recall query's two search arms both pre-truncate
+    through WindowGroupLimit."""
+    from koby_s_ai_vector_db_spark.queries.corpus_q import ta_pmi_collocations
+    from koby_s_ai_vector_db_spark.queries.graph_q import graph_pagerank
+    from koby_s_ai_vector_db_spark.queries.vector_q import q18_ann_recall
+
+    p = _fn_plan(spark, graph_pagerank)
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, "edge list must be persisted"
+    assert "TakeOrderedAndProject" in p
+
+    p = _fn_plan(spark, ta_pmi_collocations)
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _fn_plan(spark, q18_ann_recall)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

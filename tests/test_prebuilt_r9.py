@@ -37,6 +37,19 @@ def _prebuilt():
          mutations_q._m11_oracle()),
         ("tok_source_budget", selection_q.tok_source_budget,
          selection_q._tokb_oracle()),
+    ] + _prebuilt_r10()
+
+
+def _prebuilt_r10():
+    # Round-10 candidates (SURVEY §9): built early because the r9 slots
+    # are already pre-earned; same mechanics.
+    from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q, vector_q
+
+    return [
+        ("graph_pagerank", graph_q.graph_pagerank, graph_q._pr_oracle()),
+        ("ta_pmi_collocations", corpus_q.ta_pmi_collocations,
+         corpus_q._PMI_ORACLE),
+        ("q18_ann_recall", vector_q.q18_ann_recall, vector_q._Q18_ORACLE),
     ]
 
 
@@ -260,3 +273,99 @@ def test_src_overlap_disjoint_sources_emit_no_pair(spark, tmp_path):
     }
     assert set(out) == {("srcA", "srcB")}
     assert out[("srcA", "srcB")]["jaccard_q6"] == 1_000_000
+
+
+def test_graph_pagerank_matches_bruteforce(spark, tmp_path):
+    """Spark PageRank vs a Python brute force of the SAME integer
+    recurrence on a small controlled graph (star + chain), including the
+    bidirectional edge construction and node namespacing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from koby_s_ai_vector_db_spark.queries.graph_q import (
+        PR_ITERS,
+        graph_pagerank,
+    )
+
+    # customer c buys from suppliers: c1->{s1,s2,s3}, c2->{s1}, c3->{s1}
+    pairs = [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in pairs], pa.int64()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+
+    import math
+
+    edges = [(c * 10, s * 10 + 1) for c, s in pairs]
+    edges += [(d, s) for s, d in edges]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rq = {n: 1_000_000 for n in deg}
+    for _ in range(PR_ITERS):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + math.floor(rq[s] / deg[s])
+        rq = {n: 150_000 + math.floor(0.85 * v) for n, v in inc.items()}
+    expect = {
+        (n - 1) // 10: (r, deg[n]) for n, r in rq.items() if n % 10 == 1
+    }
+
+    got = {
+        r["s_suppkey"]: (r["rank_q6"], r["degree"])
+        for r in graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    # hub supplier s1 (degree 3) must outrank the leaves
+    assert got[1][0] > got[2][0] == got[3][0]
+
+
+def test_q18_recall_is_one_when_probe_covers_all(spark, tmp_path):
+    """With a single IVF cell the probe covers the whole corpus, so ANN
+    results equal exact results and recall@K is exactly 1.0 per query."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from koby_s_ai_vector_db_spark.queries.vector_q import q18_ann_recall
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((40, 64)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+            "label": pa.array([0] * 40, pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    rows = q18_ann_recall(spark, str(tmp_path)).collect()
+    assert rows
+    assert all(r["recall_q6"] == 1_000_000 for r in rows), rows
+
+
+def test_pmi_known_value(spark, tmp_path):
+    """A corpus where 'aa bb' always co-occurs: PMI must equal the exact
+    closed form computed in Python on the same integer counts."""
+    import math
+
+    from koby_s_ai_vector_db_spark.queries.corpus_q import ta_pmi_collocations
+
+    rows = [(i, "aa bb cc", "en", "src0") for i in range(10)]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["bigram"]: r for r in ta_pmi_collocations(spark, sf).collect()}
+    # counts: T=30 tokens, B=20 bigrams, c('aa bb')=10, c(aa)=c(bb)=10
+    exp = round(1_000_000 * math.log((10.0 * 30 * 30) / (20.0 * 10 * 10)))
+    assert out["aa bb"]["pmi_q6"] == exp
+    assert out["aa bb"]["c12"] == 10
