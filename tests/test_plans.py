@@ -327,3 +327,18 @@ def test_prebuilt_r10_plan_shapes(spark):
     p = _fn_plan(spark, q18_ann_recall)
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_hard_negative_bnlj_builds_bounded_side(spark):
+    """VERDICT r07 watch item: mine_hard_negatives is the repo's one
+    intentional all-pairs BroadcastNestedLoopJoin — safe ONLY while the
+    broadcast (build) side is the pinned 8-query-vector table. Pin that:
+    exactly one BNLJ, BuildRight, and the build side (the second/last
+    scan in the join's text) carries the vec_id < 8 pushdown. A swap of
+    the build side flips BuildRight or moves the bounded filter off the
+    last scan."""
+    p = _plan(spark, "mine_hard_negatives")
+    assert p.count("BroadcastNestedLoopJoin") == 1, p.splitlines()[0]
+    assert "BroadcastNestedLoopJoin BuildRight" in p
+    scans = _scan_lines(p)
+    assert scans and "< 8)" in scans[-1], scans
