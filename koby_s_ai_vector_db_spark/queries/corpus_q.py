@@ -664,3 +664,47 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_q6"),
         )
     )
+
+
+# --- round-11 fold target (NOT registered) -----------------------------------
+# SURVEY §9 fold ladder step 2: when a post-saturation round needs a free
+# slot, ngram_contamination + ngram_contamination_13 fold into THIS single
+# query (an `n` width column; net −1 slot). Built and parity-checked
+# ahead of time so the fold is mechanical: it is literally the union of
+# the two registered queries (same functions called, same oracle strings
+# interpolated), so the fold provably changes packaging, not values. The
+# n=3 distinct-shingle tier has no positional fraction — sentinel −1.0.
+
+_CONTAM_BOTH_ORACLE = f"""
+SELECT CAST(3 AS BIGINT) AS n, doc_id, bench_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(-1.0 AS DOUBLE) AS contaminated_frac
+FROM ({_CONTAM_ORACLE})
+UNION ALL
+SELECT CAST(13 AS BIGINT) AS n, doc_id, bench_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(contaminated_frac AS DOUBLE) AS contaminated_frac
+FROM ({_CONTAM13_ORACLE})
+"""
+
+
+def ngram_contamination_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both decontamination widths in one result, tagged by `n`. Calls
+    the two registered query functions and unions — one extra union node,
+    zero new operator code, so a value regression in either width fails
+    this exactly as it fails the standalone queries."""
+    a = ngram_contamination_q(spark, sf_dir).select(
+        F.lit(3).cast("long").alias("n"),
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.lit(-1.0).cast("double").alias("contaminated_frac"),
+    )
+    b = ngram_contamination_13_q(spark, sf_dir).select(
+        F.lit(13).cast("long").alias("n"),
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("contaminated_frac").cast("double").alias("contaminated_frac"),
+    )
+    return a.unionByName(b)

@@ -369,3 +369,33 @@ def test_pmi_known_value(spark, tmp_path):
     exp = round(1_000_000 * math.log((10.0 * 30 * 30) / (20.0 * 10 * 10)))
     assert out["aa bb"]["pmi_q6"] == exp
     assert out["aa bb"]["c12"] == 10
+
+
+# --- round-11 fold preparation (SURVEY §9 fold ladder) ------------------------
+
+
+def test_contamination_both_matches_oracle(spark, duck):
+    """The r11 fold target: both widths in one query, oracle = union of
+    the two registered oracle strings (byte-reused)."""
+    from koby_s_ai_vector_db_spark.queries import corpus_q
+
+    register_views(duck, SF_DIR)
+    assert_matches_oracle(
+        corpus_q.ngram_contamination_both(spark, SF_DIR),
+        duck,
+        corpus_q._CONTAM_BOTH_ORACLE,
+    )
+
+
+def test_a5_is_strict_projection_of_a6(spark):
+    """SURVEY §9 fold ladder step 1 evidence: a5_live_users' single value
+    equals a6_session_stats' live_users column — the same strict-
+    projection relationship that justified the executed q8/q9 folds."""
+    from koby_s_ai_vector_db_spark.queries.analytics_q import (
+        a5_live_users,
+        a6_session_stats,
+    )
+
+    (a5,) = a5_live_users(spark, SF_DIR).collect()
+    (a6,) = a6_session_stats(spark, SF_DIR).collect()
+    assert a5["live_users"] == a6["live_users"]
