@@ -487,6 +487,7 @@ GROUP BY event_type
 """
 
 
+@register("a26_props_profile", _A26_ORACLE)
 def a26_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type profile of the JSON `props` payload: parse stays inside
     whole-stage codegen (get_json_object, no Python), rows collapse map-side
@@ -586,6 +587,7 @@ def _rank_median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
     )
 
 
+@register("a27_value_mad", _A27_ORACLE)
 def a27_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD anomaly report per event_type on the quantized value
     column: two histogram-median passes (each a small-key aggregate plus a

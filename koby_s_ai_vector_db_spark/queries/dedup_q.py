@@ -926,6 +926,7 @@ JOIN sizes sb ON p.src_b = sb.source
 """
 
 
+@register("src_overlap_matrix", _SRC_OVERLAP_ORACLE)
 def src_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-level 3-gram Jaccard. Plan: shingle explode →
     DISTINCT (source, gram) postings (ONE corpus shuffle, map-side

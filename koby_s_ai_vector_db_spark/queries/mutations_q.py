@@ -532,6 +532,7 @@ FROM agg_delta d LEFT JOIN agg_pairs p USING (status)
 """
 
 
+@register("m11_contamination_diff", _m11_oracle())
 def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-only decontamination: m8's digest join finds added/changed
     docs (text never shuffles — only 32-char digests), then ONLY those

@@ -170,6 +170,7 @@ LIMIT 10
 """
 
 
+@register("rel_shipping_priority", _REL_SHIP_PRIO)
 def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: both date filters push into the parquet scans, the
     segment-filtered customer key set joins orders (AQE picks broadcast at

@@ -528,6 +528,7 @@ def _tokb_budget_col(src_col: str):
     return col.otherwise(0).cast("long")
 
 
+@register("tok_source_budget", _tokb_oracle())
 def tok_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe greedy-prefix selection: the oracle's per-source window
     cumsum would be |sources| tasks each sorting its whole source at

@@ -977,6 +977,7 @@ GROUP BY c.label
 """
 
 
+@register("emb_label_centroids", _EMB_CENT_ORACLE)
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + cosine-to-centroid dispersion. Plan: one
     posexplode aggregate to (label, dim) sums (64·|labels| keys, map-side

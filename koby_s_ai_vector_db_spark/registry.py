@@ -50,53 +50,42 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-8 window: with CORRECTNESS_r07 landed, the union checked this
-# round is r06 ∪ r07 (95 distinct names), which displaces the entire
-# r04 record at once. The 49 names below are exactly
-# (registered − r06 − r07), i.e. every query whose last external check
-# was r04 — all MANDATORY, minus the three consolidation folds executed
-# this round (SURVEY §9 candidates, noted in §8):
-#   - a7_activity_breakdown → folded into the a7 family (function +
-#     pytest parity retained; unregistered);
-#   - q8_faiss_quality / q9_contribution_quality → strict projections of
-#     q7_fusion, which hash-checks both quality columns (unregistered);
-#   - q2_ann_pq / q2_ann_ivfpq inline tiers → the persisted
-#     q2_ann_pq_idx / q2_ann_ivfpq_idx twins share the SAME oracles and
-#     are the documented production path (unregistered).
-# q8/q9 were r07-green so their fold frees no r8 slot; the other three
-# were in the mandatory set, leaving 46 mandatory + 4 free slots for
-# round-8 work (each new/edited-oracle query appended below as it lands).
+# Round-9 window: with CORRECTNESS_r08 landed (committed in f7342e2),
+# the union checked this round is r07 ∪ r08 (100 distinct names), which
+# displaces the entire r06 record at once. The 43 names below are
+# exactly (registered − r07 − r08), i.e. every query whose last external
+# check was r06 — all MANDATORY (SURVEY §9 enumerated them in advance;
+# the rotation test's r8-tree failure message listed the same 43).
+# The remaining 7 slots are the seven pre-earned round-8 prebuilds
+# (implemented + DuckDB-oracled + plan-pinned + sf1-probed last round,
+# registration deferred because the r8 window was full).
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Mandatory: last externally checked in r04 (displaced when r07 landed)
-    "a1_doc_summary", "a2_contribution_analytics", "a3_top_rated",
-    "a4_recent_qa", "a5_live_users", "a5_sliding_live_users",
-    "a6_session_stats", "a6_session_windows", "a7_user_activity",
-    "a9_pending_count", "a10_recent_users", "a11_active_sessions",
-    "curate_corpus", "dedup_groups", "dedup_minhash_lsh", "knn_self_join",
-    "m4_terminate_session", "m5_gc_sessions", "m6_flip_catalog_status",
-    "m7_sessions_from_events", "q1_topk_cosine", "q2_ann",
-    "q3_contribution_search", "q4_keyword_search", "q5_ilike_pagination",
-    "q6_session_search", "q15_image_search", "rel_pricing_summary",
-    "rel_revenue_by_nation", "rel_top_parts_by_brand", "rollup_events",
-    "s1_scan", "s2_extract_join", "s3_extract_pages", "s6_upload_catalog",
-    "s8_ingest", "s9_upsert_users", "t2_embed", "t3_normalize",
-    "t5_preview", "t6_validate", "t7_sanitize", "ta_lang_id",
-    "ta_quality_score", "u2_nokey_answer", "u4_image_answer",
-    # Round-8 slots (new queries / edited-oracle re-earns land here)
-    # emb_quality_report: r07-green, but its oracle was edited this round
-    # (quantization order fix, ADVICE r07) — edited oracle re-earns.
-    "emb_quality_report",
-    # pack_bestfit_audit: NEW — the hash-checked audit arm for the
-    # rows-only BFD packing (VERDICT r07 item 3).
-    "pack_bestfit_audit",
-    # emb_decontaminate: NEW — embedding-space eval-leakage check
-    # (VERDICT r07 item 5).
-    "emb_decontaminate",
-    # a25_kmv_synopsis: NEW — batch twin of the streaming KMV synopsis
-    # (VERDICT r07 item 4); stream ≡ batch proven in tests.
-    "a25_kmv_synopsis",
+    # Mandatory: last externally checked in r06 (displaced when r08 landed)
+    "a14_value_quantiles", "a15_funnel", "a16_retention",
+    "a17_hll_distinct", "a18_heavy_hitters", "a19_click_attribution",
+    "a21_zorder_stats", "asof_enrich_events", "bm25_rank", "bm25_rank_idx",
+    "bpe_encode", "bpe_train", "ccnet_ppl_buckets", "curate_corpus_bm25",
+    "dedup_incremental", "dedup_simhash", "dedup_sketch_stream",
+    "dedup_substring", "dedup_tfidf_cosine", "dsir_sample", "dsir_score",
+    "emb_pca_project", "hybrid_rrf", "m8_snapshot_diff",
+    "m9_snapshot_drift", "ngram_contamination", "ngram_contamination_13",
+    "pack_sequences", "q12_context_assembly", "q16_mmr_rerank",
+    "q2_ann_ivf_idx", "q2_ann_ivfpq_idx", "q2_ann_pq_idx",
+    "range_session_assign", "sample_fixed_k", "sample_weighted_k",
+    "stratified_sample", "t1_chunker", "ta_gopher_repetition",
+    "ta_pii_scrub", "ts_gapfill", "vocab_stats", "vocab_zipf",
+    # Round-9 slots: the seven pre-earned late-round-8 prebuilds
+    # (SURVEY §9 list; parity rows lived in tests/test_prebuilt_r9.py
+    # until registration — test_oracle_parity auto-covers them now).
+    "rel_shipping_priority",
+    "a26_props_profile",
+    "a27_value_mad",
+    "emb_label_centroids",
+    "src_overlap_matrix",
+    "m11_contamination_diff",
+    "tok_source_budget",
 ]
 
 

@@ -1,8 +1,13 @@
-"""Round-9 prebuilt queries: implemented + oracle-checked THIS round, but
-not registered — the round-8 verification window is full (SURVEY §9). The
-@register decorations land in round 9's free slots; until then this module
-keeps the seven capabilities parity-checked every pytest run (the same
-mechanics that guard the round-8 consolidation folds)."""
+"""Round-10 prebuilt queries: implemented + oracle-checked in late round
+8, but not yet registered — the round-9 verification window is full
+(SURVEY §9). The @register decorations land in round 10's free slots;
+until then this module keeps the capabilities parity-checked every pytest
+run (the same mechanics that guard the consolidation folds).
+
+The seven round-9 prebuilds that used to live here (rel_shipping_priority,
+a26_props_profile, a27_value_mad, emb_label_centroids, src_overlap_matrix,
+m11_contamination_diff, tok_source_budget) were registered in round 9 —
+test_oracle_parity now auto-covers them via the registry."""
 
 from __future__ import annotations
 
@@ -14,30 +19,7 @@ SF_DIR = SF_DIRS["t2"]
 
 
 def _prebuilt():
-    from koby_s_ai_vector_db_spark.queries import (
-        analytics_q,
-        dedup_q,
-        mutations_q,
-        relational_q,
-        selection_q,
-        vector_q,
-    )
-
-    return [
-        ("rel_shipping_priority", relational_q.rel_shipping_priority,
-         relational_q._REL_SHIP_PRIO),
-        ("a26_props_profile", analytics_q.a26_props_profile,
-         analytics_q._A26_ORACLE),
-        ("a27_value_mad", analytics_q.a27_value_mad, analytics_q._A27_ORACLE),
-        ("emb_label_centroids", vector_q.emb_label_centroids,
-         vector_q._EMB_CENT_ORACLE),
-        ("src_overlap_matrix", dedup_q.src_overlap_matrix,
-         dedup_q._SRC_OVERLAP_ORACLE),
-        ("m11_contamination_diff", mutations_q.m11_contamination_diff,
-         mutations_q._m11_oracle()),
-        ("tok_source_budget", selection_q.tok_source_budget,
-         selection_q._tokb_oracle()),
-    ] + _prebuilt_r10()
+    return _prebuilt_r10()
 
 
 def _prebuilt_r10():
