@@ -402,10 +402,14 @@ def fuzzy_edit_pairs_blocked(
         .distinct()
     )
     # cand is hamming-filtered (bounded by true near-dups + residual
-    # FPs), so it broadcasts; the text sides are spread so the verify's
-    # levenshtein work distributes even from a single-file source.
+    # FPs), so it broadcasts; BOTH text sides are spread (ADVICE r08):
+    # the bounded cand⋈da result is small enough that AQE may broadcast
+    # it, which would make db the stream side of the second join — and
+    # an unspread single-file db would then run the levenshtein verify
+    # in one task. Spreading db keeps the verify distributed whichever
+    # side AQE picks.
     da = spread(d_all).select(F.col("id").alias("a"), F.col("txt").alias("ta"))
-    db = d_all.select(F.col("id").alias("b"), F.col("txt").alias("tb"))
+    db = spread(d_all).select(F.col("id").alias("b"), F.col("txt").alias("tb"))
     return (
         F.broadcast(cand)
         .join(da, "a")

@@ -32,6 +32,18 @@ TABLES = (
 NOW_TS = "2024-01-25 12:00:00"
 
 
+# DataFrame memo per (application, sf_dir, name): every spark.read.parquet
+# call re-lists files and re-infers schema (a driver-side "parquet at"
+# job per call), and a full registry build touches the same ten fixture
+# tables hundreds of times. Fixture dirs are write-once (driver fixtures
+# are read-only; test tmp dirs are written once before first load), so
+# the cached DataFrame's file listing never goes stale. Keyed by
+# application id like functions/caching.py, so a fresh session never
+# sees entries from a stopped one. No .persist() — this caches the plan
+# object, not data.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet → pushdown/pruning-capable scan.
 
@@ -44,6 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     way. The conf is runtime-settable, so this works under the driver's
     own SparkSession too.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    _TABLE_MEMO[key] = df = _read_table(spark, sf_dir, name)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -242,10 +242,13 @@ def _exact_fuzzy(spark, sf_dir):
 
 
 def _prebuilt_r9(name):
-    # Round-9 prebuilds (unregistered until the r9 rotation): probed at
+    # Round-9 prebuilds (registered in the r9 rotation): probed at
     # sf1 the session they were written, per SURVEY §9 probe hygiene.
     # rel_shipping_priority is excluded — the generated probe corpus
-    # carries only a minimal 3-column lineitem (no orders/customer).
+    # now carries minimal lineitem + orders tables, but still no
+    # customer table and no order/ship date columns, which that query
+    # filters on. Its scale shape is plan-pinned instead
+    # (tests/test_plans.py).
     def fn(spark, sf_dir):
         from koby_s_ai_vector_db_spark.queries import (
             analytics_q,

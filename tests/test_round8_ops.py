@@ -156,9 +156,12 @@ def test_decontaminate_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_emb_quality_report_handles_non_unit_norms(spark):
+def test_emb_quality_report_shape_on_fixture(spark):
     """End-to-end shape check of the hygiene report on the driver fixture
-    (all unit-norm): p50/min/max must equal 1e6 and sum = n_vecs * 1e6."""
+    (all unit-norm): p50/min/max must equal 1e6 and sum = n_vecs * 1e6.
+    The actual non-unit-norm quantization coverage lives in
+    test_norm_quantization_matches_duckdb_on_non_unit_vectors (ADVICE
+    r08: the old name promised what the fixture cannot supply)."""
     rows = _q("emb_quality_report")(spark, SF).collect()
     assert rows
     for r in rows:
