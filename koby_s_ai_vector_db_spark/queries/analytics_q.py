@@ -135,7 +135,13 @@ WHERE ts >= {NOW} - INTERVAL 30 MINUTE AND ts <= {NOW}
 """
 
 
-@register("a5_live_users", _A5_ORACLE)
+# Folded round 9 (SURVEY §9 ladder step 1): a5 is a strict projection of
+# a6_session_stats' hash-checked live_users column, so its window slot
+# folds into a6 (the q8/q9 precedent). Unregistered; the function, its
+# oracle, and the projection equality stay pytest-checked
+# (test_oracle_parity::test_folded_query_matches_oracle and
+# test_prebuilt_r9::test_a5_is_strict_projection_of_a6). The 30-min
+# STREAMING window twin a5_sliding_live_users remains registered.
 def a5_live_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (session_utils.py:193-211): distinct users in the last 30 min."""
     return live_users(_events(spark, sf_dir))

@@ -312,7 +312,9 @@ GROUP BY tid, bid, n_g
 """
 
 
-@register("ngram_contamination_13", _CONTAM13_ORACLE)
+# Folded round 9 into ngram_contamination_both (SURVEY §9 ladder step 2):
+# unregistered, but the function and its oracle stay parity-checked every
+# pytest run (tests/test_oracle_parity.py::test_folded_query_matches_oracle).
 def ngram_contamination_13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram sliding-window decontamination (the published-pipeline n)
     against a planted eval set: first-20-word excerpts of every 37th doc.
@@ -330,7 +332,7 @@ def ngram_contamination_13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination_sliding(docs, bench, n=CONTAM13_N)
 
 
-@register("ngram_contamination", _CONTAM_ORACLE)
+# Folded round 9 into ngram_contamination_both (see above).
 def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag train docs sharing ≥1 word 3-gram
     with any benchmark doc. Shingle-postings equi-join against the
@@ -666,14 +668,13 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round-11 fold target (NOT registered) -----------------------------------
-# SURVEY §9 fold ladder step 2: when a post-saturation round needs a free
-# slot, ngram_contamination + ngram_contamination_13 fold into THIS single
-# query (an `n` width column; net −1 slot). Built and parity-checked
-# ahead of time so the fold is mechanical: it is literally the union of
-# the two registered queries (same functions called, same oracle strings
-# interpolated), so the fold provably changes packaging, not values. The
-# n=3 distinct-shingle tier has no positional fraction — sentinel −1.0.
+# --- fold ladder step 2, EXECUTED round 9 (SURVEY §9 → §8) -------------------
+# ngram_contamination + ngram_contamination_13 fold into THIS single query
+# (an `n` width column; net −1 slot, which funded bpe_audit). It is
+# literally the union of the two formerly-registered queries (same
+# functions called, same oracle strings interpolated), so the fold
+# provably changes packaging, not values. The n=3 distinct-shingle tier
+# has no positional fraction — sentinel −1.0.
 
 _CONTAM_BOTH_ORACLE = f"""
 SELECT CAST(3 AS BIGINT) AS n, doc_id, bench_id,
@@ -688,6 +689,7 @@ FROM ({_CONTAM13_ORACLE})
 """
 
 
+@register("ngram_contamination_both", _CONTAM_BOTH_ORACLE)
 def ngram_contamination_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both decontamination widths in one result, tagged by `n`. Calls
     the two registered query functions and unions — one extra union node,

@@ -715,7 +715,42 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sa = src.select(F.col("doc_id").alias("base_a"), F.col("source").alias("sa"))
+    # Modular attribution is only sound while base ids stay below the
+    # planted-id offset — fail loudly the day a scale factor crosses it
+    # (ADVICE r07/r08). The guard is IN the plan (lazy — plan-only
+    # sweeps and registry enumeration stay action-free): a filtered
+    # 1-row max(doc_id) aggregate unions a raise_error row into the
+    # SMALL broadcast attribution side, so it evaluates when the
+    # broadcast builds — on EVERY execution, even when misattribution
+    # would empty the joins — and in the healthy path contributes zero
+    # rows (base_a = -1 could never match anyway). Deliberately NOT a
+    # union over the final output: wrapping the memoized MinHash
+    # subtree in a Union defeats CacheManager substitution of the
+    # persisted shingle table (measured 28× at sf1, PLANS_r09 note);
+    # unioning only the src-side scan leaves the cached subtree alone.
+    guard_row = (
+        src.agg(F.max("doc_id").alias("_max_doc_id"))
+        .where(F.col("_max_doc_id") >= PLANT_OFFSET)
+        .select(
+            F.lit(-1).cast("long").alias("base_a"),
+            F.raise_error(
+                F.concat(
+                    F.lit("dedup_source_matrix: max(documents.doc_id)="),
+                    F.col("_max_doc_id").cast("string"),
+                    F.lit(
+                        f" >= PLANT_OFFSET={PLANT_OFFSET}; planted-id "
+                        "modular attribution would misattribute sources "
+                        "— raise PLANT_OFFSET"
+                    ),
+                )
+            )
+            .cast("string")
+            .alias("sa"),
+        )
+    )
+    sa = src.select(
+        F.col("doc_id").alias("base_a"), F.col("source").alias("sa")
+    ).unionByName(guard_row)
     sb = src.select(F.col("doc_id").alias("base_b"), F.col("source").alias("sb"))
     agg = (
         pairs.withColumn("base_a", F.col("doc_id_a") % PLANT_OFFSET)
@@ -735,39 +770,7 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_jac_q6"),
         )
     )
-    # Modular attribution is only sound while base ids stay below the
-    # planted-id offset — fail loudly the day a scale factor crosses it
-    # (ADVICE r07/r08). The guard is IN the plan (lazy — plan-only
-    # sweeps and registry enumeration stay action-free): a 1-row
-    # max(doc_id) aggregate unions a raise_error row into the output
-    # ONLY when the offset is crossed, so it executes with the query
-    # even when misattribution would empty the attribution joins
-    # (a scalar attach riding output rows could never fire then), and
-    # in the healthy path contributes zero rows. The union branch feeds
-    # the sink directly, so column pruning cannot drop the check.
-    guard = (
-        src.agg(F.max("doc_id").alias("_max_doc_id"))
-        .where(F.col("_max_doc_id") >= PLANT_OFFSET)
-        .select(
-            F.raise_error(
-                F.concat(
-                    F.lit("dedup_source_matrix: max(documents.doc_id)="),
-                    F.col("_max_doc_id").cast("string"),
-                    F.lit(
-                        f" >= PLANT_OFFSET={PLANT_OFFSET}; planted-id "
-                        "modular attribution would misattribute sources "
-                        "— raise PLANT_OFFSET"
-                    ),
-                )
-            )
-            .cast("string")
-            .alias("source_a"),
-            F.lit("").alias("source_b"),
-            F.lit(0).cast("long").alias("n_pairs"),
-            F.lit(0).cast("long").alias("sum_jac_q6"),
-        )
-    )
-    return agg.unionByName(guard)
+    return agg
 
 
 # --- normalization-aware exact dedup -----------------------------------------

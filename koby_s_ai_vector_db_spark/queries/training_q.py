@@ -131,6 +131,102 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, vocab)
 
 
+# bpe_train/bpe_encode take the driver's rows-only check (the
+# argmax-then-rewrite loop is not one SQL statement). This audit twin is
+# the hash-checked external evidence (the emb_pca_audit /
+# pack_bestfit_audit pattern): everything DuckDB CAN recompute it does
+# exactly (doc coverage, word totals, the zero-merge character-token
+# total, vocabulary size — a real check that the learned word→syms cache
+# covers exactly the corpus vocabulary), and the learned-state invariants
+# are pinned as literal zeros (no OOV occurrence when encoding the
+# training corpus itself; per-doc n_words ≤ n_tokens ≤ char_tokens —
+# every word is ≥1 token and merges only shrink; encode output covers
+# exactly the docs that have words).
+_BPE_AUDIT_ORACLE = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_w, sum(length(word) + 1) AS char_toks
+    FROM words GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_w) AS BIGINT) AS total_words,
+       CAST(sum(char_toks) AS BIGINT) AS total_char_tokens,
+       (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM words)
+           AS vocab_words,
+       CAST(0 AS BIGINT) AS n_oov_occurrences,
+       CAST(0 AS BIGINT) AS n_bound_violations,
+       CAST(0 AS BIGINT) AS n_coverage_mismatches
+FROM per_doc
+"""
+
+
+@register("bpe_audit", _BPE_AUDIT_ORACLE)
+def bpe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-checkable audit of the BPE train+encode pair (one row).
+
+    Plan shape: the corpus pays the same word-explode it pays for the
+    encode (map-side combined into per-doc aggregates), the encode
+    output full-outer-joins the per-doc character-token table on doc_id,
+    and the two learned-state scalars (vocab size, OOV count against the
+    broadcast word→syms cache) ride 1-row broadcast scalar attaches.
+    Nothing here collects, and the vocab side is vocabulary-sized."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.bpe import bpe_encode
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    _merges, vocab = _bpe_state(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, vocab)  # (doc_id, n_words, n_tokens)
+    occ = docs.select("doc_id", F.explode(words_expr("text")).alias("word"))
+    per_doc = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_w"),
+        F.sum(F.length("word") + F.lit(1)).cast("long").alias("char_toks"),
+    )
+    joined = enc.join(per_doc, "doc_id", "full_outer")
+    core = joined.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_w").cast("long").alias("total_words"),
+        F.sum("char_toks").cast("long").alias("total_char_tokens"),
+        F.sum(
+            F.when(F.col("n_tokens") < F.col("n_words"), 1)
+            .when(F.col("n_tokens") > F.col("char_toks"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bound_violations"),
+        F.sum(
+            F.when(
+                F.col("n_words").isNull() | F.col("n_w").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_coverage_mismatches"),
+    )
+    vocab_n = vocab.agg(F.count("*").cast("long").alias("vocab_words"))
+    oov = occ.join(
+        F.broadcast(vocab.select("word")), "word", "left_anti"
+    ).agg(F.count("*").cast("long").alias("n_oov_occurrences"))
+    return (
+        core.crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "n_docs",
+            "total_words",
+            "total_char_tokens",
+            "vocab_words",
+            "n_oov_occurrences",
+            "n_bound_violations",
+            "n_coverage_mismatches",
+        )
+    )
+
+
 # --- shard manifest ---------------------------------------------------------
 # The audit table a training job reads before consuming packed shards:
 # per-shard sequence/doc/token counts and how many sequences are full

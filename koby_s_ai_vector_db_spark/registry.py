@@ -70,7 +70,13 @@ _PRIORITY: list[str] = [
     "dedup_incremental", "dedup_simhash", "dedup_sketch_stream",
     "dedup_substring", "dedup_tfidf_cosine", "dsir_sample", "dsir_score",
     "emb_pca_project", "hybrid_rrf", "m8_snapshot_diff",
-    "m9_snapshot_drift", "ngram_contamination", "ngram_contamination_13",
+    "m9_snapshot_drift",
+    # ngram_contamination + ngram_contamination_13 were folded this round
+    # into ngram_contamination_both (SURVEY §9 ladder step 2, executed):
+    # the fold query is the union of the two width functions with the
+    # byte-reused union of their oracles, so its slot hash-checks both
+    # widths at once. Net −1 slot, which funded bpe_audit below.
+    "ngram_contamination_both",
     "pack_sequences", "q12_context_assembly", "q16_mmr_rerank",
     "q2_ann_ivf_idx", "q2_ann_ivfpq_idx", "q2_ann_pq_idx",
     "range_session_assign", "sample_fixed_k", "sample_weighted_k",
@@ -86,6 +92,9 @@ _PRIORITY: list[str] = [
     "src_overlap_matrix",
     "m11_contamination_diff",
     "tok_source_budget",
+    # bpe_audit: NEW — the hash-checked audit twin for the rows-only BPE
+    # pair (VERDICT r08 item 6), in the slot the contamination fold freed.
+    "bpe_audit",
 ]
 
 

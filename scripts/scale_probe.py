@@ -49,8 +49,8 @@ PROBE_QUERIES = [
     "curate_corpus_neardup",
     "curate_corpus_bm25",
     "curate_training_mix",
-    "ngram_contamination",
-    "ngram_contamination_13",
+    # the two contamination widths folded into one query in round 9
+    "ngram_contamination_both",
     "bm25_rank",
     "bm25_rank_idx",
     "vocab_stats",
@@ -100,6 +100,17 @@ PROBE_QUERIES = [
     "pack_bestfit_audit",
     "emb_decontaminate",
     "a25_kmv_synopsis",
+    # round 9 (the seven pre-earned prebuilds are registered now, so the
+    # registry resolves them; rel_shipping_priority gets its FIRST probe —
+    # the corpus now carries customer + the Q3 date columns)
+    "rel_shipping_priority",
+    "a26_props_profile",
+    "a27_value_mad",
+    "emb_label_centroids",
+    "src_overlap_matrix",
+    "m11_contamination_diff",
+    "tok_source_budget",
+    "bpe_audit",
 ]
 
 
@@ -187,8 +198,11 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
     pq.write_table(ev, f"{out_dir}/events.parquet")
 
     # Minimal lineitem at 10x sf0.1 (6M rows, 10k suppliers — the key
-    # columns the skew probe touches; fillers keep the schema readable).
+    # columns the skew probe touches, plus the price/discount/shipdate
+    # columns rel_shipping_priority filters and aggregates).
     n_li = 6_000_000
+    day_us = 86_400 * 1_000_000
+    epoch_1995_us = 788_918_400_000_000  # 1995-01-01, the fixture's floor
     li = pa.table(
         {
             "l_orderkey": pa.array(
@@ -200,25 +214,66 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
             "l_quantity": pa.array(
                 rng.integers(1, 51, size=n_li).astype("float64")
             ),
+            "l_extendedprice": pa.array(
+                rng.uniform(900.0, 105_000.0, size=n_li).round(2)
+            ),
+            "l_discount": pa.array(
+                rng.integers(0, 11, size=n_li).astype("float64") / 100.0
+            ),
+            # ~2400-day span from 1995-01-01, matching the fixture's
+            # 1995..2001 range around the Q3 1998-03-15 cut.
+            "l_shipdate": pa.array(
+                epoch_1995_us
+                + rng.integers(0, 2400, size=n_li) * day_us,
+                pa.timestamp("us"),
+            ),
         }
     )
     pq.write_table(li, f"{out_dir}/lineitem.parquet")
 
-    # Minimal orders at 10x sf0.1 (1.5M rows over 150k customers — just
-    # the join keys the purchase-graph probe touches). Written LAST: it
-    # is the completeness sentinel in main().
+    # Minimal customer at 10x sf0.1 (150k rows — the segment filter's
+    # 1/5 selectivity matches the fixture's five segments).
+    n_cust = 150_000
+    segments = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_mktsegment": pa.array(
+                rng.choice(segments, size=n_cust).tolist()
+            ),
+        }
+    )
+    pq.write_table(cust, f"{out_dir}/customer.parquet")
+
+    # Minimal orders at 10x sf0.1 (1.5M rows over 150k customers — the
+    # purchase-graph join keys plus the Q3 date/priority columns).
+    # Written LAST: it is the completeness sentinel in main().
     n_ord = 1_500_000
+    priorities = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )
     orders = pa.table(
         {
             "o_orderkey": pa.array(range(n_ord), pa.int64()),
             "o_custkey": pa.array(
-                rng.integers(0, 150_000, size=n_ord), pa.int64()
+                rng.integers(0, n_cust, size=n_ord), pa.int64()
+            ),
+            "o_orderdate": pa.array(
+                epoch_1995_us
+                + rng.integers(0, 2400, size=n_ord) * day_us,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                rng.choice(priorities, size=n_ord).tolist()
             ),
         }
     )
     pq.write_table(orders, f"{out_dir}/orders.parquet")
     print(f"[probe] generated {N_DOCS} docs / {N_VECS} vecs / {n_ev} events "
-          f"/ {n_li} lineitem / {n_ord} orders in {out_dir}", file=sys.stderr)
+          f"/ {n_li} lineitem / {n_cust} customer / {n_ord} orders "
+          f"in {out_dir}", file=sys.stderr)
 
 
 # Non-registered operators probed alongside the registry queries (the
@@ -241,33 +296,13 @@ def _exact_fuzzy(spark, sf_dir):
     return fuzzy_edit_pairs(docs, t=8)
 
 
-def _prebuilt_r9(name):
-    # Round-9 prebuilds (registered in the r9 rotation): probed at
-    # sf1 the session they were written, per SURVEY §9 probe hygiene.
-    # rel_shipping_priority is excluded — the generated probe corpus
-    # now carries minimal lineitem + orders tables, but still no
-    # customer table and no order/ship date columns, which that query
-    # filters on. Its scale shape is plan-pinned instead
-    # (tests/test_plans.py).
+def _prebuilt_r10(name):
+    # Round-10 prebuilds (unregistered until the r10 rotation): probed
+    # the session they were written, per SURVEY §9 probe hygiene.
     def fn(spark, sf_dir):
-        from koby_s_ai_vector_db_spark.queries import (
-            analytics_q,
-            dedup_q,
-            mutations_q,
-            selection_q,
-            vector_q,
-        )
-
-        from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q
+        from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q, vector_q
 
         fns = {
-            "a26_props_profile": analytics_q.a26_props_profile,
-            "a27_value_mad": analytics_q.a27_value_mad,
-            "emb_label_centroids": vector_q.emb_label_centroids,
-            "src_overlap_matrix": dedup_q.src_overlap_matrix,
-            "m11_contamination_diff": mutations_q.m11_contamination_diff,
-            "tok_source_budget": selection_q.tok_source_budget,
-            # round-10 prebuilds (same hygiene: probed the session written)
             "graph_pagerank": graph_q.graph_pagerank,
             "ta_pmi_collocations": corpus_q.ta_pmi_collocations,
             "q18_ann_recall": vector_q.q18_ann_recall,
@@ -281,18 +316,8 @@ EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
     **{
-        n: _prebuilt_r9(n)
-        for n in (
-            "a26_props_profile",
-            "a27_value_mad",
-            "emb_label_centroids",
-            "src_overlap_matrix",
-            "m11_contamination_diff",
-            "tok_source_budget",
-            "graph_pagerank",
-            "ta_pmi_collocations",
-            "q18_ann_recall",
-        )
+        n: _prebuilt_r10(n)
+        for n in ("graph_pagerank", "ta_pmi_collocations", "q18_ann_recall")
     },
 }
 

@@ -28,11 +28,23 @@ def test_query_matches_oracle(spark, duck, name):
 # driver window, but the capability keeps its oracle parity here so a
 # regression in the shared library paths stays loud.
 def _folded():
-    from koby_s_ai_vector_db_spark.queries import analytics_q, fusion_q, vector_q
+    from koby_s_ai_vector_db_spark.queries import (
+        analytics_q,
+        corpus_q,
+        fusion_q,
+        vector_q,
+    )
 
     return [
         ("a7_activity_breakdown", analytics_q.a7_activity_breakdown,
          analytics_q._A7_ORACLE),
+        # Round-9 folds: the two contamination widths →
+        # ngram_contamination_both; a5 → a6's live_users column
+        ("ngram_contamination", corpus_q.ngram_contamination_q,
+         corpus_q._CONTAM_ORACLE),
+        ("ngram_contamination_13", corpus_q.ngram_contamination_13_q,
+         corpus_q._CONTAM13_ORACLE),
+        ("a5_live_users", analytics_q.a5_live_users, analytics_q._A5_ORACLE),
         ("q8_faiss_quality", fusion_q.q8_faiss_quality, fusion_q._Q8_ORACLE),
         ("q9_contribution_quality", fusion_q.q9_contribution_quality,
          fusion_q._Q9_ORACLE),

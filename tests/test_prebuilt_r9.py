@@ -353,20 +353,10 @@ def test_pmi_known_value(spark, tmp_path):
     assert out["aa bb"]["c12"] == 10
 
 
-# --- round-11 fold preparation (SURVEY §9 fold ladder) ------------------------
-
-
-def test_contamination_both_matches_oracle(spark, duck):
-    """The r11 fold target: both widths in one query, oracle = union of
-    the two registered oracle strings (byte-reused)."""
-    from koby_s_ai_vector_db_spark.queries import corpus_q
-
-    register_views(duck, SF_DIR)
-    assert_matches_oracle(
-        corpus_q.ngram_contamination_both(spark, SF_DIR),
-        duck,
-        corpus_q._CONTAM_BOTH_ORACLE,
-    )
+# --- fold ladder preparation (SURVEY §9) --------------------------------------
+# Step 2 (the contamination widths → ngram_contamination_both) was EXECUTED
+# in round 9: the fold query is registered (auto-covered by
+# test_oracle_parity) and the two widths moved to its _folded() list.
 
 
 def test_a5_is_strict_projection_of_a6(spark):
