@@ -277,7 +277,7 @@ def minhash_near_dup_pairs(
     gb = grams.select(F.col("_id").alias("bi"), F.col("g").alias("gb"))
     # cand is tiny relative to the corpus (bounded by true near-dup pairs +
     # LSH false positives) — broadcast it so the gram arrays never shuffle.
-    return (
+    out = (
         F.broadcast(cand)
         .join(ga, "ai")
         .join(gb, "bi")
@@ -288,6 +288,22 @@ def minhash_near_dup_pairs(
             F.col("bi").alias("doc_id_b"),
             F.round("jaccard", 6).alias("jaccard"),
         )
+    )
+    if cache_key is None:
+        return out
+    # The verified PAIR table is tiny (near-dups + surviving FPs) but its
+    # lineage is the whole signature→band→bucket→verify pipeline; five
+    # registered consumers (the pair/groups/source-matrix queries and the
+    # two curate_* composites) would otherwise re-run that pipeline per
+    # call even with the shingle table persisted (measured ~1 s/call at
+    # sf0.1, ~3.5 s at sf1). Same convention as _fuzzy_pairs_memo — the
+    # in-session analogue of the pair table a production pipeline writes.
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    return memo_persist(
+        out.sparkSession,
+        ("minhash_pairs", threshold, cache_key),
+        lambda: out,
     )
 
 

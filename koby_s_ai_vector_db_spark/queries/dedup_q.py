@@ -487,17 +487,35 @@ FROM reach GROUP BY src
 """
 
 
+def _neardup_groups_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group table memoized per (application, sf_dir): the
+    star-contraction rounds run EAGERLY at build (localCheckpoint per
+    round), so dedup_groups and the two curate_* composites sharing this
+    would each pay the full contraction per call — the memo runs it once
+    per session (the _fuzzy_pairs_memo convention; a production pipeline
+    writes the group table once and joins it everywhere)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
+
+    return memo_persist(
+        spark,
+        ("neardup_groups", sf_dir),
+        lambda: near_dup_groups(
+            minhash_near_dup_pairs(
+                _docs_dd(spark, sf_dir),
+                threshold=0.5,
+                cache_key=("docs_dd", sf_dir),
+            )
+        ),
+    )
+
+
 @register("dedup_groups", _groups_oracle())
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components (min-label propagation) over
     the MinHash-LSH pair output — pairwise dedup turned into actionable
     canonical groups."""
-    from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
-
-    pairs = minhash_near_dup_pairs(
-        _docs_dd(spark, sf_dir), threshold=0.5, cache_key=("docs_dd", sf_dir)
-    )
-    return near_dup_groups(pairs)
+    return _neardup_groups_memo(spark, sf_dir)
 
 
 # Fuzzy edit-distance tier operates on the RAW documents table (not

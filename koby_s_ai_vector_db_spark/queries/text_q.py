@@ -316,17 +316,13 @@ def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents having at least one near-dup (join strategy left to
     Catalyst: broadcast at fixture scale, sort-merge at corpus scale);
     quality is map-only; final rollup is a 3-row aggregate."""
-    from koby_s_ai_vector_db_spark.operators.dedup import (
-        minhash_near_dup_pairs,
-        near_dup_groups,
+    from koby_s_ai_vector_db_spark.queries.dedup_q import (
+        _docs_dd,
+        _neardup_groups_memo,
     )
-    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
 
     docs = _docs_dd(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(
-        docs, threshold=0.5, cache_key=("docs_dd", sf_dir)
-    )
-    groups = near_dup_groups(pairs)
+    groups = _neardup_groups_memo(spark, sf_dir)
     tagged = (
         docs.join(groups, "doc_id", "left")
         .withColumn("canonical", F.coalesce("group_id", F.col("doc_id")))
@@ -439,18 +435,14 @@ def curate_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from koby_s_ai_vector_db_spark.operators.corpus import bm25_scores
-    from koby_s_ai_vector_db_spark.operators.dedup import (
-        minhash_near_dup_pairs,
-        near_dup_groups,
-    )
     from koby_s_ai_vector_db_spark.queries.corpus_q import BM25_QUERIES
-    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
+    from koby_s_ai_vector_db_spark.queries.dedup_q import (
+        _docs_dd,
+        _neardup_groups_memo,
+    )
 
     docs = _docs_dd(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(
-        docs, threshold=0.5, cache_key=("docs_dd", sf_dir)
-    )
-    groups = near_dup_groups(pairs)
+    groups = _neardup_groups_memo(spark, sf_dir)
     queries = spark.createDataFrame(
         BM25_QUERIES, "query_id bigint, query_text string"
     )
