@@ -48,6 +48,21 @@ def memo_persist(
     return df
 
 
+_SCALARS: dict[tuple, object] = {}
+
+
+def memo_scalar(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
+    """Driver-side memo for small collected control values (probe lists,
+    bucket ids, boundary rows) keyed by application id — the scalar
+    analogue of memo_persist. Use for bounded collects that would
+    otherwise run a Spark job on EVERY query build (the steady-state
+    construction-is-action-free invariant, tests/test_round9_ops.py)."""
+    full_key = (spark.sparkContext.applicationId, key)
+    if full_key not in _SCALARS:
+        _SCALARS[full_key] = builder()
+    return _SCALARS[full_key]
+
+
 def evict_application(spark: SparkSession) -> None:
     """Drop (and unpersist) every memo entry of the given session — test
     hygiene hook; production sessions let the entries live as long as the
@@ -58,3 +73,5 @@ def evict_application(spark: SparkSession) -> None:
             _CACHE.pop(k).unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+    for k in [k for k in _SCALARS if k[0] == app]:
+        _SCALARS.pop(k, None)

@@ -381,6 +381,7 @@ def token_budget_mix(
     text_col: str = "text",
     seed: int = 23,
     tokens_col: str | None = None,
+    cache_key=None,
 ) -> DataFrame:
     """Deterministic per-document copy counts hitting a target token
     mixture: stratum s should contribute weight(s)·budget tokens; with
@@ -402,7 +403,8 @@ def token_budget_mix(
     to within the Bernoulli noise of the fractional part.
     """
     toks, plan = _mix_parts(
-        docs, weights, token_budget, strata_col, id_col, text_col, tokens_col
+        docs, weights, token_budget, strata_col, id_col, text_col,
+        tokens_col, cache_key
     )
     return _mix_copies(toks, plan, strata_col, id_col, seed)
 
@@ -415,6 +417,7 @@ def _mix_parts(
     id_col: str,
     text_col: str,
     tokens_col: str | None,
+    cache_key=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Validated shared pieces of the mix: (toks, plan). toks is the
     per-doc token-count projection (ONE corpus tokenization pass, shared
@@ -460,7 +463,18 @@ def _mix_parts(
     # final select; localCheckpoint the per-stratum-bounded result so
     # each consumer reads the materialized rows instead of re-running
     # the corpus-sized avail aggregate (same diamond rule as dsir_model).
-    return toks, plan.localCheckpoint()
+    # The checkpoint is an EAGER per-build action; callers with a stable
+    # corpus pass cache_key so it runs once per session (the
+    # construction-is-action-free invariant, tests/test_round9_ops.py).
+    if cache_key is None:
+        return toks, plan.localCheckpoint()
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    return toks, memo_persist(
+        docs.sparkSession,
+        ("mix_plan", cache_key),
+        lambda: plan.localCheckpoint(),
+    )
 
 
 def _mix_copies(
@@ -493,13 +507,15 @@ def token_budget_mix_summary(
     seed: int = 23,
     round_to: int = 6,
     tokens_col: str | None = None,
+    cache_key=None,
 ) -> DataFrame:
     """Per-stratum audit of `token_budget_mix`: available vs target vs
     achieved tokens and the epoch (repeat) factor. Bounded output —
     one row per stratum. Shares the toks/plan subtrees with the mix so
     the corpus-sized tokenization pass runs once, not twice."""
     toks, plan = _mix_parts(
-        docs, weights, token_budget, strata_col, id_col, text_col, tokens_col
+        docs, weights, token_budget, strata_col, id_col, text_col,
+        tokens_col, cache_key
     )
     mix = _mix_copies(toks, plan, strata_col, id_col, seed)
     achieved = mix.groupBy(strata_col).agg(

@@ -95,7 +95,9 @@ def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         BM25_QUERIES, "query_id bigint, query_text string"
     )
-    return search_text_index(spark, path, queries, k=BM25_K)
+    return search_text_index(
+        spark, path, queries, k=BM25_K, probe_memo_key=(path,)
+    )
 
 
 VOCAB_TOP = 20

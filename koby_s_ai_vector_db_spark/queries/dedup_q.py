@@ -691,11 +691,18 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the edit-distance pairs — chains of
     single-word edits (A~B~C with dist(A,C) > t) collapse into one
     group for keep-one curation; same star-contraction operator as
-    dedup_groups, fed by the memoized fuzzy pair table."""
+    dedup_groups, fed by the memoized fuzzy pair table. The eager
+    contraction memoizes like _neardup_groups_memo (once per session,
+    not per build — 19 jobs/build before)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.operators.dedup import near_dup_groups
 
-    return near_dup_groups(
-        _fuzzy_pairs_memo(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return memo_persist(
+        spark,
+        ("fuzzy_groups", sf_dir),
+        lambda: near_dup_groups(
+            _fuzzy_pairs_memo(spark, sf_dir).select("doc_id_a", "doc_id_b")
+        ),
     )
 
 

@@ -160,7 +160,8 @@ def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/selection.py::token_budget_mix)."""
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_mix_summary(
-        docs, MIX_WEIGHTS, MIX_BUDGET, strata_col="lang", seed=MIX_SEED
+        docs, MIX_WEIGHTS, MIX_BUDGET, strata_col="lang", seed=MIX_SEED,
+        cache_key=("mixbudget", sf_dir),
     )
 
 
@@ -311,6 +312,7 @@ def curate_pretrain_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_col="lang",
         seed=MIX_SEED,
         tokens_col="n_tokens",
+        cache_key=("pipe_mix", sf_dir),
     )
 
 

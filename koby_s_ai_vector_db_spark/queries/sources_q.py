@@ -40,23 +40,33 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
+
     docs = load_table(spark, sf_dir, "documents")
     fixture = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     root = os.path.join(
         tempfile.gettempdir(), "spark_graft_s1", os.path.basename(os.path.normpath(sf_dir))
     )
-    # Recreate from scratch: stale files from a previous run against a
-    # different fixture revision would enter the binaryFile scan and break
-    # oracle parity in a machine-state-dependent way.
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    for row in fixture.toLocalIterator():  # fixture materialization, driver-side
-        ext = ".PDF" if row.doc_id % 40 == 0 else ".pdf"
-        with open(os.path.join(root, f"doc_{row.doc_id}{ext}"), "wb") as f:
-            f.write(row.text.encode("utf-8"))
-        if row.doc_id % 60 == 0:  # decoy the glob must exclude
-            with open(os.path.join(root, f"doc_{row.doc_id}.txt"), "wb") as f:
-                f.write(b"not a pdf")
+
+    def _materialize() -> str:
+        # Recreate from scratch: stale files from a previous run against a
+        # different fixture revision would enter the binaryFile scan and
+        # break oracle parity in a machine-state-dependent way. Once per
+        # session suffices (memo_scalar) — the fixture tables are
+        # write-once, so per-build re-materialization was pure overhead
+        # (one toLocalIterator job per build).
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        for row in fixture.toLocalIterator():  # driver-side materialization
+            ext = ".PDF" if row.doc_id % 40 == 0 else ".pdf"
+            with open(os.path.join(root, f"doc_{row.doc_id}{ext}"), "wb") as f:
+                f.write(row.text.encode("utf-8"))
+            if row.doc_id % 60 == 0:  # decoy the glob must exclude
+                with open(os.path.join(root, f"doc_{row.doc_id}.txt"), "wb") as f:
+                    f.write(b"not a pdf")
+        return root
+
+    memo_scalar(spark, ("s1_fixture", sf_dir), _materialize)
     scan = scan_binary_dir(spark, root, glob="*.[pP][dD][fF]")
     return scan.select(
         F.element_at(F.split("path", "/"), -1).alias("filename"),

@@ -440,7 +440,7 @@ def q2_ann_ivfpq_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_index_search(
         spark, path, queries, k=K, n_probe=N_PROBE, shortlist=SHORTLIST,
-        prune="static",
+        prune="static", probe_memo_key=(path,),
     )
 
 
@@ -468,7 +468,8 @@ def q2_ann_ivf_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_index_search(
-        spark, path, queries, k=K, n_probe=N_PROBE, prune="static"
+        spark, path, queries, k=K, n_probe=N_PROBE, prune="static",
+        probe_memo_key=(path,),
     )
 
 

@@ -101,6 +101,7 @@ def ivf_index_search(
     vec_col: str = "embedding",
     prune: str = "static",
     round_to: int | None = 6,
+    probe_memo_key=None,
 ) -> DataFrame:
     """Probe a persisted IVF index: top-`n_probe` centroid lists per query,
     exact rank-then-filter cosine search inside probed lists only
@@ -132,7 +133,20 @@ def ivf_index_search(
 
     lists = spark.read.parquet(f"{path}/{LISTS_SUBDIR}")
     if prune == "static":
-        probed = sorted({r["list"] for r in probes.select("list").distinct().collect()})
+        # Bounded control collect; callers with a FIXED query set pass
+        # probe_memo_key so it runs once per session, not per query build
+        # (the construction-is-action-free invariant).
+        def _probed():
+            return sorted(
+                {r["list"] for r in probes.select("list").distinct().collect()}
+            )
+
+        if probe_memo_key is None:
+            probed = _probed()
+        else:
+            from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
+
+            probed = memo_scalar(spark, ("ivf_probed", probe_memo_key), _probed)
         lists = lists.filter(F.col("list").isin(probed))
     scored = lists.join(F.broadcast(probes), on="list").withColumn(
         "sim", dot(vec_col, query_vec_col)

@@ -395,6 +395,7 @@ def ivfpq_index_search(
     query_vec_col: str = "query_vec",
     prune: str = "static",
     round_to: int | None = 6,
+    probe_memo_key=None,
 ) -> DataFrame:
     """Search an IVF+PQ index: centroid probe → PARTITION-pruned,
     column-pruned ADC scan of probed lists' codes → shortlist → exact
@@ -421,7 +422,22 @@ def ivfpq_index_search(
 
     scan = data
     if prune == "static":
-        probed = sorted({r["list"] for r in probes.select("list").distinct().collect()})
+        # Bounded control collect; callers with a FIXED query set pass
+        # probe_memo_key so it runs once per session, not per query build
+        # (the construction-is-action-free invariant).
+        def _probed():
+            return sorted(
+                {r["list"] for r in probes.select("list").distinct().collect()}
+            )
+
+        if probe_memo_key is None:
+            probed = _probed()
+        else:
+            from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
+
+            probed = memo_scalar(
+                spark, ("ivfpq_probed", probe_memo_key), _probed
+            )
         scan = scan.filter(F.col("list").isin(probed))
 
     dtab = q.join(F.broadcast(cbdf)).select(

@@ -266,6 +266,7 @@ def search_text_index(
     b: float = BM25_B,
     round_to: int = 6,
     prune: str = "static",
+    probe_memo_key=None,
 ) -> DataFrame:
     """BM25 top-k per query over the persisted index. The bucket count is
     read from the index's stats sidecar (it defines the partition layout —
@@ -285,7 +286,17 @@ def search_text_index(
             f"{path}/{STATS_SUBDIR} has no n_buckets column — index built "
             "by an older build_text_index; rebuild it"
         )
-    n_buckets = int(seg_stats.head()["n_buckets"])
+    # n_buckets defines the immutable partition layout of THIS index path
+    # (append/delete never change it), so the 1-row read memoizes per
+    # (application, path) — a per-build head() was a Spark job per query
+    # construction (the construction-is-action-free invariant).
+    from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
+
+    n_buckets = memo_scalar(
+        spark,
+        ("textidx_n_buckets", path),
+        lambda: int(seg_stats.head()["n_buckets"]),
+    )
     # Segments are additive: N = Σ n_docs, avgdl = Σ sum_dl / N.
     stats = seg_stats.agg(
         F.sum("n_docs").alias("n_docs"),
@@ -300,9 +311,24 @@ def search_text_index(
     postings = spark.read.parquet(f"{path}/{POSTINGS_SUBDIR}")
     terms = spark.read.parquet(f"{path}/{TERMS_SUBDIR}")
     if prune == "static":
-        buckets = sorted(
-            {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
-        )
+        # Bounded control collect (distinct query-term buckets). Callers
+        # with a FIXED query set pass probe_memo_key so the collect runs
+        # once per session instead of on every query build (the
+        # construction-is-action-free invariant); ad-hoc callers leave it
+        # None and pay the collect per call.
+        def _buckets():
+            return sorted(
+                {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
+            )
+
+        if probe_memo_key is None:
+            buckets = _buckets()
+        else:
+            from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
+
+            buckets = memo_scalar(
+                spark, ("textidx_buckets", probe_memo_key), _buckets
+            )
         postings = postings.filter(F.col("bucket").isin(buckets))
         terms = terms.filter(F.col("bucket").isin(buckets))
     # Deleted docs: the generation-scoped tombstone filter hides their

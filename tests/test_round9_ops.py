@@ -54,3 +54,52 @@ def test_source_matrix_guard_fires_past_plant_offset(spark, tmp_path):
     df = _q("dedup_source_matrix")(spark, bad_dir)  # build stays lazy
     with pytest.raises(Exception, match="PLANT_OFFSET"):
         df.collect()
+
+
+def test_steady_state_query_construction_is_action_free(spark):
+    """Registry-wide generalization of the dedup_source_matrix lesson
+    (ADVICE r08): after a query has been built once (memoized state,
+    scratch indexes, and eager contractions are allowed to build on
+    FIRST call), re-building it must schedule ZERO Spark jobs. The
+    driver builds every query before executing it — a per-build action
+    doubles work at any scale, and an eager action in a hot query-build
+    path is invisible to the oracle comparison."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def _real_jobs(group):
+        # Parquet schema-inference footer reads ("parquet at ...") are
+        # Spark-internal per-read jobs, not engine actions — the index
+        # sources re-open their parquet segments per build by design
+        # (fixture tables are covered by the load_table memo). Everything
+        # else (collect, localCheckpoint, first, toLocalIterator) counts.
+        out = []
+        for j in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(j)
+            names = []
+            for s in list(info.stageIds):
+                si = tracker.getStageInfo(s)
+                if si is not None:
+                    names.append(si.name)
+            if not all(n.startswith("parquet at") for n in names):
+                out.append((j, names))
+        return out
+
+    qs = registry.queries()
+    for name, fn in qs.items():
+        fn(spark, SF)  # first build: memo/index/eager state allowed
+    offenders = {}
+    for name, fn in qs.items():
+        group = f"r9_lazy_{name}"
+        sc.setJobGroup(group, "steady-state build must be action-free")
+        try:
+            fn(spark, SF)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = _real_jobs(group)
+        if jobs:
+            offenders[name] = jobs
+    assert not offenders, (
+        f"queries whose steady-state construction schedules Spark jobs: "
+        f"{offenders}"
+    )
