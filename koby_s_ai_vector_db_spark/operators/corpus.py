@@ -531,35 +531,59 @@ def tfidf_cosine_pairs(
     threshold: float = TFIDF_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_key=None,
 ) -> DataFrame:
     """All unordered pairs with TF-IDF shingle cosine >= threshold.
-    Returns (doc_id_a, doc_id_b, sim) ordered."""
+    Returns (doc_id_a, doc_id_b, sim) ordered.
+
+    The quantized weight table `w` feeds THREE consumers (the norm
+    aggregate and both sides of the postings self-join); without a
+    materialization the tokenize→tf→df→weight pipeline re-executes per
+    exchange (the g-key exchange is ReusedExchange-able, the id-key norm
+    exchange is not). Pass ``cache_key`` to memo-persist it — the
+    in-session analogue of writing the TF-IDF weight table once, which
+    is what a 100 TB pipeline does before the self-join."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     n_docs = d.select(F.count("*").alias("n"))
 
-    post = (
-        d.select("id", F.explode(_all_shingles("txt")).alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = post.groupBy("g").agg(F.count("*").alias("df")).where(
-        F.col("df") <= TFIDF_DF_CAP
-    )
-    w = (
-        post.join(df_t, "g")
-        .join(F.broadcast(n_docs))
-        .select(
-            "id",
-            "g",
-            F.expr(
-                f"CAST(round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)"
-                f" * {TFIDF_SCALE}) AS BIGINT)"
-            ).alias("w"),
+    def _weights() -> DataFrame:
+        post = (
+            d.select("id", F.explode(_all_shingles("txt")).alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count("*").alias("tf"))
         )
-    )
+        df_t = post.groupBy("g").agg(F.count("*").alias("df")).where(
+            F.col("df") <= TFIDF_DF_CAP
+        )
+        return (
+            post.join(df_t, "g")
+            .join(F.broadcast(n_docs))
+            .select(
+                "id",
+                "g",
+                "df",
+                F.expr(
+                    f"CAST(round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)"
+                    f" * {TFIDF_SCALE}) AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+
+    if cache_key is None:
+        w = _weights()
+    else:
+        from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+        w = memo_persist(docs.sparkSession, ("tfidf_w", cache_key), _weights)
     norm2 = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    wa = w.select(F.col("id").alias("ida"), "g", F.col("w").alias("wa"))
-    wb = w.select(F.col("id").alias("idb"), "g", F.col("w").alias("wb"))
+    # Singleton postings (df = 1) cannot form a pair — they contribute to
+    # norms (above) but only inflate the self-join exchange. On natural
+    # corpora MOST grams are singletons (Heaps' law), so this filter
+    # drops the bulk of the shuffled postings volume losslessly; the
+    # DuckDB oracle needs no mirror because the dot sums are unchanged.
+    wj = w.where(F.col("df") >= 2)
+    wa = wj.select(F.col("id").alias("ida"), "g", F.col("w").alias("wa"))
+    wb = wj.select(F.col("id").alias("idb"), "g", F.col("w").alias("wb"))
     dots = (
         wa.join(wb, "g")
         .where(F.col("ida") < F.col("idb"))

@@ -553,7 +553,9 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped out of the postings self-join). Integer-quantized weights
     make the pair sums order-independent across engines
     (operators/corpus.py::tfidf_cosine_pairs)."""
-    return tfidf_cosine_pairs(_docs_dd(spark, sf_dir))
+    return tfidf_cosine_pairs(
+        _docs_dd(spark, sf_dir), cache_key=("docs_dd", sf_dir)
+    )
 
 
 # --- incremental dedup (new batch vs existing corpus) ------------------------

@@ -328,7 +328,13 @@ def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float
     # Drop the previous scale's memoized persists: the probe runs both
     # scales in ONE local JVM, and carrying sf0.1's cached signature
     # tables into the sf1 pass both skews memory and measures nothing.
-    _spark().catalog.clearCache()
+    # evict_application (not catalog.clearCache) so the memo DICT clears
+    # too — a bare clearCache leaves _CACHE returning unpersisted
+    # DataFrames, and every consumer then recomputes the subtree, which
+    # measures a state production never runs in.
+    from koby_s_ai_vector_db_spark.functions.caching import evict_application
+
+    evict_application(_spark())
     qs = registry.queries()
     out: dict[str, float] = {}
     for name in names or PROBE_QUERIES:
