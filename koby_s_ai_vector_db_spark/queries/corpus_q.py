@@ -600,6 +600,7 @@ CROSS JOIN tot
 """
 
 
+@register("ta_pmi_collocations", _PMI_ORACLE)
 def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOP} adjacent bigrams by count with exact-count PMI.
     Plan: two map-side-combined explode aggregates (unigrams, sliding

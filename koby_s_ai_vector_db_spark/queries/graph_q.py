@@ -1,9 +1,8 @@
-"""Graph analytics over the relational backbone — round-10 prebuild.
+"""Graph analytics over the relational backbone.
 
-NOT registered yet: the round-8 window is full and the seven round-9
-slots are pre-earned (SURVEY §9); this module is the first of the ~3
-round-10 free slots. Parity lives in tests/test_prebuilt_r9.py until
-registration (same mechanics as the round-8 folds).
+Pre-built late round 8, registered in round 10's first free slot
+(SURVEY §9); parity is auto-covered by tests/test_oracle_parity.py now
+that the name is in the registry.
 
 The reference app has no graph operators at all; a corpus/provenance
 platform at 100 TB needs at least one iterative graph primitive beyond
@@ -37,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_tables
 
 PR_ITERS = 3
@@ -87,6 +87,7 @@ LIMIT {PR_TOP}
 """
 
 
+@register("graph_pagerank", _pr_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PR_TOP} suppliers by PageRank on the bidirectional purchase
     graph after PR_ITERS exact-integer iterations. The edge list (with

@@ -1040,7 +1040,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round-10 prebuild (NOT registered: r8 window full, r9 slots pre-earned) --
+# --- registered round 10 (pre-built late round 8 per SURVEY §9) ------------
 # ANN quality evaluation: recall@K of the IVF tier (q2_ann's exact plan
 # shape) against the exact top-K (q1's, threshold disabled), per query —
 # the metric an operator watches when tuning n_probe / list count. The
@@ -1104,6 +1104,7 @@ FROM base b LEFT JOIN hits h USING (query_id)
 )
 
 
+@register("q18_ann_recall", _Q18_ORACLE)
 def q18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@{K} of the IVF probe against exact search. Both
     arms are the existing operators (topk_cosine with the threshold

@@ -50,51 +50,40 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-9 window: with CORRECTNESS_r08 landed (committed in f7342e2),
-# the union checked this round is r07 ∪ r08 (100 distinct names), which
-# displaces the entire r06 record at once. The 43 names below are
-# exactly (registered − r07 − r08), i.e. every query whose last external
-# check was r06 — all MANDATORY (SURVEY §9 enumerated them in advance;
-# the rotation test's r8-tree failure message listed the same 43).
-# The remaining 7 slots are the seven pre-earned round-8 prebuilds
-# (implemented + DuckDB-oracled + plan-pinned + sf1-probed last round,
-# registration deferred because the r8 window was full).
+# Round-10 window: with CORRECTNESS_r09 landed (committed in bb7f3a3),
+# the union checked this round is r08 ∪ r09 (100 distinct names), which
+# displaces the entire r07 record at once. The 47 names below are
+# exactly (registered − r08 − r09), i.e. every query whose last external
+# check was r07 — all MANDATORY (SURVEY §9 enumerated them in advance;
+# the round-9 rotation-test failure message listed the same 47).
+# The remaining 3 slots are the pre-earned round-10 trio (implemented +
+# DuckDB-oracled + plan-pinned + sf1-probed in late round 8,
+# registration deferred until these slots opened).
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Mandatory: last externally checked in r06 (displaced when r08 landed)
-    "a14_value_quantiles", "a15_funnel", "a16_retention",
-    "a17_hll_distinct", "a18_heavy_hitters", "a19_click_attribution",
-    "a21_zorder_stats", "asof_enrich_events", "bm25_rank", "bm25_rank_idx",
-    "bpe_encode", "bpe_train", "ccnet_ppl_buckets", "curate_corpus_bm25",
-    "dedup_incremental", "dedup_simhash", "dedup_sketch_stream",
-    "dedup_substring", "dedup_tfidf_cosine", "dsir_sample", "dsir_score",
-    "emb_pca_project", "hybrid_rrf", "m8_snapshot_diff",
-    "m9_snapshot_drift",
-    # ngram_contamination + ngram_contamination_13 were folded this round
-    # into ngram_contamination_both (SURVEY §9 ladder step 2, executed):
-    # the fold query is the union of the two width functions with the
-    # byte-reused union of their oracles, so its slot hash-checks both
-    # widths at once. Net −1 slot, which funded bpe_audit below.
-    "ngram_contamination_both",
-    "pack_sequences", "q12_context_assembly", "q16_mmr_rerank",
-    "q2_ann_ivf_idx", "q2_ann_ivfpq_idx", "q2_ann_pq_idx",
-    "range_session_assign", "sample_fixed_k", "sample_weighted_k",
-    "stratified_sample", "t1_chunker", "ta_gopher_repetition",
-    "ta_pii_scrub", "ts_gapfill", "vocab_stats", "vocab_zipf",
-    # Round-9 slots: the seven pre-earned late-round-8 prebuilds
-    # (SURVEY §9 list; parity rows lived in tests/test_prebuilt_r9.py
-    # until registration — test_oracle_parity auto-covers them now).
-    "rel_shipping_priority",
-    "a26_props_profile",
-    "a27_value_mad",
-    "emb_label_centroids",
-    "src_overlap_matrix",
-    "m11_contamination_diff",
-    "tok_source_budget",
-    # bpe_audit: NEW — the hash-checked audit twin for the rows-only BPE
-    # pair (VERDICT r08 item 6), in the slot the contamination fold freed.
-    "bpe_audit",
+    # Mandatory: last externally checked in r07 (displaced when r09 landed)
+    "a13_corpus_summary", "a20_quantile_sketch", "a22_hll_daily_merge",
+    "a23_theta_overlap", "a24_skew_report", "curate_corpus_neardup",
+    "curate_pretrain_pipeline", "curate_training_mix", "curriculum_order",
+    "dedup_embedding_cosine", "dedup_embedding_ivf", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_exact_stream", "dedup_fuzzy_edit",
+    "dedup_fuzzy_groups", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_source_matrix", "emb_pca_audit", "m10_read_asof",
+    "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
+    "mine_hard_negatives", "mix_temperature", "mix_token_budget",
+    "mm_binary_features", "mm_decode", "mm_frames", "mm_resize",
+    "pack_bestfit", "q10_prioritize", "q11_sources", "q13_effectiveness",
+    "q14_fallback_routing", "q17_filtered_ann", "q7_fusion",
+    "quality_percentile_gate", "seq_len_histogram", "shard_manifest",
+    "softdedup_weights", "split_assign", "ta_boilerplate", "ta_entropy",
+    "ta_fingerprint", "ta_token_count",
+    # Round-10 free slots: the pre-earned trio (SURVEY §9; parity rows
+    # lived in tests/test_prebuilt_r9.py until registration —
+    # test_oracle_parity auto-covers them now).
+    "graph_pagerank",
+    "ta_pmi_collocations",
+    "q18_ann_recall",
 ]
 
 

@@ -111,6 +111,10 @@ PROBE_QUERIES = [
     "m11_contamination_diff",
     "tok_source_budget",
     "bpe_audit",
+    # round 10 (the trio is registered now, so the registry resolves them)
+    "graph_pagerank",
+    "ta_pmi_collocations",
+    "q18_ann_recall",
 ]
 
 
@@ -296,29 +300,9 @@ def _exact_fuzzy(spark, sf_dir):
     return fuzzy_edit_pairs(docs, t=8)
 
 
-def _prebuilt_r10(name):
-    # Round-10 prebuilds (unregistered until the r10 rotation): probed
-    # the session they were written, per SURVEY §9 probe hygiene.
-    def fn(spark, sf_dir):
-        from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q, vector_q
-
-        fns = {
-            "graph_pagerank": graph_q.graph_pagerank,
-            "ta_pmi_collocations": corpus_q.ta_pmi_collocations,
-            "q18_ann_recall": vector_q.q18_ann_recall,
-        }
-        return fns[name](spark, sf_dir)
-
-    return fn
-
-
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
-    **{
-        n: _prebuilt_r10(n)
-        for n in ("graph_pagerank", "ta_pmi_collocations", "q18_ann_recall")
-    },
 }
 
 

@@ -1,55 +1,16 @@
-"""Round-10 prebuilt queries: implemented + oracle-checked in late round
-8, but not yet registered — the round-9 verification window is full
-(SURVEY §9). The @register decorations land in round 10's free slots;
-until then this module keeps the capabilities parity-checked every pytest
-run (the same mechanics that guard the consolidation folds).
-
-The seven round-9 prebuilds that used to live here (rel_shipping_priority,
-a26_props_profile, a27_value_mad, emb_label_centroids, src_overlap_matrix,
-m11_contamination_diff, tok_source_budget) were registered in round 9 —
-test_oracle_parity now auto-covers them via the registry."""
+"""Edge-case tests for the queries that were pre-built ahead of their
+registration round (the seven round-9 prebuilds, registered in round 9,
+and the round-10 trio graph_pagerank / ta_pmi_collocations /
+q18_ann_recall, registered in round 10). All of them are in the registry
+now, so their DuckDB oracle parity is auto-covered by
+tests/test_oracle_parity.py; what remains here are the synthetic-input
+edge cases the fixture data can't exercise."""
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_DIRS, assert_matches_oracle, register_views
+from tests.conftest import SF_DIRS
 
 SF_DIR = SF_DIRS["t2"]
-
-
-def _prebuilt():
-    return _prebuilt_r10()
-
-
-def _prebuilt_r10():
-    # Round-10 candidates (SURVEY §9): built early because the r9 slots
-    # are already pre-earned; same mechanics.
-    from koby_s_ai_vector_db_spark.queries import corpus_q, graph_q, vector_q
-
-    return [
-        ("graph_pagerank", graph_q.graph_pagerank, graph_q._pr_oracle()),
-        ("ta_pmi_collocations", corpus_q.ta_pmi_collocations,
-         corpus_q._PMI_ORACLE),
-        ("q18_ann_recall", vector_q.q18_ann_recall, vector_q._Q18_ORACLE),
-    ]
-
-
-@pytest.mark.parametrize(
-    "name,fn,sql", _prebuilt(), ids=lambda p: p if isinstance(p, str) else ""
-)
-def test_prebuilt_query_matches_oracle(spark, duck, name, fn, sql):
-    register_views(duck, SF_DIR)
-    assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
-
-
-@pytest.mark.parametrize(
-    "name,fn,sql", _prebuilt(), ids=lambda p: p if isinstance(p, str) else ""
-)
-def test_prebuilt_runs_at_t1(spark, name, fn, sql):
-    df = fn(spark, SF_DIRS["t1"])
-    assert df.columns
-    assert df.limit(1).collect() is not None
 
 
 def test_a26_missing_key_branch(spark):
