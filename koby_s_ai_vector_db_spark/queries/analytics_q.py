@@ -148,22 +148,67 @@ def a5_live_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A6_ORACLE = f"""
-SELECT count(*) AS total_events,
-       count(DISTINCT user_id) AS total_users,
-       count(CASE WHEN ts >= date_trunc('day', {NOW}) THEN 1 END) AS events_today,
-       count(DISTINCT CASE WHEN ts >= {NOW} - INTERVAL 30 MINUTE
-                           THEN user_id END) AS live_users,
-       count(CASE WHEN ts >= date_trunc('day', {NOW})
-                   AND event_type = 'signup' THEN 1 END) AS signups_today
-FROM events WHERE ts <= {NOW}
+WITH gstats AS (
+    SELECT count(*) AS total_events,
+           count(DISTINCT user_id) AS total_users,
+           count(CASE WHEN ts >= date_trunc('day', {NOW}) THEN 1 END) AS events_today,
+           count(DISTINCT CASE WHEN ts >= {NOW} - INTERVAL 30 MINUTE
+                               THEN user_id END) AS live_users,
+           count(CASE WHEN ts >= date_trunc('day', {NOW})
+                       AND event_type = 'signup' THEN 1 END) AS signups_today
+    FROM events WHERE ts <= {NOW}
+),
+u7 AS (
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id = 7 AND ts >= {NOW} - INTERVAL 7 DAY AND ts <= {NOW}
+    GROUP BY event_type
+),
+u7row AS (
+    SELECT coalesce(string_agg(event_type || ':' || n, ','
+                               ORDER BY event_type), '') AS u7_breakdown_7d,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS u7_events_7d
+    FROM u7
+)
+SELECT * FROM gstats CROSS JOIN u7row
 """
 
 
 @register("a6_session_stats", _A6_ORACLE)
 def a6_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+A8+A12 (session_utils.py:213-246, views.py:1600-1612,874-876):
-    one conditional-aggregate pass."""
-    return session_stats(_events(spark, sf_dir))
+    one conditional-aggregate pass over all events, plus — since the
+    round-10 a7_user_activity fold (SURVEY §9 ladder step 3) — user 7's
+    7-day per-type breakdown attached as two hash-checked columns
+    (`u7_breakdown_7d` is the canonical sorted `type:count` string, so
+    the whole folded result is reconstructable; `u7_events_7d` is its
+    total). The u7 arm is a second scan whose `user_id = 7` predicate
+    pushes to the parquet reader (selective at any scale) and collapses
+    to ONE row before the broadcast attach onto the 1-row global
+    aggregate."""
+    events = _events(spark, sf_dir)
+    stats = session_stats(events)
+    per_type = user_activity(events, user_id=7, days=7).select(
+        "event_type", "n_events"
+    )
+    u7row = per_type.agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("n_events").cast("string"),
+                    )
+                )
+            ),
+        ).alias("u7_breakdown_7d"),
+        F.coalesce(F.sum("n_events"), F.lit(0))
+        .cast("long")
+        .alias("u7_events_7d"),
+    )
+    return stats.crossJoin(F.broadcast(u7row))
 
 
 _A7_ORACLE = f"""
@@ -180,11 +225,12 @@ GROUP BY event_type
 def a7_activity_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 (session_utils.py:271-308): last-7-days per-type counts.
 
-    FOLDED (round 8, SURVEY §9 candidate 1): unregistered in favour of the
-    a7 family survivor `a7_user_activity` — same events aggregate at a
-    second grain. The function and its pytest parity check against
-    `_A7_ORACLE` remain (tests/test_oracle_parity.py exercises folded
-    queries directly)."""
+    FOLDED (round 8, SURVEY §9 candidate 1): unregistered in favour of
+    the then-survivor `a7_user_activity` — same events aggregate at a
+    second grain. In round 10 the whole a7 family folded onward into
+    a6_session_stats' u7_* columns (ladder step 3). The function and its
+    pytest parity check against `_A7_ORACLE` remain
+    (tests/test_oracle_parity.py exercises folded queries directly)."""
     return activity_breakdown(_events(spark, sf_dir), days=7)
 
 
@@ -200,7 +246,13 @@ FROM per_type
 """
 
 
-@register("a7_user_activity", _A7U_ORACLE)
+# Folded round 10 (SURVEY §9 ladder step 3): a7_user_activity's content
+# is fully reconstructable from a6_session_stats' hash-checked
+# `u7_breakdown_7d` column (per-type counts; `total_events` is their
+# sum), so its window slot folds into a6 — the a5/q8/q9 precedent.
+# Unregistered; the function, its oracle, and the subsumption equality
+# stay pytest-checked (test_oracle_parity::test_folded_query_matches_
+# oracle and test_prebuilt_r9::test_a7u_is_reconstructable_from_a6).
 def a7_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 per-user variant (session_utils.py:271-308, user_id=7)."""
     return user_activity(_events(spark, sf_dir), user_id=7, days=7)

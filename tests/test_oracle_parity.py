@@ -45,6 +45,9 @@ def _folded():
         ("ngram_contamination_13", corpus_q.ngram_contamination_13_q,
          corpus_q._CONTAM13_ORACLE),
         ("a5_live_users", analytics_q.a5_live_users, analytics_q._A5_ORACLE),
+        # Round-10 fold: a7_user_activity → a6's u7_* columns
+        ("a7_user_activity", analytics_q.a7_user_activity,
+         analytics_q._A7U_ORACLE),
         ("q8_faiss_quality", fusion_q.q8_faiss_quality, fusion_q._Q8_ORACLE),
         ("q9_contribution_quality", fusion_q.q9_contribution_quality,
          fusion_q._Q9_ORACLE),

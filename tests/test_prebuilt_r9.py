@@ -332,3 +332,28 @@ def test_a5_is_strict_projection_of_a6(spark):
     (a5,) = a5_live_users(spark, SF_DIR).collect()
     (a6,) = a6_session_stats(spark, SF_DIR).collect()
     assert a5["live_users"] == a6["live_users"]
+
+
+def test_a7u_is_reconstructable_from_a6(spark):
+    """SURVEY §9 fold ladder step 3 evidence (executed round 10):
+    a7_user_activity's full result — per-type counts AND the windowed
+    total — reconstructs exactly from a6_session_stats' hash-checked
+    `u7_breakdown_7d` string, so the a7u window slot folds into a6."""
+    from koby_s_ai_vector_db_spark.queries.analytics_q import (
+        a6_session_stats,
+        a7_user_activity,
+    )
+
+    (a6,) = a6_session_stats(spark, SF_DIR).collect()
+    decoded = {}
+    if a6["u7_breakdown_7d"]:
+        for part in a6["u7_breakdown_7d"].split(","):
+            t, n = part.rsplit(":", 1)
+            decoded[t] = int(n)
+    assert sum(decoded.values()) == a6["u7_events_7d"]
+
+    rows = a7_user_activity(spark, SF_DIR).collect()
+    expect = {r["event_type"]: r["n_events"] for r in rows}
+    assert decoded == expect
+    for r in rows:
+        assert r["total_events"] == a6["u7_events_7d"]
