@@ -75,3 +75,11 @@ def evict_application(spark: SparkSession) -> None:
             pass
     for k in [k for k in _SCALARS if k[0] == app]:
         _SCALARS.pop(k, None)
+    # The fixture-table plan memo (sources/tables.py) is keyed by the
+    # same application id — drop it too, so a test that rewrites a
+    # fixture dir after evicting never gets a stale file listing served
+    # from the cached plan (ADVICE r09).
+    from koby_s_ai_vector_db_spark.sources import tables as _tables
+
+    for k in [k for k in _tables._TABLE_MEMO if k[0] == app]:
+        _tables._TABLE_MEMO.pop(k, None)

@@ -278,18 +278,13 @@ def sliding_shingles_expr(col: str, n: int) -> Column:
     rather than distinct gram types. Rows with < n words yield an empty
     array. Same bind-once tokenization as `shingles_expr`."""
     from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+    from koby_s_ai_vector_db_spark.operators.dedup import _grams_body
 
     w = _WORDS.format(col=col)
-    # The short-row branch must be an explicit CASE: Spark's
-    # sequence(1, 0) yields a DESCENDING [1, 0], whose i=0 then blows up
-    # slice(nv, 0, n) — greatest(..., 0) alone does not make it empty.
-    body = (
-        f"CASE WHEN size(nv) >= {n} THEN"
-        f" transform(sequence(1, size(nv) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(nv, i, {n})))"
-        f" ELSE array() END"
-    )
-    return F.expr(bind_once(w, body))
+    # Positional = the distinct=False branch of the shared gram body
+    # (operators/dedup.py::_grams_body — one source of truth, incl. the
+    # short-row CASE guard).
+    return F.expr(bind_once(w, _grams_body("nv", n, distinct=False)))
 
 
 def ngram_contamination_sliding(
@@ -300,6 +295,7 @@ def ngram_contamination_sliding(
     text_col: str = "text",
     bench_id: str = "bench_id",
     round_to: int = 6,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Decontamination at the published-pipeline n (13-gram sliding
     window): for each (train doc, benchmark doc) pair, count how many of
@@ -318,19 +314,33 @@ def ngram_contamination_sliding(
     Same 100 TB shape as the n=3 tier: candidates come from the postings
     equi-join against the BROADCAST benchmark side, never all-pairs; the
     train side is map-only until the per-pair count aggregation.
+
+    `words_col`: when both sides are already tokenized (a shared
+    persisted (id, words) table feeding several widths — the
+    contamination fold), name the array<string> column and the gram
+    expressions derive from it instead of re-splitting `text_col`.
     """
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        shingles_from_words_expr,
+    )
+
+    t_grams = (
+        shingles_from_words_expr(words_col, n, distinct=False)
+        if words_col
+        else sliding_shingles_expr(text_col, n)
+    )
+    b_grams = (
+        shingles_from_words_expr(words_col, n, distinct=True)
+        if words_col
+        else shingles_expr(text_col, n)
+    )
     t_post = (
-        train.select(
-            F.col(id_col).alias("_tid"),
-            sliding_shingles_expr(text_col, n).alias("_g"),
-        )
+        train.select(F.col(id_col).alias("_tid"), t_grams.alias("_g"))
         .filter(F.size("_g") > 0)
         .select("_tid", F.size("_g").alias("_n_g"), F.explode("_g").alias("g"))
     )
     b_post = (
-        benchmark.select(
-            F.col(bench_id).alias("_bid"), shingles_expr(text_col, n).alias("_g")
-        )
+        benchmark.select(F.col(bench_id).alias("_bid"), b_grams.alias("_g"))
         .filter(F.size("_g") > 0)
         .select("_bid", F.explode("_g").alias("g"))
     )
@@ -356,6 +366,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_id: str = "bench_id",
+    words_col: str | None = None,
 ) -> DataFrame:
     """Train/eval overlap check: flag train docs sharing ≥1 word n-gram
     with any benchmark doc → (doc_id, bench_id, n_shared).
@@ -367,17 +378,22 @@ def ngram_contamination(
     construction (eval sets are thousands of docs, not billions) and
     broadcast.
     """
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        shingles_from_words_expr,
+    )
+
+    grams = (
+        shingles_from_words_expr(words_col, n, distinct=True)
+        if words_col
+        else shingles_expr(text_col, n)
+    )
     t_post = (
-        train.select(
-            F.col(id_col).alias("_tid"), shingles_expr(text_col, n).alias("_g")
-        )
+        train.select(F.col(id_col).alias("_tid"), grams.alias("_g"))
         .filter(F.size("_g") > 0)
         .select("_tid", F.explode("_g").alias("g"))
     )
     b_post = (
-        benchmark.select(
-            F.col(bench_id).alias("_bid"), shingles_expr(text_col, n).alias("_g")
-        )
+        benchmark.select(F.col(bench_id).alias("_bid"), grams.alias("_g"))
         .filter(F.size("_g") > 0)
         .select("_bid", F.explode("_g").alias("g"))
     )

@@ -83,6 +83,22 @@ def words_expr(col: str) -> Column:
     return F.expr(_WORDS.format(col=col))
 
 
+def _grams_body(var: str, n: int, distinct: bool) -> str:
+    """Shingle construction over an already-bound token-array variable —
+    the single source of truth for BOTH the text-input and the
+    pre-tokenized-input shingle expressions (they cannot drift)."""
+    grams = (
+        f"transform(sequence(1, size({var}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({var}, i, {n})))"
+    )
+    if distinct:
+        grams = f"array_distinct({grams})"
+    # Explicit CASE for short rows: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0], and its i=0 errors inside slice(nv, 0, n) —
+    # greatest(..., 0) alone does not yield an empty shingle array.
+    return f"CASE WHEN size({var}) >= {n} THEN {grams} ELSE array() END"
+
+
 def shingles_expr(col: str, n: int = NGRAM_N, distinct: bool = True) -> Column:
     """Word n-gram shingles, JVM-side — distinct by default (the set
     semantics every Jaccard/MinHash tier uses); distinct=False keeps
@@ -96,17 +112,19 @@ def shingles_expr(col: str, n: int = NGRAM_N, distinct: bool = True) -> Column:
     from koby_s_ai_vector_db_spark.functions.exprs import bind_once
 
     w = _WORDS.format(col=col)
-    grams = (
-        f"transform(sequence(1, size(nv) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(nv, i, {n})))"
-    )
-    if distinct:
-        grams = f"array_distinct({grams})"
-    # Explicit CASE for short rows: Spark's sequence(1, 0) is a
-    # DESCENDING [1, 0], and its i=0 errors inside slice(nv, 0, n) —
-    # greatest(..., 0) alone does not yield an empty shingle array.
-    body = f"CASE WHEN size(nv) >= {n} THEN {grams} ELSE array() END"
-    return F.expr(bind_once(w, body))
+    return F.expr(bind_once(w, _grams_body("nv", n, distinct)))
+
+
+def shingles_from_words_expr(
+    words_col: str, n: int = NGRAM_N, distinct: bool = True
+) -> Column:
+    """`shingles_expr` over an ALREADY-tokenized array<string> column —
+    the shared-scan path: when several shingle widths consume one corpus
+    (the contamination fold), the caller tokenizes once into a persisted
+    (id, words) table and each width derives its grams from that column
+    instead of re-splitting the text per arm. Identical gram semantics by
+    construction (same `_grams_body`)."""
+    return F.expr(_grams_body(words_col, n, distinct))
 
 
 _H32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"

@@ -470,9 +470,18 @@ def _mix_parts(
         return toks, plan.localCheckpoint()
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
+    # The mix parameters join the memo key: two call sites reusing a
+    # cache_key with different weights/budget/columns must never share a
+    # checkpointed plan (ADVICE r09 — collision-proof by construction).
+    param_key = (
+        tuple(sorted(weights.items())),
+        token_budget,
+        strata_col,
+        tokens_col,
+    )
     return toks, memo_persist(
         docs.sparkSession,
-        ("mix_plan", cache_key),
+        ("mix_plan", cache_key, param_key),
         lambda: plan.localCheckpoint(),
     )
 

@@ -692,20 +692,57 @@ FROM ({_CONTAM13_ORACLE})
 """
 
 
+def _contam_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fold's shared corpus subtree: tokenize ONCE into a persisted
+    (doc_id, w) table that both width arms derive their grams from —
+    round-9's heaviest sf1 row ran the scan + lower/split explode twice
+    (VERDICT r09 item 4). memo-persisted per (application, sf_dir), the
+    minhash_near_dup_pairs pattern; construction stays action-free
+    (persist is lazy)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    def build():
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        return docs.select("doc_id", words_expr("text").alias("w"))
+
+    return memo_persist(spark, ("contam_tokens", sf_dir), build)
+
+
 @register("ngram_contamination_both", _CONTAM_BOTH_ORACLE)
 def ngram_contamination_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both decontamination widths in one result, tagged by `n`. Calls
-    the two registered query functions and unions — one extra union node,
-    zero new operator code, so a value regression in either width fails
-    this exactly as it fails the standalone queries."""
-    a = ngram_contamination_q(spark, sf_dir).select(
-        F.lit(3).cast("long").alias("n"),
-        "doc_id",
-        "bench_id",
-        F.col("n_shared").cast("long").alias("n_shared"),
-        F.lit(-1.0).cast("double").alias("contaminated_frac"),
+    """Both decontamination widths in one result, tagged by `n`. Same
+    operators and the byte-reused union of the standalone oracles, but
+    the two arms now share ONE tokenized-corpus subtree
+    (`_contam_tokens`, persisted): each arm reads the (doc_id, w) table
+    and derives its grams from the array column (words_col path), so the
+    corpus is scanned and tokenized once instead of twice. The round-9
+    union-over-memo lesson applies — tests/test_plans.py pins the
+    InMemoryRelation scans in the final (unioned) plan so CacheManager
+    substitution regressions stay loud."""
+    toks = _contam_tokens(spark, sf_dir)
+    bench3 = toks.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "w"
     )
-    b = ngram_contamination_13_q(spark, sf_dir).select(
+    a = (
+        ngram_contamination(toks, bench3, n=CONTAM_N, words_col="w")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select(
+            F.lit(3).cast("long").alias("n"),
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.lit(-1.0).cast("double").alias("contaminated_frac"),
+        )
+    )
+    bench13 = toks.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.slice(F.col("w"), 1, CONTAM13_BENCH_WORDS).alias("w"),
+    )
+    b = ngram_contamination_sliding(
+        toks, bench13, n=CONTAM13_N, words_col="w"
+    ).select(
         F.lit(13).cast("long").alias("n"),
         "doc_id",
         "bench_id",

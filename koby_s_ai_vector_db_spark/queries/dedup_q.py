@@ -748,9 +748,19 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweeps and registry enumeration stay action-free): a filtered
     # 1-row max(doc_id) aggregate unions a raise_error row into the
     # SMALL broadcast attribution side, so it evaluates when the
-    # broadcast builds — on EVERY execution, even when misattribution
-    # would empty the joins — and in the healthy path contributes zero
-    # rows (base_a = -1 could never match anyway). Deliberately NOT a
+    # broadcast builds. Firing contract (ADVICE r09 precision): the
+    # guard fires on every execution in which the memoized pair table
+    # has ≥1 row — crucially INCLUDING the misattribution case, where
+    # the joins come out wrong/empty but the sa broadcast still builds.
+    # The one skip case is an EMPTY pair table, where AQE empty-relation
+    # propagation may eliminate the join before sa materializes; there
+    # is then nothing to misattribute and the (empty) output is correct,
+    # so the weaker guarantee is acceptable. The suggested alternative —
+    # cross-joining the guard onto the FINAL aggregate — would be
+    # strictly worse: under misattribution the aggregate's runtime stats
+    # are empty and AQE would propagate past the guard in exactly the
+    # case it must fire. In the healthy path the guard row contributes
+    # zero rows (base_a = -1 never matches). Deliberately NOT a
     # union over the final output: wrapping the memoized MinHash
     # subtree in a Union defeats CacheManager substitution of the
     # persisted shingle table (measured 28× at sf1, PLANS_r09 note);

@@ -42,10 +42,20 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from koby_s_ai_vector_db_spark.functions.caching import memo_scalar
 
+    import hashlib
+
     docs = load_table(spark, sf_dir, "documents")
     fixture = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    # Root derives from the FULL absolute sf_dir, not its basename: two
+    # sf_dirs sharing a basename in one session would otherwise overwrite
+    # one root while the first dir's memo entry kept serving it — a
+    # silent oracle-parity break (ADVICE r09). The basename stays in the
+    # path for human debuggability; the hash disambiguates.
+    norm = os.path.abspath(os.path.normpath(sf_dir))
     root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_s1", os.path.basename(os.path.normpath(sf_dir))
+        tempfile.gettempdir(),
+        "spark_graft_s1",
+        f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:12]}",
     )
 
     def _materialize() -> str:

@@ -84,3 +84,21 @@ def test_repeat_deltas_survive_trimming():
     assert json.loads(line)["repeat"] == {
         k: round(v, 2) for k, v in result["repeat"].items()
     }
+
+
+def test_sweep_raw_kept_small_dropped_under_pressure():
+    """Round-10 carryover hygiene: when the headline map was folded to
+    min(sweep, repeat), the raw sweep numbers ride in `sweep_raw` while
+    the line has room — and are the FIRST thing dropped when it doesn't
+    (BENCH_FULL.json keeps them)."""
+    result, pq, fl = _mk(10, 0)
+    result["sweep_raw"] = {list(pq)[0]: 9.99}
+    slim = bench.slim_line(result, pq, fl)
+    assert slim["sweep_raw"] == {list(pq)[0]: 9.99}
+
+    result, pq, fl = _mk(200, 0)
+    result["sweep_raw"] = {k: pq[k] + 5 for k in list(pq)[:8]}
+    slim = bench.slim_line(result, pq, fl)
+    line = bench.encoded(slim)
+    assert len(line) <= bench.BUDGET
+    assert "sweep_raw" not in slim

@@ -329,6 +329,24 @@ def test_prebuilt_r10_plan_shapes(spark):
     assert "CartesianProduct" not in p
 
 
+def test_contamination_fold_shares_tokenized_subtree(spark):
+    """Round-10 shared-subtree rework: ngram_contamination_both's two
+    width arms must BOTH read the memoized tokenized-corpus persist
+    (corpus_q._contam_tokens) instead of re-scanning + re-splitting the
+    text per arm — and, per the round-9 union-over-memo lesson (SURVEY
+    §9), the Union on top must NOT defeat CacheManager substitution.
+    Four scan sites (t3, b3, t13, b13) → exactly 4 InMemoryRelations in
+    withCachedData; the only parquet FileScan of documents would be
+    inside the cached plan itself."""
+    from koby_s_ai_vector_db_spark.queries.corpus_q import (
+        ngram_contamination_both,
+    )
+
+    df = ngram_contamination_both(spark, SF_DIR)
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    assert cached.count("InMemoryRelation") == 4, cached.splitlines()[:5]
+
+
 def test_hard_negative_bnlj_builds_bounded_side(spark):
     """VERDICT r07 watch item: mine_hard_negatives is the repo's one
     intentional all-pairs BroadcastNestedLoopJoin — safe ONLY while the
