@@ -204,3 +204,43 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
         )
     )
+
+
+# Unregistered 100 TB-path twin (VERDICT r09 item 6): at fixture scale
+# AQE broadcasts the segment-filtered customer side of Q3; on a real
+# cluster that side is 1/5 of all customers — NOT broadcastable — and
+# the plan is a shuffle join on custkey. This twin FORCES that path
+# (merge hints on both joins) so the probe can time the plan the query
+# would actually run at 100 TB, at any local sf, without touching the
+# registered query. Value parity with rel_shipping_priority is pinned in
+# tests/test_round10_ops.py; scripts/scale_probe.py carries it as an
+# EXTRA_PROBES entry.
+def rel_shipping_priority_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.to_timestamp(F.lit(Q3_CUT))
+    cust = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+        .hint("merge")
+    )
+    orders = t["orders"].filter(F.col("o_orderdate") < cut)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cut).hint("merge")
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("rev_d"))
+    )
+    return (
+        rev.orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+        )
+    )

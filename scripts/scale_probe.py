@@ -300,9 +300,22 @@ def _exact_fuzzy(spark, sf_dir):
     return fuzzy_edit_pairs(docs, t=8)
 
 
+def _q3_shuffle(spark, sf_dir):
+    # The 100 TB-path twin of rel_shipping_priority: merge-hinted joins
+    # so the probe times the shuffle plan the query runs once its
+    # segment-filtered customer side stops being broadcastable
+    # (VERDICT r09 item 6; value parity in tests/test_round10_ops.py).
+    from koby_s_ai_vector_db_spark.queries.relational_q import (
+        rel_shipping_priority_shuffle,
+    )
+
+    return rel_shipping_priority_shuffle(spark, sf_dir)
+
+
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
+    "rel_ship_prio_shuffle": _q3_shuffle,
 }
 
 
