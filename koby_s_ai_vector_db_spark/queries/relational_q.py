@@ -244,3 +244,83 @@ def rel_shipping_priority_shuffle(
             F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
         )
     )
+
+
+# --- round-11 prebuilds (SURVEY §9: r11 has 2 free slots) --------------------
+# Pre-earned per the established mechanics: function + oracle + parity
+# test (tests/test_prebuilt_r11.py) + plan pin (tests/test_plans.py) +
+# sf1 probe land this round; the @register decoration is added in round
+# 11 when the rotation frees the slots.
+
+# TPC-H Q10 shape ("returned item reporting"): which customers returned
+# the most revenue in a quarter — the classic 4-way join with a
+# broadcastable nation dimension. Rounds out the relational family's
+# join shapes (Q1 single-pass agg, Q3 mid-size shuffle join, two
+# broadcast-dim joins) with the fact⋈fact⋈dim⋈tiny-dim chain.
+Q10_LO = "1997-10-01 00:00:00"
+Q10_HI = "1998-01-01 00:00:00"
+Q10_TOP = 20
+
+_REL_RETURNED = f"""
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(l.l_extendedprice::DECIMAL(18,2)
+               * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS rev_d,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+      AND o.o_orderdate < TIMESTAMP '{Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name,
+       round(CAST(rev_d AS DOUBLE), 4) AS revenue, n_items
+FROM rev
+ORDER BY rev_d DESC, c_custkey ASC
+LIMIT {Q10_TOP}
+"""
+
+
+def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: quarter-windowed orders join returned lineitems
+    and the customer/nation dims; top-{Q10_TOP} customers by returned
+    revenue. Scale plan: both filters (o_orderdate range, l_returnflag)
+    push into the parquet scans; nation (25 rows) is an explicit
+    broadcast; customer⋈orders⋈lineitem shuffle on their keys at
+    cluster scale (AQE broadcasts at fixture scale). Top-N is
+    TakeOrdered on the EXACT decimal revenue (display rounding after
+    the cut), the Q3 determinism contract."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(Q10_LO)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(Q10_HI)))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = (
+        t["customer"]
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).alias("rev_d"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev_d"), F.asc("c_custkey"))
+        .limit(Q10_TOP)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+            "n_items",
+        )
+    )

@@ -824,3 +824,80 @@ def ta_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+# --- round-11 prebuild (SURVEY §9: r11 has 2 free slots) ---------------------
+# Tokenizer fertility report: bytes-per-token per (lang, source) — the
+# standard pre-training audit for how expensively each corpus slice
+# tokenizes (a high bytes/token slice under-trains per byte; the metric
+# drives per-source budget and tokenizer-vocab decisions). Unregistered
+# until round 11; parity in tests/test_prebuilt_r11.py, plan pin in
+# tests/test_plans.py, sf1 probe via scripts/scale_probe.py.
+
+_FERTILITY_ORACLE = f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(sum(len({_W_DUCK})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS BIGINT)
+           AS bpe_tokens,
+       CAST(round(1000000.0 * sum(octet_length(encode(text)))
+                  / greatest(sum(len(regexp_extract_all(lower(text),
+                                                        '{BPE_RE}'))), 1))
+            AS BIGINT) AS bytes_per_bpe_q6,
+       CAST(round(1000000.0 * sum(octet_length(encode(text)))
+                  / greatest(sum(len({_W_DUCK})), 1))
+            AS BIGINT) AS bytes_per_ws_q6
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def tok_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) tokenizer fertility: document/byte/token
+    totals and the q6-quantized bytes-per-token ratios for both the
+    whitespace and the BPE-ish counters (the ta_token_count
+    expressions, so the two views cannot drift). Map-only JVM regex
+    counting (spread across cores pre-shuffle per the §9 convention),
+    one partial+final groupBy on (lang, source) — the output is
+    vocabulary-of-slices sized, never corpus sized. The ratio folds the
+    same double expression on both engines then quantizes to int64."""
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws, bpe = token_counts("text")
+    per = docs.select(
+        "lang",
+        "source",
+        F.octet_length("text").cast("long").alias("b"),
+        ws.cast("long").alias("wt"),
+        bpe.cast("long").alias("bt"),
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("total_bytes"),
+        F.sum("wt").cast("long").alias("ws_tokens"),
+        F.sum("bt").cast("long").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_bytes",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(
+            1000000.0
+            * F.col("total_bytes")
+            / F.greatest(F.col("bpe_tokens"), F.lit(1))
+        )
+        .cast("long")
+        .alias("bytes_per_bpe_q6"),
+        F.round(
+            1000000.0
+            * F.col("total_bytes")
+            / F.greatest(F.col("ws_tokens"), F.lit(1))
+        )
+        .cast("long")
+        .alias("bytes_per_ws_q6"),
+    )

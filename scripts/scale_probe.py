@@ -231,6 +231,11 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
                 + rng.integers(0, 2400, size=n_li) * day_us,
                 pa.timestamp("us"),
             ),
+            # Q10 (rel_returned_revenue) filter column — the fixture's
+            # ~1/3 'R' selectivity.
+            "l_returnflag": pa.array(
+                rng.choice(np.array(["R", "N", "A"]), size=n_li).tolist()
+            ),
         }
     )
     pq.write_table(li, f"{out_dir}/lineitem.parquet")
@@ -247,9 +252,23 @@ def generate(out_dir: str, wide_vocab: int = 0) -> None:
             "c_mktsegment": pa.array(
                 rng.choice(segments, size=n_cust).tolist()
             ),
+            # Q10 columns: display name + the nation FK.
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n_cust).astype("int32"), pa.int32()
+            ),
         }
     )
     pq.write_table(cust, f"{out_dir}/customer.parquet")
+
+    # 25-row nation dimension (Q10's broadcast side).
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        }
+    )
+    pq.write_table(nation, f"{out_dir}/nation.parquet")
 
     # Minimal orders at 10x sf0.1 (1.5M rows over 150k customers — the
     # purchase-graph join keys plus the Q3 date/priority columns).
@@ -312,10 +331,29 @@ def _q3_shuffle(spark, sf_dir):
     return rel_shipping_priority_shuffle(spark, sf_dir)
 
 
+def _prebuilt_r11(name):
+    # Round-11 prebuilds (unregistered until the r11 rotation): probed
+    # the session they were written, per SURVEY §9 probe hygiene.
+    def fn(spark, sf_dir):
+        from koby_s_ai_vector_db_spark.queries import relational_q, text_q
+
+        fns = {
+            "rel_returned_revenue": relational_q.rel_returned_revenue,
+            "tok_fertility_report": text_q.tok_fertility_report,
+        }
+        return fns[name](spark, sf_dir)
+
+    return fn
+
+
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
     "rel_ship_prio_shuffle": _q3_shuffle,
+    **{
+        n: _prebuilt_r11(n)
+        for n in ("rel_returned_revenue", "tok_fertility_report")
+    },
 }
 
 

@@ -329,6 +329,29 @@ def test_prebuilt_r10_plan_shapes(spark):
     assert "CartesianProduct" not in p
 
 
+def test_prebuilt_r11_plan_shapes(spark):
+    """Round-11 prebuilds: Q10's selective filters must reach the
+    parquet scans (returnflag equality, both orderdate bounds), the
+    top-20 is TakeOrdered (never a global sort), and no cartesian; the
+    fertility report is map-only JVM regex counting into ONE keyed
+    exchange with no Python eval."""
+    from koby_s_ai_vector_db_spark.queries.relational_q import (
+        rel_returned_revenue,
+    )
+    from koby_s_ai_vector_db_spark.queries.text_q import tok_fertility_report
+
+    p = _fn_plan(spark, rel_returned_revenue)
+    assert "EqualTo(l_returnflag,R)" in p, "returnflag not pushed"
+    assert "GreaterThanOrEqual(o_orderdate" in p, "date lo not pushed"
+    assert "LessThan(o_orderdate" in p, "date hi not pushed"
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    p = _fn_plan(spark, tok_fertility_report)
+    assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_contamination_fold_shares_tokenized_subtree(spark):
     """Round-10 shared-subtree rework: ngram_contamination_both's two
     width arms must BOTH read the memoized tokenized-corpus persist
