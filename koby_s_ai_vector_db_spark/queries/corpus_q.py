@@ -604,24 +604,32 @@ CROSS JOIN tot
 def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOP} adjacent bigrams by count with exact-count PMI.
     Plan: two map-side-combined explode aggregates (unigrams, sliding
-    bigrams — the shingle expression the Jaccard tiers share, TF
-    semantics), TakeOrdered top-K on the integer count, then the K-row
+    bigrams), TakeOrdered top-K on the integer count, then the K-row
     table joins the broadcast vocabulary-bounded unigram counts and the
     broadcast 1-row totals. The corpus crosses the wire only inside the
-    two count aggregations."""
-    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    two count aggregations. Round 10: all three corpus-sized arms read
+    the shared persisted tokenized table (`_tokenized_corpus`) instead
+    of re-splitting the text — bigrams via `shingles_from_words_expr`
+    (the same `_grams_body` the text-input expression uses, so the gram
+    semantics cannot drift) — and the vocabulary-bounded unigram-count
+    table is itself memo-persisted because the final result consumes it
+    TWICE (the tok1 and tok2 joins): without the persist the
+    corpus-sized explode+groupBy subtree is replayed per consumer."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.operators.dedup import (
-        shingles_expr,
-        words_expr,
+        shingles_from_words_expr,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(words_expr("text").alias("w"))
-    uni = (
-        words.select(F.explode("w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
-    )
+    words = _tokenized_corpus(spark, sf_dir).select("w")
+
+    def build_uni() -> DataFrame:
+        return (
+            words.select(F.explode("w").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+        )
+
+    uni = memo_persist(spark, ("pmi_unigrams", sf_dir), build_uni)
     tot = words.agg(
         F.sum(F.size("w")).cast("long").alias("t_tok"),
         F.sum(
@@ -631,8 +639,10 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_big"),
     )
     bcnt = (
-        docs.select(
-            F.explode(shingles_expr("text", 2, distinct=False)).alias("g")
+        words.select(
+            F.explode(shingles_from_words_expr("w", 2, distinct=False)).alias(
+                "g"
+            )
         )
         .groupBy("g")
         .agg(F.count("*").alias("c12"))
@@ -692,13 +702,14 @@ FROM ({_CONTAM13_ORACLE})
 """
 
 
-def _contam_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fold's shared corpus subtree: tokenize ONCE into a persisted
-    (doc_id, w) table that both width arms derive their grams from —
-    round-9's heaviest sf1 row ran the scan + lower/split explode twice
-    (VERDICT r09 item 4). memo-persisted per (application, sf_dir), the
-    minhash_near_dup_pairs pattern; construction stays action-free
-    (persist is lazy)."""
+def _tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared tokenized-corpus subtree: tokenize ONCE into a
+    persisted (doc_id, w) table that every word-gram consumer in this
+    module derives from — both contamination width arms (round-9's
+    heaviest sf1 row ran the scan + lower/split explode twice, VERDICT
+    r09 item 4) and the PMI collocation aggregates. memo-persisted per
+    (application, sf_dir), the minhash_near_dup_pairs pattern;
+    construction stays action-free (persist is lazy)."""
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
@@ -707,7 +718,7 @@ def _contam_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spread(load_table(spark, sf_dir, "documents"))
         return docs.select("doc_id", words_expr("text").alias("w"))
 
-    return memo_persist(spark, ("contam_tokens", sf_dir), build)
+    return memo_persist(spark, ("tokenized_corpus", sf_dir), build)
 
 
 @register("ngram_contamination_both", _CONTAM_BOTH_ORACLE)
@@ -715,13 +726,13 @@ def ngram_contamination_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both decontamination widths in one result, tagged by `n`. Same
     operators and the byte-reused union of the standalone oracles, but
     the two arms now share ONE tokenized-corpus subtree
-    (`_contam_tokens`, persisted): each arm reads the (doc_id, w) table
+    (`_tokenized_corpus`, persisted): each arm reads the (doc_id, w) table
     and derives its grams from the array column (words_col path), so the
     corpus is scanned and tokenized once instead of twice. The round-9
     union-over-memo lesson applies — tests/test_plans.py pins the
     InMemoryRelation scans in the final (unioned) plan so CacheManager
     substitution regressions stay loud."""
-    toks = _contam_tokens(spark, sf_dir)
+    toks = _tokenized_corpus(spark, sf_dir)
     bench3 = toks.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "w"
     )

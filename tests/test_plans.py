@@ -355,7 +355,7 @@ def test_prebuilt_r11_plan_shapes(spark):
 def test_contamination_fold_shares_tokenized_subtree(spark):
     """Round-10 shared-subtree rework: ngram_contamination_both's two
     width arms must BOTH read the memoized tokenized-corpus persist
-    (corpus_q._contam_tokens) instead of re-scanning + re-splitting the
+    (corpus_q._tokenized_corpus) instead of re-scanning + re-splitting the
     text per arm — and, per the round-9 union-over-memo lesson (SURVEY
     §9), the Union on top must NOT defeat CacheManager substitution.
     Four scan sites (t3, b3, t13, b13) → exactly 4 InMemoryRelations in
@@ -368,6 +368,26 @@ def test_contamination_fold_shares_tokenized_subtree(spark):
     df = ngram_contamination_both(spark, SF_DIR)
     cached = df._jdf.queryExecution().withCachedData().toString()
     assert cached.count("InMemoryRelation") == 4, cached.splitlines()[:5]
+
+    # ta_pmi_collocations joined the shared-subtree consumers in round
+    # 10: its three corpus-sized arms (unigram counts, totals, bigram
+    # counts) must all read the same persisted tokenized table, and the
+    # unigram-count table — consumed TWICE by the final join (tok1 and
+    # tok2 sides) — must itself be persisted so the corpus-sized
+    # explode+groupBy is not replayed per consumer. Expected cache
+    # structure in the substituted plan: 2× InMemoryRelation(unigrams),
+    # each of whose printed cachedPlan nests an InMemoryTableScan +
+    # InMemoryRelation over the tokenized table, plus the tot and bcnt
+    # arms reading the tokenized table directly → 6 InMemoryRelation
+    # strings, exactly 2 nested InMemoryTableScans.
+    from koby_s_ai_vector_db_spark.queries.corpus_q import (
+        ta_pmi_collocations,
+    )
+
+    df = ta_pmi_collocations(spark, SF_DIR)
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    assert cached.count("InMemoryRelation") == 6, cached.splitlines()[:5]
+    assert cached.count("InMemoryTableScan") == 2, cached.splitlines()[:5]
 
 
 def test_hard_negative_bnlj_builds_bounded_side(spark):
