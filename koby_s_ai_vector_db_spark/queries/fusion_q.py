@@ -164,26 +164,53 @@ meta AS (
 )"""
 
 
-_Q7_ORACLE = _ARMS_CTE + """
+_Q7_ORACLE = _ARMS_CTE + f"""
 SELECT query_id, faiss_count, contribution_count, total_sources, has_contributions,
        round(faiss_quality, 6) AS faiss_quality,
        round(contribution_quality, 6) AS contribution_quality,
-       prioritized_contributions
+       prioritized_contributions,
+       length(query_text) AS query_length,
+       CASE WHEN total_sources >= 3 THEN 'high'
+            WHEN total_sources >= 1 THEN 'medium'
+            ELSE 'low' END AS search_effectiveness,
+       CASE WHEN faiss_count = 0 AND contribution_count = 0 THEN '{REC_NONE}'
+            WHEN faiss_count > 0 AND contribution_count > 0 THEN '{REC_BOTH}'
+            WHEN faiss_count > 0 THEN '{REC_FAISS}'
+            ELSE '{REC_CONTRIB}' END AS recommendation
 FROM meta
 """
 
 
 @register("q7_fusion", _Q7_ORACLE)
 def q7_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q7 (enhanced_search.py:16-114): per-query dual-search metadata."""
+    """Q7 (enhanced_search.py:16-114): per-query dual-search metadata.
+
+    Round-10 fold (ladder step 4): carries q13_effectiveness's three
+    non-derivable columns — query_length, search_effectiveness,
+    recommendation (enhanced_search.py:366-410). q13's remaining
+    columns are boolean views of faiss_count/contribution_count/
+    has_contributions, so the full q13 result reconstructs from this
+    hash-checked row (tests/test_round10_ops.py::
+    test_q13_is_reconstructable_from_q7)."""
     qtext, vec, _, lex = _inputs(spark, sf_dir)
     meta = fusion_metadata(qtext, vec, lex)
+    fc, cc = F.col("faiss_count"), F.col("contribution_count")
     return meta.select(
         "query_id", "faiss_count", "contribution_count", "total_sources",
         "has_contributions",
         F.round("faiss_quality", 6).alias("faiss_quality"),
         F.round("contribution_quality", 6).alias("contribution_quality"),
         "prioritized_contributions",
+        F.length("query_text").alias("query_length"),
+        F.when(F.col("total_sources") >= 3, F.lit("high"))
+        .when(F.col("total_sources") >= 1, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("search_effectiveness"),
+        F.when((fc == 0) & (cc == 0), F.lit(REC_NONE))
+        .when((fc > 0) & (cc > 0), F.lit(REC_BOTH))
+        .when(fc > 0, F.lit(REC_FAISS))
+        .otherwise(F.lit(REC_CONTRIB))
+        .alias("recommendation"),
     )
 
 
@@ -362,9 +389,14 @@ FROM meta
 """
 
 
-@register("q13_effectiveness", _Q13_ORACLE)
 def q13_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q13 (enhanced_search.py:366-410): effectiveness buckets + advice."""
+    """Q13 (enhanced_search.py:366-410): effectiveness buckets + advice.
+
+    FOLDED (round 10, SURVEY §9 ladder step 4): unregistered — every
+    column is either carried verbatim on `q7_fusion` (query_length,
+    search_effectiveness, recommendation, total_sources) or a boolean
+    view of q7's hash-checked counts; parity stays pinned in
+    test_oracle_parity::_folded and the reconstruction test."""
     qtext, vec, _, lex = _inputs(spark, sf_dir)
     return effectiveness(fusion_metadata(qtext, vec, lex))
 

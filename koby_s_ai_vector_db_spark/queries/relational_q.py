@@ -246,11 +246,11 @@ def rel_shipping_priority_shuffle(
     )
 
 
-# --- round-11 prebuilds (SURVEY §9: r11 has 2 free slots) --------------------
-# Pre-earned per the established mechanics: function + oracle + parity
-# test (tests/test_prebuilt_r11.py) + plan pin (tests/test_plans.py) +
-# sf1 probe land this round; the @register decoration is added in round
-# 11 when the rotation frees the slots.
+# --- built as a round-11 prebuild; REGISTERED late round 10 ------------------
+# Pre-earned per the established mechanics (function + oracle + parity
+# test + plan pin in tests/test_plans.py + sf1 probe in BASELINE.md);
+# fold ladder step 4 (q13_effectiveness → q7_fusion) freed a round-10
+# window slot mid-round, so the @register decoration landed early.
 
 # TPC-H Q10 shape ("returned item reporting"): which customers returned
 # the most revenue in a quarter — the classic 4-way join with a
@@ -284,6 +284,7 @@ LIMIT {Q10_TOP}
 """
 
 
+@register("rel_returned_revenue", _REL_RETURNED)
 def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: quarter-windowed orders join returned lineitems
     and the customer/nation dims; top-{Q10_TOP} customers by returned

@@ -73,7 +73,7 @@ _PRIORITY: list[str] = [
     "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
     "mine_hard_negatives", "mix_temperature", "mix_token_budget",
     "mm_binary_features", "mm_decode", "mm_frames", "mm_resize",
-    "pack_bestfit", "q10_prioritize", "q11_sources", "q13_effectiveness",
+    "pack_bestfit", "q10_prioritize", "q11_sources",
     "q14_fallback_routing", "q17_filtered_ann", "q7_fusion",
     "quality_percentile_gate", "seq_len_histogram", "shard_manifest",
     "softdedup_weights", "split_assign", "ta_boilerplate", "ta_entropy",
@@ -84,6 +84,11 @@ _PRIORITY: list[str] = [
     "graph_pagerank",
     "ta_pmi_collocations",
     "q18_ann_recall",
+    # Late round 10: fold ladder step 4 (q13_effectiveness → q7_fusion's
+    # query_length/search_effectiveness/recommendation columns) freed a
+    # window slot mid-round; it takes the already-verified round-11
+    # prebuild rel_returned_revenue (TPC-H Q10 shape), de-risking r11.
+    "rel_returned_revenue",
 ]
 
 

@@ -51,6 +51,10 @@ def _folded():
         ("q8_faiss_quality", fusion_q.q8_faiss_quality, fusion_q._Q8_ORACLE),
         ("q9_contribution_quality", fusion_q.q9_contribution_quality,
          fusion_q._Q9_ORACLE),
+        # Round-10 late fold (ladder step 4): q13 → q7_fusion's
+        # query_length / search_effectiveness / recommendation columns
+        ("q13_effectiveness", fusion_q.q13_effectiveness,
+         fusion_q._Q13_ORACLE),
         ("q2_ann_pq", vector_q.q2_ann_pq, vector_q._pq_oracle()),
         ("q2_ann_ivfpq", vector_q.q2_ann_ivfpq, vector_q._ivfpq_oracle()),
     ]

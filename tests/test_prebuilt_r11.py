@@ -1,9 +1,14 @@
 """Round-11 prebuilt queries: implemented + oracle-checked in round 10,
-but not yet registered — the round-10 verification window is full and
-capacity is 148/150 (SURVEY §9). The @register decorations land in round
-11's two free slots; until then this module keeps the capabilities
+but not yet registered. The @register decorations land in round 11's
+free slots; until then this module keeps the capabilities
 parity-checked every pytest run (the same mechanics that carried every
-prebuild since round 8)."""
+prebuild since round 8).
+
+rel_returned_revenue graduated early: fold ladder step 4
+(q13_effectiveness → q7_fusion, late round 10) freed a round-10 window
+slot, so it is registered and covered by test_oracle_parity — its rows
+here were trimmed per the registration mechanics; the shape-specific
+top-20 test below stays."""
 
 from __future__ import annotations
 
@@ -15,11 +20,9 @@ SF_DIR = SF_DIRS["t2"]
 
 
 def _prebuilt_r11():
-    from koby_s_ai_vector_db_spark.queries import relational_q, text_q
+    from koby_s_ai_vector_db_spark.queries import text_q
 
     return [
-        ("rel_returned_revenue", relational_q.rel_returned_revenue,
-         relational_q._REL_RETURNED),
         ("tok_fertility_report", text_q.tok_fertility_report,
          text_q._FERTILITY_ORACLE),
     ]
