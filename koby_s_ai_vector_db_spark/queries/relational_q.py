@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+from koby_s_ai_vector_db_spark.operators.bloom import bloom_build, bloom_prefilter
 from koby_s_ai_vector_db_spark.registry import register
 from koby_s_ai_vector_db_spark.sources.tables import load_tables
 
@@ -324,4 +326,87 @@ def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
             "n_items",
         )
+    )
+
+
+# --- round-11 prebuild (NOT registered: the round-10 window is full) ----------
+# Pre-earned per SURVEY §9 mechanics: function + oracle + parity test
+# (tests/test_prebuilt_r11.py) + plan pin (tests/test_plans.py) + sf1 probe
+# (BASELINE.md) land in round 10; the @register decoration is added in
+# round 11 when the rotation frees the second slot.
+
+# Bloom-filter semi-join reduction: monthly shipped revenue of lineitems
+# that belong to urgent orders placed in one year. The filtered orderkey
+# set is the canonical "too big to broadcast at 100 TB, too selective to
+# shuffle the whole probe side for" key set; the split-block Bloom bitmap
+# (operators/bloom.py) is the fixed-size synopsis that converts the probe
+# into a map-side broadcast prefilter. The exact semi-join afterwards
+# removes false positives, so the SQL oracle is the plain semi-join — the
+# bloom is a pure physical-plan device, invisible to the result.
+BLOOM_PRIO = "1-URGENT"
+BLOOM_LO = "1996-01-01 00:00:00"
+BLOOM_HI = "1997-01-01 00:00:00"
+# 2^16 64-bit words = 512 KiB broadcast. Sized for the sf1 probe corpus
+# (~9k urgent-year keys -> ~0.4 occupied bits/word); at a real 100 TB the
+# rule of thumb in operators/bloom.py scales n_words with the key count,
+# which only grows the broadcast, never the semantics.
+BLOOM_WORDS = 1 << 16
+
+_REL_BLOOM = f"""
+SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(18,2)
+                      * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)))
+             AS DOUBLE), 4) AS revenue
+FROM lineitem l
+WHERE l.l_orderkey IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '{BLOOM_PRIO}'
+      AND o_orderdate >= TIMESTAMP '{BLOOM_LO}'
+      AND o_orderdate <  TIMESTAMP '{BLOOM_HI}'
+)
+GROUP BY 1
+"""
+
+
+def _bloom_keys(t) -> DataFrame:
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderpriority") == BLOOM_PRIO)
+            & (F.col("o_orderdate") >= F.to_timestamp(F.lit(BLOOM_LO)))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit(BLOOM_HI)))
+        )
+        .select("o_orderkey")
+    )
+
+
+def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (TPC-H-flavored): prefilter lineitem with
+    a broadcast split-block Bloom bitmap built over the urgent-1996
+    orderkeys, THEN exact semi-join (merge-hinted: the production shape
+    assumes the key set is not broadcastable — that assumption is the
+    reason the bloom exists), then a partial+final monthly aggregate.
+    Filters push into the orders parquet scan; the bitmap build is one
+    bounded aggregate (<= BLOOM_WORDS rows) memo-persisted per session;
+    no false negatives by construction, so results match the plain
+    semi-join oracle exactly."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    keys = _bloom_keys(t)
+    bitmap = memo_persist(
+        spark,
+        ("bloom_bitmap", sf_dir, BLOOM_PRIO, BLOOM_LO, BLOOM_HI, BLOOM_WORDS),
+        lambda: bloom_build(keys, "o_orderkey", BLOOM_WORDS),
+    )
+    pref = bloom_prefilter(t["lineitem"], "l_orderkey", bitmap, BLOOM_WORDS)
+    exact = pref.join(
+        keys.hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"),
     )

@@ -340,6 +340,7 @@ def _prebuilt_r11(name):
         fns = {
             "rel_returned_revenue": relational_q.rel_returned_revenue,
             "tok_fertility_report": text_q.tok_fertility_report,
+            "rel_bloom_semijoin": relational_q.rel_bloom_semijoin,
         }
         return fns[name](spark, sf_dir)
 
@@ -352,7 +353,11 @@ EXTRA_PROBES = {
     "rel_ship_prio_shuffle": _q3_shuffle,
     **{
         n: _prebuilt_r11(n)
-        for n in ("rel_returned_revenue", "tok_fertility_report")
+        for n in (
+            "rel_returned_revenue",
+            "tok_fertility_report",
+            "rel_bloom_semijoin",
+        )
     },
 }
 

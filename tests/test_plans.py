@@ -351,6 +351,32 @@ def test_prebuilt_r11_plan_shapes(spark):
     assert p.count("Exchange hashpartitioning") == 1, p.splitlines()[0]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
+    # rel_bloom_semijoin: the bitmap probe must be a map-side
+    # BroadcastHashJoin over the lineitem scan (never a shuffle of the
+    # probe side), the exact false-positive-killing join must be the
+    # merge-hinted SortMergeJoin LeftSemi (the production shape: the key
+    # set is assumed non-broadcastable — that assumption is why the bloom
+    # exists), and the orders filters must reach the parquet scan. The
+    # memoized bitmap rides in as an InMemoryRelation.
+    from koby_s_ai_vector_db_spark.queries.relational_q import (
+        rel_bloom_semijoin,
+    )
+
+    df = rel_bloom_semijoin(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, "bitmap probe not broadcast"
+    assert "SortMergeJoin" in p and "LeftSemi" in p, "exact semi not merge"
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p, "priority not pushed"
+    # The executedPlan string truncates each scan's filter list at 100
+    # chars (spark.sql.maxMetadataStringLength), which can hide the date
+    # bounds; the optimized logical plan prints Filter conditions in full.
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "1996-01-01" in opt and "1997-01-01" in opt, "date bounds lost"
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" in cached, "bitmap memo-persist not in plan"
+
 
 def test_contamination_fold_shares_tokenized_subtree(spark):
     """Round-10 shared-subtree rework: ngram_contamination_both's two

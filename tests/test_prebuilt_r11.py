@@ -20,11 +20,13 @@ SF_DIR = SF_DIRS["t2"]
 
 
 def _prebuilt_r11():
-    from koby_s_ai_vector_db_spark.queries import text_q
+    from koby_s_ai_vector_db_spark.queries import relational_q, text_q
 
     return [
         ("tok_fertility_report", text_q.tok_fertility_report,
          text_q._FERTILITY_ORACLE),
+        ("rel_bloom_semijoin", relational_q.rel_bloom_semijoin,
+         relational_q._REL_BLOOM),
     ]
 
 
@@ -77,3 +79,69 @@ def test_fertility_ratios_reconstruct_from_totals(spark):
         assert r["bytes_per_ws_q6"] == round(
             1000000.0 * r["total_bytes"] / r["ws_tokens"]
         ), r
+
+
+def test_bloom_prefilter_has_no_false_negatives_and_bounded_bitmap(spark):
+    """The bloom is a pure physical device: every TRUE semi-join match must
+    survive the prefilter (both sides derive (word, mask) from the same key
+    expression — a miss would be a silent row loss the oracle parity only
+    catches when a fixture key happens to collide), and the bitmap must
+    respect its n_words row bound (the bound is what makes it
+    broadcastable at any key count)."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+    from koby_s_ai_vector_db_spark.queries.relational_q import (
+        BLOOM_WORDS,
+        _bloom_keys,
+    )
+    from koby_s_ai_vector_db_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_DIR, "orders", "lineitem")
+    keys = _bloom_keys(t)
+    bitmap = bloom_build(keys, "o_orderkey", BLOOM_WORDS)
+    assert bitmap.count() <= BLOOM_WORDS
+
+    li = t["lineitem"]
+    true_matches = li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    ).count()
+    pref = bloom_prefilter(li, "l_orderkey", bitmap, BLOOM_WORDS)
+    kept_true = pref.join(
+        keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).count()
+    assert kept_true == true_matches, "bloom dropped a true match"
+    # and it actually filters: the urgent-1996 slice is ~3% of lineitem
+    assert pref.count() < li.count() / 4
+
+
+def test_bloom_tiny_filter_still_exact(spark):
+    """Adversarially small n_words (= 2 words, heavily overloaded) must
+    degrade ONLY the prefilter selectivity, never the final result — the
+    exact semi-join kills every false positive."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+    from koby_s_ai_vector_db_spark.queries.relational_q import _bloom_keys
+    from koby_s_ai_vector_db_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_DIR, "orders", "lineitem")
+    keys = _bloom_keys(t)
+    bitmap = bloom_build(keys, "o_orderkey", 2)
+    li = t["lineitem"]
+    pref = bloom_prefilter(li, "l_orderkey", bitmap, 2)
+    exact = pref.join(
+        keys.hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    want = li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    ).count()
+    assert exact.count() == want
