@@ -384,13 +384,22 @@ def _bloom_keys(t) -> DataFrame:
 def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (TPC-H-flavored): prefilter lineitem with
     a broadcast split-block Bloom bitmap built over the urgent-1996
-    orderkeys, THEN exact semi-join (merge-hinted: the production shape
-    assumes the key set is not broadcastable — that assumption is the
-    reason the bloom exists), then a partial+final monthly aggregate.
-    Filters push into the orders parquet scan; the bitmap build is one
-    bounded aggregate (<= BLOOM_WORDS rows) memo-persisted per session;
-    no false negatives by construction, so results match the plain
-    semi-join oracle exactly."""
+    orderkeys, THEN exact-join away the false positives (merge-hinted:
+    the production shape assumes the key set is not broadcastable — that
+    assumption is the reason the bloom exists), then a partial+final
+    monthly aggregate. Filters push into the orders parquet scan; the
+    bitmap build is one bounded aggregate (<= BLOOM_WORDS rows)
+    memo-persisted per session; no false negatives by construction, so
+    results match the plain semi-join oracle exactly.
+
+    The exact join is INNER against the key set, not left_semi, on
+    purpose: o_orderkey is the orders PK (unique — pinned in
+    tests/test_prebuilt_r11.py), so inner == semi here, and Catalyst's
+    PushLeftSemiThroughJoin would push a left_semi BELOW the bitmap
+    join — the probe side would shuffle into the sort-merge join before
+    the bloom was ever consulted, inverting the operator. Inner-join
+    order is preserved (no CBO), keeping the prefilter map-side under
+    the scan; the plan pin asserts the order."""
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     keys = _bloom_keys(t)
     bitmap = memo_persist(
@@ -402,7 +411,7 @@ def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pref.join(
         keys.hint("merge"),
         F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_semi",
+        "inner",
     )
     return exact.groupBy(
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")

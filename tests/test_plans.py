@@ -365,7 +365,16 @@ def test_prebuilt_r11_plan_shapes(spark):
     df = rel_bloom_semijoin(spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, "bitmap probe not broadcast"
-    assert "SortMergeJoin" in p and "LeftSemi" in p, "exact semi not merge"
+    assert "SortMergeJoin" in p, "exact join not merge"
+    # ORDER matters: the bitmap BroadcastHashJoin must sit BELOW the
+    # exact SortMergeJoin (i.e. later in the top-down tree print), so
+    # the probe side is prefiltered BEFORE it shuffles. A left_semi
+    # exact join regresses this — PushLeftSemiThroughJoin pushes it
+    # under the bitmap join and the full probe side shuffles first.
+    assert p.index("SortMergeJoin") < p.index("BroadcastHashJoin"), (
+        "bloom prefilter ended up above the exact join — probe side "
+        "shuffles unfiltered"
+    )
     assert "EqualTo(o_orderpriority,1-URGENT)" in p, "priority not pushed"
     # The executedPlan string truncates each scan's filter list at 100
     # chars (spark.sql.maxMetadataStringLength), which can hide the date

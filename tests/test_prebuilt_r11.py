@@ -145,3 +145,17 @@ def test_bloom_tiny_filter_still_exact(spark):
         keys, li.l_orderkey == keys.o_orderkey, "left_semi"
     ).count()
     assert exact.count() == want
+
+
+def test_bloom_keys_are_unique(spark):
+    """rel_bloom_semijoin's exact join is INNER against the key set (a
+    left_semi gets pushed below the bitmap join by
+    PushLeftSemiThroughJoin, defeating the prefilter — see the query
+    docstring); inner == semi only while o_orderkey stays unique in the
+    filtered key set. Pin the invariant the equivalence rests on."""
+    from koby_s_ai_vector_db_spark.queries.relational_q import _bloom_keys
+    from koby_s_ai_vector_db_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_DIR, "orders")
+    keys = _bloom_keys(t)
+    assert keys.count() == keys.distinct().count()
