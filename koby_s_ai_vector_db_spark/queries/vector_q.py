@@ -1111,14 +1111,24 @@ def q18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     disabled; ivf_topk at the q2 settings); the comparison itself is one
     id-key join of two K·|queries|-row tables — the corpus cost is the
     two search arms, each already probed at scale."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = topk_cosine(
-        emb.select("vec_id", "embedding"), queries, k=K, threshold=-2.0
-    ).select("query_id", "vec_id")
+    # The exact arm feeds BOTH the hit join and the per-query base
+    # count; without a persist the corpus-sized brute top-k subtree
+    # plans (and can execute) twice in one query. The result is
+    # K·|queries| rows — model-sized — so persist that, not the scan.
+    exact = memo_persist(
+        spark,
+        ("q18_exact_topk", sf_dir, K, NQ),
+        lambda: topk_cosine(
+            emb.select("vec_id", "embedding"), queries, k=K, threshold=-2.0
+        ).select("query_id", "vec_id"),
+    )
     ann = ivf_topk(
         emb.select("vec_id", "label", "embedding"),
         queries,
