@@ -85,6 +85,12 @@ def bloom_prefilter(
     only — the probe side does not shuffle here. May keep false positives;
     follow with the exact join."""
     block, mask = _block_and_mask(key_sql, n_words)
+    clash = {"__bb_block", "__bb_mask", "bb_block", "bb_bits"} & set(
+        probe.columns
+    )
+    if clash:
+        # The scratch/bitmap names would be silently shadowed and dropped.
+        raise ValueError(f"probe side already has bloom columns: {clash}")
     return (
         probe.withColumn("__bb_block", block)
         .withColumn("__bb_mask", mask)
