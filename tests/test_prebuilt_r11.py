@@ -159,3 +159,37 @@ def test_bloom_keys_are_unique(spark):
     t = load_tables(spark, SF_DIR, "orders")
     keys = _bloom_keys(t)
     assert keys.count() == keys.distinct().count()
+
+
+def test_bloom_operator_generalizes_to_string_keys(spark):
+    """operators/bloom.py takes any SQL key expression, not just bigints —
+    build over string keys and check exact set semantics end-to-end
+    (prefilter ⊇ matches; exact join == plain semi-join)."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    probe = spark.createDataFrame(
+        [(f"u{i % 40}", i) for i in range(400)], "k string, v int"
+    )
+    keys = spark.createDataFrame(
+        [(f"u{i}",) for i in range(0, 40, 3)], "kk string"
+    )
+    bitmap = bloom_build(keys, "kk", 64)
+    pref = bloom_prefilter(probe, "k", bitmap, 64)
+    got = (
+        pref.join(keys, F.col("k") == F.col("kk"), "inner")
+        .groupBy("k")
+        .count()
+    )
+    want = (
+        probe.join(keys, probe.k == keys.kk, "left_semi")
+        .groupBy("k")
+        .count()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
