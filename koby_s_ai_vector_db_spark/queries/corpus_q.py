@@ -68,17 +68,12 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_IDX_PATHS: dict[tuple, str] = {}
 
 
-@register("bm25_rank_idx", _BM25_ORACLE)
-def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 over the PERSISTED inverted index (sources/text_index.py):
-    bucket-partitioned postings with doc length denormalized in, so the
-    steady-state search opens only the query terms' bucket partitions and
-    never re-tokenizes the corpus. Row-identical to bm25_rank — shares its
-    oracle; the build cost is paid once per session."""
-    from koby_s_ai_vector_db_spark.sources.text_index import (
-        build_text_index,
-        search_text_index,
-    )
+def text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scratch inverted index over `documents` for this
+    (session, sf_dir); shared by every index-backed lexical consumer
+    (bm25_rank_idx, hybrid_rrf's lex arm) so the corpus is indexed at
+    most once per session."""
+    from koby_s_ai_vector_db_spark.sources.text_index import build_text_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _TEXT_IDX_PATHS.get(key)
@@ -92,6 +87,19 @@ def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = scratch + "/index"
         build_text_index(load_table(spark, sf_dir, "documents"), path)
         _TEXT_IDX_PATHS[key] = path
+    return path
+
+
+@register("bm25_rank_idx", _BM25_ORACLE)
+def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index (sources/text_index.py):
+    bucket-partitioned postings with doc length denormalized in, so the
+    steady-state search opens only the query terms' bucket partitions and
+    never re-tokenizes the corpus. Row-identical to bm25_rank — shares its
+    oracle; the build cost is paid once per session."""
+    from koby_s_ai_vector_db_spark.sources.text_index import search_text_index
+
+    path = text_index_path(spark, sf_dir)
     queries = spark.createDataFrame(
         BM25_QUERIES, "query_id bigint, query_text string"
     )

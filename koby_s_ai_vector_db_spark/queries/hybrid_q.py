@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.functions.vectors import sql_normalize
-from koby_s_ai_vector_db_spark.operators.corpus import bm25_oracle_sql, bm25_rank
+from koby_s_ai_vector_db_spark.operators.corpus import bm25_oracle_sql
 from koby_s_ai_vector_db_spark.operators.similarity import topk_cosine
 from koby_s_ai_vector_db_spark.queries.corpus_q import _BM25_VALUES, BM25_QUERIES
 from koby_s_ai_vector_db_spark.registry import register
@@ -72,8 +72,18 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF hybrid search: BM25 top-50 ∪ exact-cosine top-50, fused by
     Σ 1/(60+rank), re-ranked on the rounded fused score with an id
     tiebreak. Arm ranks are carried through (0 = absent from that arm —
-    the null-free sentinel convention)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the null-free sentinel convention).
+
+    The lex arm reads the PERSISTED inverted index (shared build with
+    bm25_rank_idx via corpus_q.text_index_path) — the production shape
+    this module's header promises: steady-state hybrid search opens only
+    the query terms' bucket partitions and never re-tokenizes the
+    corpus. search_text_index carries the same rounded-score ranking
+    contract as operators/corpus.py::bm25_rank, so the oracle is
+    unchanged (bm25_rank_idx ≡ bm25_rank is separately pytest-pinned)."""
+    from koby_s_ai_vector_db_spark.queries.corpus_q import text_index_path
+    from koby_s_ai_vector_db_spark.sources.text_index import search_text_index
+
     emb = load_table(spark, sf_dir, "embeddings")
     qtext = spark.createDataFrame(
         BM25_QUERIES, "query_id bigint, query_text string"
@@ -82,7 +92,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
-    lex = bm25_rank(docs, qtext, k=POOL).select(
+    path = text_index_path(spark, sf_dir)
+    lex = search_text_index(
+        spark, path, qtext, k=POOL, probe_memo_key=(path, "hybrid", POOL)
+    ).select(
         "query_id", F.col("doc_id").alias("id"), F.col("rank").alias("r_lex")
     )
     vec = topk_cosine(
