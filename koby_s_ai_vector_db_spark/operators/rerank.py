@@ -107,7 +107,13 @@ def mmr_rerank(
     """Top-k MMR per query. Returns (query_id, vec_id, rank, rel)."""
     if not 0 < k <= n_shortlist:
         raise ValueError(f"need 0 < k <= n_shortlist, got k={k}, n={n_shortlist}")
-    c = corpus.select(
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+
+    # The quantize + per-query integer-dot map below is the CPU-bound
+    # stage and runs BEFORE any exchange — a single-file parquet corpus
+    # arrives as ONE partition and would compute every dot on one core
+    # (the SURVEY §9 spread() convention; topk_cosine does the same).
+    c = spread(corpus).select(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("vq")
     )
     q = queries.select(
