@@ -71,7 +71,15 @@ def fit_pca(emb: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 
-    parts = emb.select(vec_col).mapInPandas(_partials, _PARTIALS_SCHEMA)
+    # Partials are additive, so parallelize the CPU-bound gram pass the
+    # standard way: a single-file parquet source arrives as ONE partition
+    # and would stream every vector through one Arrow pipe and one
+    # m.T @ m accumulator (the SURVEY §9 spread() convention).
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+
+    parts = spread(emb.select(vec_col)).mapInPandas(
+        _partials, _PARTIALS_SCHEMA
+    )
     # Tiny keyed reduce: one (idx, val) explosion per partition row,
     # map-side combined to <= d^2+d+1 rows per task before the shuffle.
     reduced = (
