@@ -381,10 +381,22 @@ def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float
         fn = EXTRA_PROBES.get(name) or qs[name]
         spark = _spark()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-        print(f"[probe] {sf_dir} {name}: {out[name]:.3f}s", file=sys.stderr)
+        # Two timed passes, min wins: a single pass right after the memo
+        # eviction is GC/carryover-exposed (round 10 measured the same
+        # query at 39 s single-pass vs ~5 s in an idle repeat loop); min
+        # of two approximates the steady state bench.py's repeat block
+        # also targets, at one extra execution per query.
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(min(times), 3)
+        print(
+            f"[probe] {sf_dir} {name}: {out[name]:.3f}s "
+            f"(passes: {[round(t, 3) for t in times]})",
+            file=sys.stderr,
+        )
     return out
 
 
