@@ -115,6 +115,10 @@ PROBE_QUERIES = [
     "graph_pagerank",
     "ta_pmi_collocations",
     "q18_ann_recall",
+    # late round 10: the ingest pipeline joined the battery after its
+    # missing-spread fix (11.4 -> 3.15 s at sf1) so regressions of the
+    # only-Python-hop stage stay visible
+    "s8_ingest",
 ]
 
 
