@@ -329,11 +329,10 @@ def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round-11 prebuild (NOT registered: the round-10 window is full) ----------
-# Pre-earned per SURVEY §9 mechanics: function + oracle + parity test
-# (tests/test_prebuilt_r11.py) + plan pin (tests/test_plans.py) + sf1 probe
-# (BASELINE.md) land in round 10; the @register decoration is added in
-# round 11 when the rotation frees the second slot.
+# --- built as a round-11 prebuild; REGISTERED round 11 ------------------------
+# Pre-earned per SURVEY §9 mechanics: function + oracle + parity test +
+# plan pin (tests/test_plans.py) + sf1 probe (BASELINE.md) landed in
+# round 10; the @register decoration landed in round 11's second free slot.
 
 # Bloom-filter semi-join reduction: monthly shipped revenue of lineitems
 # that belong to urgent orders placed in one year. The filtered orderkey
@@ -381,6 +380,7 @@ def _bloom_keys(t) -> DataFrame:
     )
 
 
+@register("rel_bloom_semijoin", _REL_BLOOM)
 def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (TPC-H-flavored): prefilter lineitem with
     a broadcast split-block Bloom bitmap built over the urgent-1996

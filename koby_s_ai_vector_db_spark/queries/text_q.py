@@ -826,13 +826,12 @@ def ta_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round-11 prebuild (SURVEY §9: r11 has 2 free slots) ---------------------
 # Tokenizer fertility report: bytes-per-token per (lang, source) — the
 # standard pre-training audit for how expensively each corpus slice
 # tokenizes (a high bytes/token slice under-trains per byte; the metric
-# drives per-source budget and tokenizer-vocab decisions). Unregistered
-# until round 11; parity in tests/test_prebuilt_r11.py, plan pin in
-# tests/test_plans.py, sf1 probe via scripts/scale_probe.py.
+# drives per-source budget and tokenizer-vocab decisions). Prebuilt in
+# round 10, registered into a round-11 free slot; plan pin in
+# tests/test_plans.py, sf1 probe in BASELINE.md (round-10 section).
 
 _FERTILITY_ORACLE = f"""
 SELECT lang, source,
@@ -853,6 +852,7 @@ GROUP BY lang, source
 """
 
 
+@register("tok_fertility_report", _FERTILITY_ORACLE)
 def tok_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) tokenizer fertility: document/byte/token
     totals and the q6-quantized bytes-per-token ratios for both the

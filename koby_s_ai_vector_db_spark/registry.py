@@ -50,45 +50,40 @@ def register(name: str, oracle: str | None = None):
 # "≤1 recorded round stale" to "≤2 recorded rounds stale", which also
 # lifts capacity to 150 queries (documented in SURVEY §8).
 #
-# Round-10 window: with CORRECTNESS_r09 landed (committed in bb7f3a3),
-# the union checked this round is r08 ∪ r09 (100 distinct names), which
-# displaces the entire r07 record at once. The 47 names below are
-# exactly (registered − r08 − r09), i.e. every query whose last external
-# check was r07 — all MANDATORY (SURVEY §9 enumerated them in advance;
-# the round-9 rotation-test failure message listed the same 47).
-# The remaining 3 slots are the pre-earned round-10 trio (implemented +
-# DuckDB-oracled + plan-pinned + sf1-probed in late round 8,
-# registration deferred until these slots opened).
+# Round-11 window: with CORRECTNESS_r10 landed (committed in 4930361),
+# the union checked this round is r09 ∪ r10 (100 distinct names — the
+# r10 window was chosen disjoint from the r09 record), which displaces
+# the entire r08 record at once. The 48 names below are exactly
+# (registered − r09 − r10), i.e. every query whose last external check
+# was r08 — all MANDATORY (SURVEY §9 enumerated them in advance; the
+# round-10 rotation-test failure message listed the same 48).
+# The remaining 2 slots are the pre-earned round-11 pair (implemented +
+# DuckDB-oracled + plan-pinned + sf1-probed in round 10, registration
+# deferred until these slots opened).
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Mandatory: last externally checked in r07 (displaced when r09 landed)
-    "a13_corpus_summary", "a20_quantile_sketch", "a22_hll_daily_merge",
-    "a23_theta_overlap", "a24_skew_report", "curate_corpus_neardup",
-    "curate_pretrain_pipeline", "curate_training_mix", "curriculum_order",
-    "dedup_embedding_cosine", "dedup_embedding_ivf", "dedup_embedding_lsh",
-    "dedup_exact", "dedup_exact_stream", "dedup_fuzzy_edit",
-    "dedup_fuzzy_groups", "dedup_ngram_jaccard", "dedup_normalized",
-    "dedup_source_matrix", "emb_pca_audit", "m10_read_asof",
-    "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
-    "mine_hard_negatives", "mix_temperature", "mix_token_budget",
-    "mm_binary_features", "mm_decode", "mm_frames", "mm_resize",
-    "pack_bestfit", "q10_prioritize", "q11_sources",
-    "q14_fallback_routing", "q17_filtered_ann", "q7_fusion",
-    "quality_percentile_gate", "seq_len_histogram", "shard_manifest",
-    "softdedup_weights", "split_assign", "ta_boilerplate", "ta_entropy",
-    "ta_fingerprint", "ta_token_count",
-    # Round-10 free slots: the pre-earned trio (SURVEY §9; parity rows
-    # lived in tests/test_prebuilt_r9.py until registration —
+    # Mandatory: last externally checked in r08 (displaced when r10 landed)
+    "a10_recent_users", "a11_active_sessions", "a1_doc_summary",
+    "a25_kmv_synopsis", "a2_contribution_analytics", "a3_top_rated",
+    "a4_recent_qa", "a5_sliding_live_users", "a6_session_stats",
+    "a6_session_windows", "a9_pending_count", "curate_corpus",
+    "dedup_groups", "dedup_minhash_lsh", "emb_decontaminate",
+    "emb_quality_report", "knn_self_join", "m4_terminate_session",
+    "m5_gc_sessions", "m6_flip_catalog_status", "m7_sessions_from_events",
+    "pack_bestfit_audit", "q15_image_search", "q1_topk_cosine", "q2_ann",
+    "q3_contribution_search", "q4_keyword_search", "q5_ilike_pagination",
+    "q6_session_search", "rel_pricing_summary", "rel_revenue_by_nation",
+    "rel_top_parts_by_brand", "rollup_events", "s1_scan",
+    "s2_extract_join", "s3_extract_pages", "s6_upload_catalog",
+    "s8_ingest", "s9_upsert_users", "t2_embed", "t3_normalize",
+    "t5_preview", "t6_validate", "t7_sanitize", "ta_lang_id",
+    "ta_quality_score", "u2_nokey_answer", "u4_image_answer",
+    # Round-11 free slots: the pre-earned pair (SURVEY §9; parity rows
+    # lived in tests/test_prebuilt_r11.py until registration —
     # test_oracle_parity auto-covers them now).
-    "graph_pagerank",
-    "ta_pmi_collocations",
-    "q18_ann_recall",
-    # Late round 10: fold ladder step 4 (q13_effectiveness → q7_fusion's
-    # query_length/search_effectiveness/recommendation columns) freed a
-    # window slot mid-round; it takes the already-verified round-11
-    # prebuild rel_returned_revenue (TPC-H Q10 shape), de-risking r11.
-    "rel_returned_revenue",
+    "tok_fertility_report",
+    "rel_bloom_semijoin",
 ]
 
 

@@ -1,52 +1,18 @@
-"""Round-11 prebuilt queries: implemented + oracle-checked in round 10,
-but not yet registered. The @register decorations land in round 11's
-free slots; until then this module keeps the capabilities
-parity-checked every pytest run (the same mechanics that carried every
-prebuild since round 8).
+"""Shape-specific tests for the queries that were prebuilt in round 10
+and registered in rounds 10-11 (rel_returned_revenue, then
+tok_fertility_report + rel_bloom_semijoin in round 11's free slots).
 
-rel_returned_revenue graduated early: fold ladder step 4
-(q13_effectiveness → q7_fusion, late round 10) freed a round-10 window
-slot, so it is registered and covered by test_oracle_parity — its rows
-here were trimmed per the registration mechanics; the shape-specific
-top-20 test below stays."""
+All three are registered now, so their generic oracle-parity rows were
+trimmed per the registration mechanics — test_oracle_parity auto-covers
+every registered name. What stays here are the invariants the oracle
+hash cannot see: ratio reconstructability, bloom no-false-negative /
+bitmap-bound guarantees, and the adversarial tiny-filter case."""
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_DIRS, assert_matches_oracle, register_views
+from tests.conftest import SF_DIRS
 
 SF_DIR = SF_DIRS["t2"]
-
-
-def _prebuilt_r11():
-    from koby_s_ai_vector_db_spark.queries import relational_q, text_q
-
-    return [
-        ("tok_fertility_report", text_q.tok_fertility_report,
-         text_q._FERTILITY_ORACLE),
-        ("rel_bloom_semijoin", relational_q.rel_bloom_semijoin,
-         relational_q._REL_BLOOM),
-    ]
-
-
-@pytest.mark.parametrize(
-    "name,fn,sql", _prebuilt_r11(),
-    ids=lambda p: p if isinstance(p, str) else "",
-)
-def test_prebuilt_query_matches_oracle(spark, duck, name, fn, sql):
-    register_views(duck, SF_DIR)
-    assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
-
-
-@pytest.mark.parametrize(
-    "name,fn,sql", _prebuilt_r11(),
-    ids=lambda p: p if isinstance(p, str) else "",
-)
-def test_prebuilt_runs_at_t1(spark, name, fn, sql):
-    df = fn(spark, SF_DIRS["t1"])
-    assert df.columns
-    assert df.limit(1).collect() is not None
 
 
 def test_q10_top20_is_nonempty_and_revenue_sorted(spark):
