@@ -353,6 +353,46 @@ def simhash_expr(text_col: str, bits: int = 32) -> Column:
     )
 
 
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """(_id, sh): DataFrame-level SimHash over word tokens — the same
+    per-token md5 hash, majority bit-vote, and sign-pack as
+    `simhash_expr` (value-equivalence pytest-pinned), but built as
+    explode → ``bits`` conditional vote SUMS with map-side combine →
+    one sign-pack projection. The HOF form allocates a bits-wide array
+    twice per token inside the interpreted lambda evaluator (measured
+    ~20 s of the sf1 probe's 27 s); this form is whole-stage-codegen
+    end to end and shuffles only (doc, 60 longs) partial aggregates.
+
+    Docs whose token list is empty produce NO row (there is nothing to
+    vote); `simhash_expr` gives such docs sh = 0 — callers that admit
+    empty docs must pre-filter (the registered query and the DuckDB
+    oracle both do)."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
+    toks = _spread(docs).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(_WORDS.format(col=text_col))).alias("t"),
+    )
+    h = F.expr(f"CAST(conv(substr(md5(t), 1, {bits // 4}), 16, 10) AS BIGINT)")
+    votes = (
+        toks.select("_id", h.alias("h"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.sum(F.expr(f"IF(((h >> {b}) & 1) = 1, 1L, -1L)")).alias(f"s{b}")
+                for b in range(bits)
+            ]
+        )
+    )
+    pack = " + ".join(f"IF(s{b} > 0, {1 << b}L, 0L)" for b in range(bits))
+    return votes.select("_id", F.expr(pack).alias("sh"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -383,21 +423,76 @@ def simhash_near_dup_pairs(
     n_blocks = max_hamming + 1
     if bits % n_blocks:
         raise ValueError(f"bits={bits} not divisible into {n_blocks} blocks")
-    block_bits = bits // n_blocks
-    block_mask = (1 << block_bits) - 1
 
     def _sigs():
-        return _spread(docs).select(
-            F.col(id_col).alias("_id"), simhash_expr(text_col, bits).alias("sh")
-        )
+        return simhash_table(docs, id_col, text_col, bits)
 
     sigs = (
         memo_persist(docs.sparkSession, ("simhash_sigs", bits, cache_key), _sigs)
         if cache_key is not None
         else _sigs()
     )
-    blocks = sigs.select(
-        "_id",
+    # Pre-collapse identical sketches BEFORE blocking (round 11): the
+    # viral-bucket hazard is a duplicate-heavy corpus where thousands of
+    # docs share ONE sketch — every block bucket then holds the whole
+    # group, and the in-bucket pair generation materializes O(N²) structs
+    # inside a single task's collect_list array, once per block (4×),
+    # before a distinct over the 4×-duplicated candidates. The DISTINCT
+    # SKETCH is the real blocking unit: identical-sketch members share
+    # all blocks (hamming 0 ≤ max_hamming always qualifies), and for two
+    # distinct sketches either every cross-member pair shares a block or
+    # none does. So: block over one representative per sketch, decide
+    # rep-pairs at sketch level, then expand groups back to member pairs
+    # with streaming joins — the emitted pair set is ROW-IDENTICAL (the
+    # DuckDB oracle is untouched), bucket arrays are bounded by the
+    # number of DISTINCT sketches per block value, and the quadratic
+    # intra-group output is produced by an iterator-based self-join, not
+    # an in-memory array explode (tests/test_dedup_ops.py pins both the
+    # identical output and the rep-level candidate bound on a planted
+    # 1k-duplicate group).
+    rep_pairs = _simhash_rep_pairs(sigs, max_hamming, bits)
+    groups = sigs.groupBy("sh").agg(F.count("*").alias("n_members"))
+    multi = groups.filter(F.col("n_members") > 1).select("sh")
+    members = sigs.join(multi, "sh")  # post-agg side: AQE sizes it
+    intra = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_id_a"),
+            F.col("b._id").alias("doc_id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    ma = sigs.select(F.col("sh").alias("sha"), F.col("_id").alias("ida"))
+    mb = sigs.select(F.col("sh").alias("shb"), F.col("_id").alias("idb"))
+    cross = (
+        rep_pairs.join(ma, "sha")
+        .join(mb, "shb")
+        .select(
+            F.least("ida", "idb").alias("doc_id_a"),
+            F.greatest("ida", "idb").alias("doc_id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def _simhash_rep_pairs(
+    sigs: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """Sketch-level candidate pairs (sha < shb, hamming ≤ max_hamming) via
+    block LSH over ONE row per distinct sketch. Factored out so the
+    planted-duplicate test can pin the bound that makes
+    simhash_near_dup_pairs scale: this stage's bucket arrays and pair
+    count depend only on the number of DISTINCT sketches, never on group
+    sizes."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    block_mask = (1 << block_bits) - 1
+    blocks = sigs.select("sh").distinct().select(
         "sh",
         F.posexplode(
             F.expr(
@@ -406,37 +501,34 @@ def simhash_near_dup_pairs(
             )
         ).alias("block_id", "block_val"),
     )
-    # Same single-shuffle bucket-pair generation as the MinHash path: group
-    # by block, explode sorted in-bucket pairs (carrying both signatures).
-    buckets = (
-        blocks.groupBy("block_id", "block_val")
-        .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("m"))
-        .filter(F.size("m") > 1)
-    )
+    # Unlike the MinHash path's collect_list + array-explode buckets, pair
+    # generation here is a streaming SELF-JOIN on the block key: a
+    # narrow-vocabulary corpus crowds thousands of DISTINCT sketches into
+    # one 15-bit block value, and a collect_list bucket would materialize
+    # the whole quadratic candidate array inside one row of one task
+    # (measured 14.5 s at the sf1 probe for 20k surviving pairs). The join
+    # streams candidates iterator-style, the hamming filter runs BEFORE
+    # the distinct so only qualifying pairs ever shuffle, and Catalyst
+    # reuses the one blocks exchange for both sides.
+    #
     # NO BUCKET_CAP here, deliberately: capping a block bucket would break
     # the pigeonhole completeness guarantee (every pair within
-    # max_hamming shares a block). The scale knob for SimHash is key
-    # ENTROPY (bits / block_bits above) — whereas MinHash bands and
-    # hyperplane sketches already have high-entropy keys and get the cap
-    # (capped_bucket_pairs_expr).
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(m) - 1),"
-                    " i -> transform(slice(m, i + 1, size(m) - i),"
-                    " b -> struct(m[i-1]._id AS doc_id_a, b._id AS doc_id_b,"
-                    " m[i-1].sh AS sha, b.sh AS shb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_id_a", "p.doc_id_b", "p.sha", "p.shb")
-        .distinct()
-    )
+    # max_hamming shares a block). The scale knobs for SimHash are key
+    # ENTROPY (bits / block_bits above) and the distinct-sketch collapse —
+    # whereas MinHash bands and hyperplane sketches already have
+    # high-entropy keys and get the cap (capped_bucket_pairs_expr).
+    a, b = blocks.alias("a"), blocks.alias("b")
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.sh") < F.col("b.sh")),
+        )
+        .select(F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
+        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .distinct()
     )
 
 

@@ -114,13 +114,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         return e0.unionByName(rev)
 
-    edges = build_edges()
-    # Persist the DEGREE-ANNOTATED edge list, not the bare edges: `ed`
-    # is what every iteration joins against, and persisting only the
-    # edges left each iteration re-running the |E|-row deg aggregate +
-    # the edges⋈deg shuffle join inside one plan (3.5 s at sf0.1 →
-    # 2.3 s after this change). deg persists too — it seeds r0 and
-    # decorates the final projection.
+    # Three persisted tiers, each read by the next so the expensive
+    # subtree under it runs exactly once on the cold path:
+    #   edges (orders⋈lineitem→distinct, the costly build — without its
+    #   own persist the deg AND ed builders each recomputed it, ADVICE
+    #   r10) → deg (|E|-row aggregate; seeds r0 and decorates the final
+    #   projection) → ed (the degree-ANNOTATED list every iteration
+    #   joins against; persisting only edges left each iteration
+    #   re-running the deg aggregate + edges⋈deg join inside one plan,
+    #   3.5 s at sf0.1 → 2.3 s when ed was first persisted).
+    edges = memo_persist(spark, ("pagerank_edges", sf_dir), build_edges)
     deg = memo_persist(
         spark,
         ("pagerank_deg", sf_dir),

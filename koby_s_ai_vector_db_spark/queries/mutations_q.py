@@ -539,9 +539,20 @@ def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs shingle into the broadcast benchmark postings join. Per status:
     delta size, contaminated-doc count, pair count, shared-gram total.
     Plan: one id-key join over digests, one postings equi-join bounded by
-    the DELTA size (not corpus size), two tiny status aggregates."""
+    the DELTA size (not corpus size), two tiny status aggregates.
+
+    The benchmark arm reads the SHARED persisted tokenized-corpus table
+    (corpus_q._tokenized_corpus — the same subtree the contamination
+    fold and PMI read), so the corpus is tokenized once per session, not
+    re-shingled per m11 call; only the bounded delta (whose v2 text
+    differs from the corpus the memo tokenized) tokenizes inline."""
     from koby_s_ai_vector_db_spark.operators.corpus import ngram_contamination
-    from koby_s_ai_vector_db_spark.queries.corpus_q import CONTAM_MOD, CONTAM_N
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+    from koby_s_ai_vector_db_spark.queries.corpus_q import (
+        CONTAM_MOD,
+        CONTAM_N,
+        _tokenized_corpus,
+    )
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     v1 = spark.sql("SELECT doc_id, md5(text) AS h FROM documents")
@@ -557,11 +568,13 @@ def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
-    bench = spark.sql(
-        f"SELECT doc_id AS bench_id, text FROM documents "
-        f"WHERE doc_id % {CONTAM_MOD} = 0"
+    bench = (
+        _tokenized_corpus(spark, sf_dir)
+        .filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "w")
     )
-    pairs = ngram_contamination(delta, bench, n=CONTAM_N).filter(
+    delta_w = delta.select("doc_id", words_expr("text").alias("w"))
+    pairs = ngram_contamination(delta_w, bench, n=CONTAM_N, words_col="w").filter(
         F.col("doc_id") != F.col("bench_id")
     )
     with_status = delta.select("doc_id", "status").join(

@@ -396,9 +396,15 @@ def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         out[name] = round(min(times), 3)
+        # Both raw passes ride along in the emitted JSON (ADVICE r10):
+        # the round-10 methodology switch from single-pass to min-of-two
+        # makes numbers systematically lower than earlier rounds', and a
+        # min-only record would hide that change from cross-round
+        # comparisons.
+        out[f"{name}__passes"] = [round(t, 3) for t in times]
         print(
             f"[probe] {sf_dir} {name}: {out[name]:.3f}s "
-            f"(passes: {[round(t, 3) for t in times]})",
+            f"(passes: {out[f'{name}__passes']})",
             file=sys.stderr,
         )
     return out
@@ -450,10 +456,19 @@ def main() -> int:
             "sf0.1_s": t01[n],
             "sf1_s": t1[n],
             "ratio": round(t1[n] / t01[n], 2) if t01[n] else None,
+            "sf0.1_passes": t01[f"{n}__passes"],
+            "sf1_passes": t1[f"{n}__passes"],
         }
         for n in names
     }
-    out = {"scale_probe": table, "data_ratio": 10.0}
+    # methodology: headline numbers are min-of-two passes since round 10
+    # (single-pass before) — the raw passes above keep the change visible
+    # in cross-round comparisons.
+    out = {
+        "scale_probe": table,
+        "data_ratio": 10.0,
+        "timing": "min_of_2_passes",
+    }
 
     if args.wide_vocab:
         wide_dir = f"{args.sf1_dir}_wide{args.wide_vocab}"

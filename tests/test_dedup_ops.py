@@ -99,6 +99,94 @@ def test_simhash60_finds_exact_copy_and_rejects_bad_bits(spark):
         simhash_near_dup_pairs(docs, bits=58)  # not divisible by 4 blocks
 
 
+def test_simhash_table_equals_hof_expr(spark):
+    """simhash_table (codegen explode+vote-sum form) must produce the
+    exact sketch simhash_expr (HOF aggregate form) produces for every
+    non-empty doc — the DataFrame form is a pure performance rewrite.
+    Empty-token docs: absent from the table, sh=0 under the expr (the
+    documented divergence; the registered query and oracle pre-filter)."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        simhash_expr,
+        simhash_table,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "unrelated words entirely different tokens"),
+        (4, "ALPHA  Beta\tgamma   delta epsilon"),  # case/ws normalization
+        (5, "single"),
+        (6, "   "),  # empty after tokenize
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (32, 60):
+        want = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", simhash_expr("text", bits).alias("sh")
+            ).collect()
+        }
+        got = {
+            r._id: r.sh
+            for r in simhash_table(docs, bits=bits).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}, got
+        for d, sh in got.items():
+            assert sh == want[d], (bits, d, sh, want[d])
+        assert want[6] == 0  # the documented HOF-form empty-doc value
+
+
+def test_simhash_viral_group_stays_rep_bounded(spark):
+    """A planted 1000-copy group (the viral-bucket hazard) must stay
+    collapsed through the blocking stage: the sketch-level candidate
+    stage (_simhash_rep_pairs) sees ONE row per distinct sketch, so its
+    pair count is bounded by distinct-sketch combinatorics and never by
+    group size — no single-task O(N²) array explode. The final output
+    still carries the full quadratic pair set (that IS the contract),
+    produced by streaming joins."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        _simhash_rep_pairs,
+        simhash_expr,
+        simhash_near_dup_pairs,
+    )
+
+    n = 1000
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " mutated"
+    far = " ".join(f"zzz{i}" for i in range(40))
+    docs = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.lit(base).alias("text"))
+        .unionByName(
+            spark.createDataFrame(
+                [(n, near), (n + 1, far)], "doc_id long, text string"
+            )
+        )
+    )
+    sigs = docs.select(
+        F.col("doc_id").alias("_id"), simhash_expr("text", 60).alias("sh")
+    )
+    # 3 distinct sketches -> at most C(3,2) rep pairs ever reach the
+    # hamming filter, regardless of the 1000-member group.
+    assert _simhash_rep_pairs(sigs, 3, 60).count() <= 3
+
+    pairs = simhash_near_dup_pairs(docs, bits=60)
+    intra = n * (n - 1) // 2
+    got = pairs.groupBy("hamming").count().collect()
+    by_h = {r["hamming"]: r["count"] for r in got}
+    assert by_h[0] == intra, by_h
+    # the near-copy pairs with every base member iff its sketch is within
+    # hamming 3 (sketch determines this uniformly for the whole group)
+    assert sum(by_h.values()) in (intra, intra + n), by_h
+    assert (n + 1) not in {
+        r.doc_id_b for r in pairs.select("doc_id_b").distinct().collect()
+    }
+
+
 class TestTfidfCosine:
     def test_planted_near_dups_found_and_boilerplate_downweighted(self, spark):
         from koby_s_ai_vector_db_spark.operators.corpus import tfidf_cosine_pairs

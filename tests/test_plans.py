@@ -354,10 +354,13 @@ def test_prebuilt_r11_plan_shapes(spark):
     # rel_bloom_semijoin: the bitmap probe must be a map-side
     # BroadcastHashJoin over the lineitem scan (never a shuffle of the
     # probe side), the exact false-positive-killing join must be the
-    # merge-hinted SortMergeJoin LeftSemi (the production shape: the key
-    # set is assumed non-broadcastable — that assumption is why the bloom
-    # exists), and the orders filters must reach the parquet scan. The
-    # memoized bitmap rides in as an InMemoryRelation.
+    # merge-hinted INNER SortMergeJoin against the unique key set
+    # (inner ≡ semi per test_bloom_keys_are_unique — a left_semi gets
+    # pushed below the bitmap join by PushLeftSemiThroughJoin, see the
+    # query docstring; the merge hint is the production shape: the key
+    # set is assumed non-broadcastable — that assumption is why the
+    # bloom exists), and the orders filters must reach the parquet scan.
+    # The memoized bitmap rides in as an InMemoryRelation.
     from koby_s_ai_vector_db_spark.queries.relational_q import (
         rel_bloom_semijoin,
     )
@@ -423,6 +426,19 @@ def test_contamination_fold_shares_tokenized_subtree(spark):
     cached = df._jdf.queryExecution().withCachedData().toString()
     assert cached.count("InMemoryRelation") == 6, cached.splitlines()[:5]
     assert cached.count("InMemoryTableScan") == 2, cached.splitlines()[:5]
+
+    # m11_contamination_diff joined the consumers in round 11: its
+    # benchmark postings arm must read the persisted tokenized table
+    # (1 InMemoryRelation) instead of re-shingling the corpus per call.
+    # The digest join (v1) and the delta's v2 text legitimately scan
+    # parquet — only the BENCH gram site is corpus-shaped.
+    from koby_s_ai_vector_db_spark.queries.mutations_q import (
+        m11_contamination_diff,
+    )
+
+    df = m11_contamination_diff(spark, SF_DIR)
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    assert cached.count("InMemoryRelation") == 1, cached.splitlines()[:5]
 
 
 def test_hard_negative_bnlj_builds_bounded_side(spark):

@@ -34,10 +34,15 @@ def idx_path(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize("prune", ["static", "dynamic"])
-def test_index_search_matches_inline_bm25(spark, idx_path, prune):
-    idx = search_text_index(spark, idx_path, _queries(spark), k=10, prune=prune)
+@pytest.mark.parametrize("k", [10, 50])
+def test_index_search_matches_inline_bm25(spark, idx_path, prune, k):
+    # k=50 is hybrid_rrf's POOL depth: its BM25 arm reads the persisted
+    # index while its oracle inlines bm25_rank, so a depth-11..50
+    # divergence would surface only as an opaque hybrid_rrf parity
+    # failure (ADVICE r10) — pin the equivalence at the depth relied on.
+    idx = search_text_index(spark, idx_path, _queries(spark), k=k, prune=prune)
     inline = bm25_rank(
-        load_table(spark, SF_DIR, "documents"), _queries(spark), k=10
+        load_table(spark, SF_DIR, "documents"), _queries(spark), k=k
     )
     assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, inline.collect()))
 
