@@ -123,8 +123,20 @@ def shingles_from_words_expr(
     (the contamination fold), the caller tokenizes once into a persisted
     (id, words) table and each width derives its grams from that column
     instead of re-splitting the text per arm. Identical gram semantics by
-    construction (same `_grams_body`)."""
-    return F.expr(_grams_body(words_col, n, distinct))
+    construction (same `_grams_body`).
+
+    The column is bind_once'd even though it is "already" an array:
+    when a caller's words column is an UNMATERIALIZED projection (e.g.
+    `select(words_expr("text").alias("w"))` straight into this), Catalyst's
+    CollapseProject inlines the tokenizer into every `w` use site —
+    including the slice() inside the transform lambda, re-tokenizing the
+    document once per shingle position (measured: m11's bounded delta of
+    418 docs took 8.6 s to shingle at sf0.1). Binding costs one
+    element_at(transform(array(col)..)) wrap on materialized columns and
+    makes the expression safe for both input classes."""
+    from koby_s_ai_vector_db_spark.functions.exprs import bind_once
+
+    return F.expr(bind_once(words_col, _grams_body("nv", n, distinct)))
 
 
 _H32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"

@@ -531,36 +531,56 @@ def ta_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits (grams occurring in >= BOILER_MIN_DF=2 documents TOTAL, i.e.
     shared with at least one other doc), quantized ratio. Docs with zero
     boilerplate are omitted (the interesting rows are the templated
-    ones)."""
-    from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
+    ones).
 
-    docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.explode(shingles_expr("text", n=BOILER_N, distinct=False)).alias("g"),
+    Round-11 rework (VERDICT r10 item 7): grams derive from the SHARED
+    persisted tokenized table, and the per-POSITION stream collapses to
+    per-(doc, gram) COUNTS before anything shuffles by gram. The old
+    shape shuffled the raw positions table twice on the gram key (once
+    into a countDistinct-expanded df aggregate, once into the hit join);
+    now one map-combined (doc_id, g) aggregate feeds both the df count
+    (a plain count over deduped rows — no countDistinct expand) and the
+    hit join, per-doc position totals come straight from the token
+    array's size (no positions aggregate at all), and the n_boiler > 0
+    filter is the inner hit join itself. sf1: 13.6 s → see BASELINE.md
+    round-11 section."""
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        shingles_from_words_expr,
+    )
+
+    toks = _tokenized_corpus(spark, sf_dir)
+    dg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                shingles_from_words_expr("w", BOILER_N, distinct=False)
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
     )
     boiler = (
-        pos.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        dg.groupBy("g")
+        .agg(F.count("*").alias("ndocs"))
         .filter(F.col("ndocs") >= BOILER_MIN_DF)
         .select("g")
     )
-    return (
-        pos.join(boiler.withColumn("_hit", F.lit(1)), "g", "left")
+    hits = (
+        dg.join(boiler, "g")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_pos"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_boiler"),
-        )
-        .filter(F.col("n_boiler") > 0)
-        .select(
-            "doc_id",
-            "n_pos",
-            "n_boiler",
-            F.round(F.col("n_boiler") * 1000000.0 / F.col("n_pos"))
-            .cast("long")
-            .alias("boiler_ratio_q6"),
-        )
+        .agg(F.sum("c").cast("long").alias("n_boiler"))
+    )
+    n_pos = toks.filter(F.size("w") >= BOILER_N).select(
+        "doc_id",
+        (F.size("w") - (BOILER_N - 1)).cast("long").alias("n_pos"),
+    )
+    return hits.join(n_pos, "doc_id").select(
+        "doc_id",
+        "n_pos",
+        "n_boiler",
+        F.round(F.col("n_boiler") * 1000000.0 / F.col("n_pos"))
+        .cast("long")
+        .alias("boiler_ratio_q6"),
     )
 
 

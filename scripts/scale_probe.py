@@ -119,6 +119,12 @@ PROBE_QUERIES = [
     # missing-spread fix (11.4 -> 3.15 s at sf1) so regressions of the
     # only-Python-hop stage stay visible
     "s8_ingest",
+    # round 11 (registered into the r11 free slots; first probed as
+    # prebuilds in round 10, kept in the battery so their scale behavior
+    # stays tracked)
+    "rel_returned_revenue",
+    "tok_fertility_report",
+    "rel_bloom_semijoin",
 ]
 
 
@@ -335,19 +341,6 @@ def _q3_shuffle(spark, sf_dir):
     return rel_shipping_priority_shuffle(spark, sf_dir)
 
 
-def _prebuilt_r11(name):
-    # Round-11 prebuilds (unregistered until the r11 rotation): probed
-    # the session they were written, per SURVEY §9 probe hygiene.
-    def fn(spark, sf_dir):
-        from koby_s_ai_vector_db_spark.queries import relational_q, text_q
-
-        fns = {
-            "rel_returned_revenue": relational_q.rel_returned_revenue,
-            "tok_fertility_report": text_q.tok_fertility_report,
-            "rel_bloom_semijoin": relational_q.rel_bloom_semijoin,
-        }
-        return fns[name](spark, sf_dir)
-
     return fn
 
 
@@ -355,14 +348,9 @@ EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
     "rel_ship_prio_shuffle": _q3_shuffle,
-    **{
-        n: _prebuilt_r11(n)
-        for n in (
-            "rel_returned_revenue",
-            "tok_fertility_report",
-            "rel_bloom_semijoin",
-        )
-    },
+    # rel_returned_revenue / tok_fertility_report / rel_bloom_semijoin:
+    # probed here as prebuilds while unregistered; all three are
+    # registered now and resolve through the registry like any query.
 }
 
 
