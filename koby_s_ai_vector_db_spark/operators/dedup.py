@@ -454,52 +454,60 @@ def simhash_near_dup_pairs(
     # all blocks (hamming 0 ≤ max_hamming always qualifies), and for two
     # distinct sketches either every cross-member pair shares a block or
     # none does. So: block over one representative per sketch, decide
-    # rep-pairs at sketch level, then expand groups back to member pairs
-    # with streaming joins — the emitted pair set is ROW-IDENTICAL (the
-    # DuckDB oracle is untouched), bucket arrays are bounded by the
-    # number of DISTINCT sketches per block value, and the quadratic
-    # intra-group output is produced by an iterator-based self-join, not
-    # an in-memory array explode (tests/test_dedup_ops.py pins both the
-    # identical output and the rep-level candidate bound on a planted
+    # rep-pairs at sketch level (diagonal included via the <= self-join,
+    # so intra-group pairs need no separate arm), then expand back to
+    # member pairs with streaming joins — the emitted pair set is
+    # ROW-IDENTICAL (the DuckDB oracle is untouched), bucket work is
+    # bounded by the number of DISTINCT sketches per block value, and the
+    # quadratic intra-group output is produced by iterator-based joins,
+    # not an in-memory array explode (tests/test_dedup_ops.py pins both
+    # the identical output and the rep-level candidate bound on a planted
     # 1k-duplicate group).
+    #
+    # Deliberately NO Union anywhere above `sigs`: a first version
+    # returned intra.unionByName(cross) and the Union defeated
+    # CacheManager substitution of the memo-persisted sigs at ALL its
+    # read sites (0 InMemoryRelations — every consumer silently re-ran
+    # the sketch build; the round-9 union-over-memo lesson, re-learned).
+    # Instead each rep pair explodes into its one (diagonal) or two
+    # (off-diagonal) orientations and a single ida < idb expansion emits
+    # every member pair exactly once; tests/test_plans.py pins the
+    # substituted plan.
     rep_pairs = _simhash_rep_pairs(sigs, max_hamming, bits)
-    groups = sigs.groupBy("sh").agg(F.count("*").alias("n_members"))
-    multi = groups.filter(F.col("n_members") > 1).select("sh")
-    members = sigs.join(multi, "sh")  # post-agg side: AQE sizes it
-    intra = (
-        members.alias("a")
-        .join(
-            members.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")),
-        )
+    oriented = rep_pairs.select(
+        F.explode(
+            F.expr(
+                "IF(sha = shb,"
+                " array(struct(sha AS sa, shb AS sb, hamming AS h)),"
+                " array(struct(sha AS sa, shb AS sb, hamming AS h),"
+                "       struct(shb AS sa, sha AS sb, hamming AS h)))"
+            )
+        ).alias("p")
+    ).select("p.sa", "p.sb", "p.h")
+    ma = sigs.select(F.col("sh").alias("sa"), F.col("_id").alias("ida"))
+    mb = sigs.select(F.col("sh").alias("sb"), F.col("_id").alias("idb"))
+    return (
+        oriented.join(ma, "sa")
+        .join(mb, "sb")
+        .filter(F.col("ida") < F.col("idb"))
         .select(
-            F.col("a._id").alias("doc_id_a"),
-            F.col("b._id").alias("doc_id_b"),
-            F.lit(0).cast("int").alias("hamming"),
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            F.col("h").cast("int").alias("hamming"),
         )
     )
-    ma = sigs.select(F.col("sh").alias("sha"), F.col("_id").alias("ida"))
-    mb = sigs.select(F.col("sh").alias("shb"), F.col("_id").alias("idb"))
-    cross = (
-        rep_pairs.join(ma, "sha")
-        .join(mb, "shb")
-        .select(
-            F.least("ida", "idb").alias("doc_id_a"),
-            F.greatest("ida", "idb").alias("doc_id_b"),
-            F.col("hamming").cast("int").alias("hamming"),
-        )
-    )
-    return intra.unionByName(cross)
 
 
 def _simhash_rep_pairs(
     sigs: DataFrame, max_hamming: int, bits: int
 ) -> DataFrame:
-    """Sketch-level candidate pairs (sha < shb, hamming ≤ max_hamming) via
-    block LSH over ONE row per distinct sketch. Factored out so the
-    planted-duplicate test can pin the bound that makes
-    simhash_near_dup_pairs scale: this stage's bucket arrays and pair
-    count depend only on the number of DISTINCT sketches, never on group
+    """Sketch-level candidate pairs (sha <= shb, hamming ≤ max_hamming)
+    via block LSH over ONE row per distinct sketch — the <= keeps the
+    DIAGONAL (sha = shb, hamming 0), which is how intra-group member
+    pairs reach the expansion join without a Union arm. Factored out so
+    the planted-duplicate test can pin the bound that makes
+    simhash_near_dup_pairs scale: this stage's work and pair count
+    depend only on the number of DISTINCT sketches, never on group
     sizes."""
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
@@ -535,7 +543,7 @@ def _simhash_rep_pairs(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.sh") < F.col("b.sh")),
+            & (F.col("a.sh") <= F.col("b.sh")),
         )
         .select(F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
         .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))

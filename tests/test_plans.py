@@ -390,6 +390,22 @@ def test_prebuilt_r11_plan_shapes(spark):
     assert "InMemoryRelation" in cached, "bitmap memo-persist not in plan"
 
 
+def test_simhash_reads_persisted_sigs_at_every_site(spark):
+    """dedup_simhash's memo-persisted sketch table must substitute at ALL
+    its read sites (the rep-pair distinct + both expansion sides + the
+    diagonal's source): a Union above the memoized subtree silently
+    defeats CacheManager substitution (round-9 lesson, re-learned in
+    round 11 when intra.unionByName(cross) produced 0 InMemoryRelations
+    and every consumer re-ran the sketch build). The union-free
+    orientation-explode shape substitutes fully."""
+    from koby_s_ai_vector_db_spark.queries.dedup_q import dedup_simhash
+
+    df = dedup_simhash(spark, SF_DIR)
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    n = cached.count("InMemoryRelation")
+    assert n >= 3, f"sigs memo not substituted (got {n} InMemoryRelations)"
+
+
 def test_contamination_fold_shares_tokenized_subtree(spark):
     """Round-10 shared-subtree rework: ngram_contamination_both's two
     width arms must BOTH read the memoized tokenized-corpus persist
