@@ -998,12 +998,21 @@ def src_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     most, never corpus-scale — and a pair-key aggregate. Output is
     |sources|² rows. No all-pairs doc comparison anywhere; at 100 TB the
     postings table is bounded by |vocab|ⁿ · |sources|, not by row count."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.operators.dedup import shingles_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    posts = (
-        docs.select("source", F.explode(shingles_expr("text")).alias("g"))
-        .distinct()
+    # THREE consumers read the postings (the sizes aggregate and both
+    # self-join sides) — without a persist each re-ran the corpus
+    # explode + distinct shuffle (round-11 audit find); spread() for the
+    # CPU-bound shingle map per the §9 convention.
+    posts = memo_persist(
+        spark,
+        ("src_overlap_posts", sf_dir),
+        lambda: spread(docs)
+        .select("source", F.explode(shingles_expr("text")).alias("g"))
+        .distinct(),
     )
     sizes = posts.groupBy("source").agg(F.count("*").alias("n_grams"))
     pairs = (

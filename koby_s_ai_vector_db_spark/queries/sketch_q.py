@@ -115,9 +115,13 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 
-    post = docs.select(F.explode(words_expr("text")).alias("term"))
+    # spread() per the §9 convention: the token explode + 4x md5 cell
+    # hashing is a CPU-bound pre-shuffle map, and the single-file corpus
+    # arrives as a handful of partitions (round-11 spread-audit find).
+    post = spread(docs).select(F.explode(words_expr("text")).alias("term"))
     cells = cm_cells(post, F.col("term"))
     exact = post.groupBy("term").agg(F.count("*").alias("exact_n"))
     est = cm_estimate(cells, exact.select("term"), "term")
