@@ -652,6 +652,15 @@ def hyperplane_lsh_pairs(
     # exchanges before banding. Multiplying by ±1.0 and adding ±x are
     # bit-identical in IEEE 754 and both engines sum dimensions in index
     # order, so the sketch stays value-checked cross-engine.
+    # A fully-unrolled static ± chain per plane (4096-leaf expression)
+    # was tried in round 11 and MEASURED WORSE despite being codegen-side:
+    # sf0.1 1.49 → 4.9 s, sf1 steady 5-10 → 8.9 s, and the first sf1 pass
+    # hit 93 s of JIT on the megamorphic split methods (2.3 MiB task
+    # binaries). The masked-aggregate HOF below keeps the expression tree
+    # tiny (the dim × n_planes loop runs in the interpreted evaluator but
+    # allocates nothing per step), which empirically beats straight-line
+    # codegen at this width. Reverted; the probe rows live in BASELINE.md
+    # round-11.
     assert dim <= 64, "one 64-bit sign mask per plane"
     masks = []
     for pid in range(n_planes):

@@ -87,25 +87,20 @@ def repeated_substring_spans(
         .select("doc_id", F.explode("_pg").alias("_u"))
         .select("doc_id", F.col("_u.pos").alias("pos"), F.col("_u.g").alias("g"))
     )
-    # Count via groupBy (map-side combined), then join the SMALL
-    # duplicated-gram set back. Through round 10 this was a count WINDOW
-    # over the positions ("one exchange counts and filters") — but that
-    # one exchange moves EVERY position row keyed by the ~50-byte gram
-    # string and then SORTS them per partition, while the groupBy's
-    # partial combine collapses repeats map-side so only per-partition
-    # distinct grams ever shuffle, and the surviving >= min_count set is
-    # post-aggregation — AQE broadcasts it and the positions table never
-    # shuffles on the gram key at all (it is re-derived map-only for the
-    # probe side, which is cheaper than sorting it). If the duplicated
-    # set ever outgrows broadcast at 100 TB, AQE degrades to the shuffle
-    # join — the round-10 window shape — not to a failure.
-    dup_grams = (
-        pos_grams.groupBy("g")
-        .agg(F.count("*").alias("_n"))
+    # One exchange on the gram text counts AND filters (vs groupBy + join
+    # back = two scans of the postings through the same shuffle key).
+    # MEASURED, round 11: the groupBy + AQE-broadcast-join-back variant
+    # looked better on paper (no sort of the positions) but probed 2.6×
+    # WORSE at sf1 (11.6 → 30.6 s): k-token windows are almost all
+    # unique, so the partial combine collapses nothing — the groupBy
+    # shuffles the full string-keyed positions anyway, and the probe
+    # side re-derives the positional-gram map a second time. The window
+    # form's single sorted exchange is the cheaper plan at both scales.
+    dup_pos = (
+        pos_grams.withColumn("_n", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_n") >= min_count)
-        .select("g")
+        .select("doc_id", "pos")
     )
-    dup_pos = pos_grams.join(dup_grams, "g").select("doc_id", "pos")
     # Island detection: consecutive positions share (pos - row_number).
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     return (
