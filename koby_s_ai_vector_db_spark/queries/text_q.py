@@ -245,9 +245,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a 3-row aggregate — one shuffle total."""
     from pyspark.sql import Window
 
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
 
-    docs = _docs_dd(spark, sf_dir)
+    # spread(): quality_score's regex/token map is CPU-bound and runs
+    # BEFORE the md5 window's exchange can parallelize it (§9 convention;
+    # round-11 A/B on the neardup sibling measured 5.4 -> 3.0 s at sf1).
+    docs = spread(_docs_dd(spark, sf_dir))
     w = Window.partitionBy(F.md5("text"))
     tagged = (
         docs.withColumn("quality", F.round(quality_score("text"), 6))
@@ -316,12 +320,14 @@ def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents having at least one near-dup (join strategy left to
     Catalyst: broadcast at fixture scale, sort-merge at corpus scale);
     quality is map-only; final rollup is a 3-row aggregate."""
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.queries.dedup_q import (
         _docs_dd,
         _neardup_groups_memo,
     )
 
-    docs = _docs_dd(spark, sf_dir)
+    # spread() for the quality map (round-11 A/B: sf1 5.4 -> 3.0 s).
+    docs = spread(_docs_dd(spark, sf_dir))
     groups = _neardup_groups_memo(spark, sf_dir)
     tagged = (
         docs.join(groups, "doc_id", "left")
