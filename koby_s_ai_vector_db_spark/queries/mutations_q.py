@@ -545,7 +545,13 @@ def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus_q._tokenized_corpus — the same subtree the contamination
     fold and PMI read), so the corpus is tokenized once per session, not
     re-shingled per m11 call; only the bounded delta (whose v2 text
-    differs from the corpus the memo tokenized) tokenizes inline."""
+    differs from the corpus the memo tokenized) tokenizes inline. The
+    delta itself is memo-persisted: it feeds THREE consumers (the gram
+    arm, the status attach, the per-status size aggregate), and without
+    a persist each re-ran the full-corpus digest join (~1.5 s × 2 extra
+    at sf1) — the in-session analogue of the materialized delta table a
+    snapshot-diff pipeline writes before fanning out."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.operators.corpus import ngram_contamination
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
     from koby_s_ai_vector_db_spark.queries.corpus_q import (
@@ -555,19 +561,23 @@ def m11_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    v1 = spark.sql("SELECT doc_id, md5(text) AS h FROM documents")
-    v2 = spark.sql(f"SELECT doc_id, text FROM ({_SNAP_V2})")
-    delta = (
-        v2.join(v1, "doc_id", "left")
-        .filter(F.col("h").isNull() | (F.md5("text") != F.col("h")))
-        .select(
-            "doc_id",
-            "text",
-            F.when(F.col("h").isNull(), "added")
-            .otherwise("changed")
-            .alias("status"),
+
+    def _delta():
+        v1 = spark.sql("SELECT doc_id, md5(text) AS h FROM documents")
+        v2 = spark.sql(f"SELECT doc_id, text FROM ({_SNAP_V2})")
+        return (
+            v2.join(v1, "doc_id", "left")
+            .filter(F.col("h").isNull() | (F.md5("text") != F.col("h")))
+            .select(
+                "doc_id",
+                "text",
+                F.when(F.col("h").isNull(), "added")
+                .otherwise("changed")
+                .alias("status"),
+            )
         )
-    )
+
+    delta = memo_persist(spark, ("m11_delta", sf_dir), _delta)
     bench = (
         _tokenized_corpus(spark, sf_dir)
         .filter(F.col("doc_id") % CONTAM_MOD == 0)

@@ -445,16 +445,17 @@ def test_contamination_fold_shares_tokenized_subtree(spark):
 
     # m11_contamination_diff joined the consumers in round 11: its
     # benchmark postings arm must read the persisted tokenized table
-    # (1 InMemoryRelation) instead of re-shingling the corpus per call.
-    # The digest join (v1) and the delta's v2 text legitimately scan
-    # parquet — only the BENCH gram site is corpus-shaped.
+    # instead of re-shingling the corpus per call, and its delta is
+    # memo-persisted for its three consumers (gram arm, status attach,
+    # size aggregate) — 4 InMemoryRelations total; the digest join runs
+    # once, inside the cached delta plan.
     from koby_s_ai_vector_db_spark.queries.mutations_q import (
         m11_contamination_diff,
     )
 
     df = m11_contamination_diff(spark, SF_DIR)
     cached = df._jdf.queryExecution().withCachedData().toString()
-    assert cached.count("InMemoryRelation") == 1, cached.splitlines()[:5]
+    assert cached.count("InMemoryRelation") == 4, cached.splitlines()[:5]
 
 
 def test_hard_negative_bnlj_builds_bounded_side(spark):
