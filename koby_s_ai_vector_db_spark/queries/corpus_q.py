@@ -245,25 +245,40 @@ def curate_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from the mix) → per-language document/token profile. Plan:
     one map-only sample filter, one dedup shuffle on text, one broadcast
     postings join, one final groupBy — no stage materializes more than
-    the surviving rows."""
+    the surviving rows.
+
+    Round 11: the sample→dedup subtree is memo-persisted (it fed BOTH
+    the contamination train arm and the final mix, each re-running the
+    text-keyed dedup shuffle), and the benchmark arm reads the shared
+    persisted tokenized table (the m11 pattern) instead of re-shingling
+    benchmark text per call; the deduped side tokenizes inline (its
+    rows are the sample's survivors, not raw corpus rows the memo
+    covers)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.functions.partitioning import spread
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    sampled = stratified_sample(
-        docs.select("doc_id", "text", "lang"),
-        SAMPLE_RATES,
-        strata_col="lang",
-        default_rate=SAMPLE_DEFAULT,
-        seed=SAMPLE_SEED,
-    )
-    deduped = sampled.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
-    )
-    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "text"
-    )
+
+    def _deduped():
+        sampled = stratified_sample(
+            spread(docs).select("doc_id", "text", "lang"),
+            SAMPLE_RATES,
+            strata_col="lang",
+            default_rate=SAMPLE_DEFAULT,
+            seed=SAMPLE_SEED,
+        )
+        return sampled.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+        )
+
+    deduped = memo_persist(spark, ("training_mix_deduped", sf_dir), _deduped)
+    bench = _tokenized_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % CONTAM_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "w")
+    ded_w = deduped.select("doc_id", words_expr("text").alias("w"))
     flagged = (
-        ngram_contamination(deduped, bench, n=CONTAM_N)
+        ngram_contamination(ded_w, bench, n=CONTAM_N, words_col="w")
         .filter(F.col("doc_id") % CONTAM_MOD != 0)
         .select("doc_id")
         .distinct()
