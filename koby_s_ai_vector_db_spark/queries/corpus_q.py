@@ -127,7 +127,10 @@ LIMIT {VOCAB_TOP}
 def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary profile: top-20 terms by total count with document
     frequency; one map-side-combined groupBy, TakeOrderedAndProject top-k
-    (operators/corpus.py:192)."""
+    (operators/corpus.py:192). Deliberately NOT spread: the round-11 A/B
+    measured spread() a 2× loss at sf0.1 and a wash at sf1 — the 31-term
+    combine is too cheap to amortize the extra exchange (the blanket-
+    spread-tax lesson, round 2)."""
     docs = load_table(spark, sf_dir, "documents")
     return vocab_stats(docs, top=VOCAB_TOP)
 

@@ -257,9 +257,24 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, and token counts plus the count of exactly-full sequences.
     Two bounded aggregates (per-seq rollup then per-shard, both keyed by
     the shard hash pack_sequences already shuffled on) joined on the
-    <=n_shards-row shard key."""
+    <=n_shards-row shard key.
+
+    The n_docs arm does NOT re-run the packing (round 11): a document's
+    shard is a pure hash of its id, so docs-per-shard is a map-side
+    combined count straight off the corpus — the old
+    countDistinct-over-seqs arm re-ran the whole per-shard offset window
+    a second time for a number the doc table already knows. Equality
+    with the seqs-derived count is exact: every doc with > 0 tokens
+    contributes >= 1 seqs row carrying that same hash shard, and doc
+    ids are unique (the repo-wide invariant)."""
     from pyspark.sql import functions as F
 
+    from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
+    from koby_s_ai_vector_db_spark.operators.dedup import words_expr
+
+    # not spread: the round-11 A/B measured the spread variant slower at
+    # sf0.1 and no better at sf1 (the pack window's shard exchange
+    # redistributes anyway).
     docs = load_table(spark, sf_dir, "documents")
     seqs = pack_sequences(
         docs, seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS, seed=PACK_SEED
@@ -274,8 +289,19 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_st") == PACK_SEQ_LEN, 1).otherwise(0)
         ).alias("n_full_seqs"),
     )
-    agg2 = seqs.groupBy("shard").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    agg2 = (
+        docs.select(
+            (
+                portable_hash32(F.col("doc_id").cast("string"), seed=PACK_SEED)
+                % PACK_SHARDS
+            )
+            .cast("int")
+            .alias("shard"),
+            F.size(words_expr("text")).alias("_nt"),
+        )
+        .filter(F.col("_nt") > 0)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
     )
     return agg1.join(agg2, "shard").select(
         "shard", "n_seqs", "n_docs", "n_tokens", "n_full_seqs"
