@@ -100,13 +100,18 @@ def a19_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution within 30 minutes: the batch twin of the
     stream-stream interval join (streaming/live.py::click_attribution);
     tests/test_streaming.py asserts the true two-stream join emits the
-    identical row multiset."""
-    from koby_s_ai_vector_db_spark.streaming.live import click_attribution
+    identical row multiset. The batch plan is the BUCKETED form — same
+    rows, per-user candidates bounded to same-and-adjacent 30-minute
+    windows instead of the full per-user cross product (the 100×-skew
+    shape; see click_attribution_bucketed)."""
+    from koby_s_ai_vector_db_spark.streaming.live import (
+        click_attribution_bucketed,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
 
-    return click_attribution(
+    return click_attribution_bucketed(
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"),
     )

@@ -274,3 +274,66 @@ def click_attribution(
             ).alias("gap_us"),
         )
     )
+
+
+ATTRIB_WINDOW_US = 30 * 60 * 1_000_000  # ATTRIB_WINDOW in microseconds
+
+
+def click_attribution_bucketed(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Batch-scale twin of `click_attribution`, row-identical by
+    construction (pytest-pinned): the join key gains a window-width time
+    BUCKET, with each purchase probing its own and the previous bucket —
+    a click within [p - window, p] necessarily falls in one of the two.
+    The plain form's per-user candidate set is quadratic in the user's
+    event count regardless of time spread (a power user with 100k clicks
+    evaluates every one against every purchase); bucketing bounds
+    candidates to same-and-adjacent windows, which is the plan that
+    survives 100× skew. Streaming keeps the direct interval-condition
+    form — Spark derives join-state eviction from the raw time-range
+    predicate, which a bucket equi-join would hide."""
+    w = ATTRIB_WINDOW_US
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_pus"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("_pus") / w).cast("long"),
+                (F.col("_pus") / w).cast("long") - 1,
+            )
+        ).alias("_b"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / w)
+        .cast("long")
+        .alias("_cb"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("_b") == F.col("_cb"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )

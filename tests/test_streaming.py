@@ -354,6 +354,27 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
     assert len(_rows(batch)) > 0
 
 
+def test_click_attribution_bucketed_equals_direct(spark):
+    """The bucketed batch form (a19's plan — per-user candidates bounded
+    to same-and-adjacent windows) must emit exactly the direct interval
+    join's rows: a click in [p - window, p] falls in the purchase's own
+    or previous window-width bucket, never elsewhere."""
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.live import (
+        click_attribution,
+        click_attribution_bucketed,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    c = ev.filter(F.col("event_type") == "click")
+    direct = _rows(click_attribution(p, c))
+    bucketed = _rows(click_attribution_bucketed(p, c))
+    assert bucketed == direct
+    assert len(direct) > 0
+
+
 def test_click_attribution_stream_equals_batch(spark):
     """True stream-stream interval join (two filtered streams over the
     events source, watermarked both sides, append mode) must emit exactly
