@@ -452,10 +452,19 @@ def curate_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         BM25_QUERIES, "query_id bigint, query_text string"
     )
-    rel = (
-        bm25_scores(docs, queries)
+    # The per-doc relevance table is memo-persisted (round 11): its
+    # lineage is the whole tokenize→postings→BM25 pipeline over the dd
+    # corpus, re-run per call for a (doc_id, relevance) table of bounded
+    # width — the in-session analogue of the relevance column a curation
+    # pipeline materializes before the keep-decision.
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    rel = memo_persist(
+        spark,
+        ("curate_bm25_rel", sf_dir),
+        lambda: bm25_scores(docs, queries)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("score"), 6).alias("relevance"))
+        .agg(F.round(F.sum("score"), 6).alias("relevance")),
     )
     members = docs.join(groups, "doc_id", "left").select(
         "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
