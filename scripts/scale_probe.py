@@ -125,6 +125,9 @@ PROBE_QUERIES = [
     "rel_returned_revenue",
     "tok_fertility_report",
     "rel_bloom_semijoin",
+    # late round 11: the incremental (new-batch x base) dedup tier had
+    # never been sf1-probed — added so r12 inherits a baseline
+    "dedup_incremental",
 ]
 
 
