@@ -429,7 +429,17 @@ def simhash_near_dup_pairs(
 
     `cache_key` memo-persists the per-doc sketch table (the
     O(tokens·bits) vote aggregate — the dominant map cost) per session,
-    like the shingle table."""
+    like the shingle table.
+
+    Empty-token docs are EXCLUDED (round 11, ADVICE r11): simhash_table
+    emits no row for a doc whose tokenization is empty (previously such
+    docs got sh=0 and two blank docs emitted a hamming-0 pair). A
+    signature over zero tokens carries no similarity evidence, so
+    blank×blank "near-dups" were noise; callers needing blank-doc
+    grouping should pair empties upstream via exact dedup on the
+    normalized text. The ('simhash_sigs', bits, cache_key) memo key is
+    unchanged because the memo is per-session and both producers/readers
+    moved together in round 11."""
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
     n_blocks = max_hamming + 1

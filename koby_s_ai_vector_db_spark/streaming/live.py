@@ -227,7 +227,12 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-ATTRIB_WINDOW = "30 minutes"
+# Single source of truth for the attribution window: the SQL interval
+# string and the microsecond bucket width MUST agree — drift would make
+# click_attribution_bucketed's bucket equi-join silently drop rows the
+# interval predicate admits (ADVICE r11).
+ATTRIB_WINDOW_MIN = 30
+ATTRIB_WINDOW = f"{ATTRIB_WINDOW_MIN} minutes"
 
 
 def click_attribution(
@@ -276,7 +281,7 @@ def click_attribution(
     )
 
 
-ATTRIB_WINDOW_US = 30 * 60 * 1_000_000  # ATTRIB_WINDOW in microseconds
+ATTRIB_WINDOW_US = ATTRIB_WINDOW_MIN * 60 * 1_000_000  # = ATTRIB_WINDOW in µs
 
 
 def click_attribution_bucketed(

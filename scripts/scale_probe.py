@@ -344,9 +344,6 @@ def _q3_shuffle(spark, sf_dir):
     return rel_shipping_priority_shuffle(spark, sf_dir)
 
 
-    return fn
-
-
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
@@ -357,7 +354,11 @@ EXTRA_PROBES = {
 }
 
 
-def time_queries(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
+def time_queries(
+    sf_dir: str, names: list[str] | None = None
+) -> dict[str, float | list[float]]:
+    # Values are the min-of-two float under `name`, plus the raw pass
+    # list under `{name}__passes` (ADVICE r10/r11).
     from koby_s_ai_vector_db_spark import registry
 
     # Drop the previous scale's memoized persists: the probe runs both
