@@ -42,6 +42,15 @@ def main() -> int:
     print(f"[bench] spark up in {time.perf_counter() - t0:.1f}s "
           f"master={spark.sparkContext.master} sf_dir={sf_dir}", file=sys.stderr)
 
+    # Host-speed calibration (VERDICT r11 item 3): a pinned constant-shape
+    # CPU job timed before the warm-up and again after the repeat pass.
+    # Cross-round total comparisons normalize by `host_factor`; "the host
+    # ran slower" is now a recorded number, not a narrative.
+    from koby_s_ai_vector_db_spark.functions.calibration import calibrate
+
+    calib_pre = calibrate(spark)
+    print(f"[bench] calib pre: {calib_pre}", file=sys.stderr)
+
     # Warm-up: run EVERY query once untimed so the timed loop measures the
     # steady-state plan, not first-touch JIT / codegen compilation / parquet
     # footer IO. A single-query warm-up is not enough — each query family
@@ -100,12 +109,18 @@ def main() -> int:
     for n, t in repeat.items():
         per_query[n] = min(per_query[n], t)
 
+    calib_post = calibrate(spark)
+    print(f"[bench] calib post: {calib_post}", file=sys.stderr)
+
     result = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": _sf_from_dir(sf_dir),
+        # Pinned-job host calibration bracketing the run; divide `value`
+        # by mean(host_factor) before comparing totals across rounds.
+        "calib": {"pre": calib_pre, "post": calib_post},
     }
     if repeat:
         result["repeat"] = repeat
@@ -157,6 +172,13 @@ def slim_line(
 ) -> dict:
     slim = dict(result)
     slim["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+    if "calib" in result:
+        # Compact form on the line (full passes stay in BENCH_FULL.json):
+        # host_factor ≈ 1.0 means "as fast as the pinned quiet-host ref".
+        slim["calib"] = {
+            "pre_hf": result["calib"]["pre"]["host_factor"],
+            "post_hf": result["calib"]["post"]["host_factor"],
+        }
     if "repeat" in result:
         # The noise-check repeats ride along (small, heavy-query-only);
         # under budget pressure the query-timing fill below adapts around

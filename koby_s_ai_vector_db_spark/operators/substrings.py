@@ -63,6 +63,7 @@ def repeated_substring_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_gram_key: bool = False,
 ) -> DataFrame:
     """Maximal repeated token spans per document.
 
@@ -73,6 +74,18 @@ def repeated_substring_spans(
     one), and the span is maximal — the windows just before and after do
     not repeat. span_tokens = span_end - span_start + 1 >= k; a
     downstream cleaner drops or rewrites exactly these ranges.
+
+    ``hash_gram_key`` replaces the count-window exchange key (raw k-gram
+    TEXT, tens of bytes per row) with ``xxhash64(gram)`` — the shuffle
+    then carries a fixed 8-byte key and the within-partition sort
+    compares int64s, not strings. The trade is exactness: a 64-bit
+    collision merges two distinct grams' counts and can flag a unique
+    window as repeated (never the reverse — a genuinely repeated window
+    keeps its count). Expected false windows ~ G^2/2^65 for G distinct
+    grams: ~2e-7 at the sf1 probe's G~2.4M, and ~1e7 out of ~2e13
+    windows (5e-7) at a 100 TB corpus — negligible for a hygiene pass,
+    but NOT exact, so the registered query keeps the text key unless the
+    probe shows a material win (BASELINE.md round-12 A/B).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-gram span is a stopword list), got {k}")
@@ -96,6 +109,12 @@ def repeated_substring_spans(
     # shuffles the full string-keyed positions anyway, and the probe
     # side re-derives the positional-gram map a second time. The window
     # form's single sorted exchange is the cheaper plan at both scales.
+    if hash_gram_key:
+        # Hash BEFORE the exchange: the projection drops the gram string
+        # map-side, so the shuffle rows are three fixed-width ints.
+        pos_grams = pos_grams.select(
+            "doc_id", "pos", F.xxhash64("g").alias("g")
+        )
     dup_pos = (
         pos_grams.withColumn("_n", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_n") >= min_count)

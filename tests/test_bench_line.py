@@ -102,3 +102,18 @@ def test_sweep_raw_kept_small_dropped_under_pressure():
     line = bench.encoded(slim)
     assert len(line) <= bench.BUDGET
     assert "sweep_raw" not in slim
+
+
+def test_calib_compacted_to_host_factors():
+    result, pq, fl = _mk(10, 0)
+    result["calib"] = {
+        "pre": {"passes": [1.2, 1.25, 1.3], "median_sec": 1.25,
+                "ref_sec": 1.22, "host_factor": 1.025},
+        "post": {"passes": [1.3, 1.35, 1.4], "median_sec": 1.35,
+                 "ref_sec": 1.22, "host_factor": 1.107},
+    }
+    slim = bench.slim_line(result, pq, fl)
+    # The line carries only the two host factors; the full pass lists
+    # stay in BENCH_FULL.json.
+    assert slim["calib"] == {"pre_hf": 1.025, "post_hf": 1.107}
+    assert len(bench.encoded(slim)) <= bench.BUDGET

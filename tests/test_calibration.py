@@ -1,0 +1,46 @@
+"""Host-calibration job: structure, determinism, and pinned shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from koby_s_ai_vector_db_spark.functions import calibration
+
+
+def test_calibrate_structure(spark, monkeypatch):
+    # Shrink the pinned N for the unit test — the structure and the math
+    # are what's under test, not the wall time.
+    monkeypatch.setattr(calibration, "CALIB_N", 1_000_000)
+    out = calibration.calibrate(spark, passes=3)
+    assert sorted(out) == ["host_factor", "median_sec", "passes", "ref_sec"]
+    assert len(out["passes"]) == 3
+    assert out["passes"] == sorted(out["passes"])
+    assert out["median_sec"] == out["passes"][1]
+    assert out["host_factor"] > 0
+    assert out["ref_sec"] == calibration.CALIB_REF_SEC
+
+
+def test_calibration_job_value_is_deterministic(spark):
+    # The pinned job must be pure function-of-N (no rand/now): two
+    # evaluations at a small N agree exactly, and the expression matches
+    # an independent formulation.
+    n = 100_000
+    expr = F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h")
+    a = spark.range(0, n, 1, 8).select(expr).collect()[0][0]
+    b = spark.range(0, n, 1, 4).select(expr).collect()[0][0]
+    assert a == b  # partitioning-independent
+
+
+def test_calibration_job_is_codegen_and_shuffle_light(spark):
+    # The job's value as a host probe depends on it being CPU-bound
+    # whole-stage-codegen with a single partial-agg exchange: no scan,
+    # no join, no wide shuffle that would make it sensitive to disk.
+    df = spark.range(0, 1000, 1, 8).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h")
+    )
+    df.collect()  # finalize the AQE plan before reading it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # `*(n)` is the finalized-AQE-plan marker for a WholeStageCodegen span.
+    assert "*(" in plan
+    assert plan.count("Exchange") <= 2  # the single partial-agg exchange
+    assert "Scan" not in plan.replace("Range", "")  # range source only

@@ -571,3 +571,92 @@ def test_streaming_cm_and_qh_cells_equal_batch(spark, tmp_path):
         got = _rows(spark.sql(f"SELECT * FROM {name}"))
         want = _rows(build(ev))
         assert got == want and len(want) > 0, label
+
+
+def test_click_attribution_state_bounded_under_hot_user(spark, tmp_path):
+    """Watermark eviction must bound stream-stream join state even when
+    one user is 100×-skewed (VERDICT r11 item 8): the batch twin buckets
+    its interval join, the streaming path intentionally keeps the raw
+    interval condition BECAUSE Spark derives the state-eviction bound
+    from it — this test pins that the bound is real. 12 hour-slices
+    arrive as 12 micro-batches; by the last batch the watermark has
+    passed all but ~the last slice, so total retained state must be a
+    small fraction of the rows ingested, hot user included."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from koby_s_ai_vector_db_spark.streaming.live import (
+        apply_watermark,
+        click_attribution,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    n_slices, rows = 12, []
+    for s in range(n_slices):
+        t0 = base + datetime.timedelta(hours=s)
+        # Hot user 0: 200 clicks/slice; users 1-5: 2 clicks each (100×).
+        for i in range(200):
+            rows.append((s * 10_000 + i, t0 + datetime.timedelta(
+                seconds=18 * i), 0, "click"))
+        for u in range(1, 6):
+            for i in range(2):
+                rows.append((s * 10_000 + 500 + u * 10 + i,
+                             t0 + datetime.timedelta(minutes=20 * i + u),
+                             u, "click"))
+        # One purchase per user per slice, late enough in the hour that
+        # its 30-min lookback stays inside the slice for determinism.
+        for u in range(6):
+            rows.append((s * 10_000 + 900 + u,
+                         t0 + datetime.timedelta(minutes=50, seconds=u),
+                         u, "purchase"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    src = str(tmp_path / "ev")
+    # One parquet file per hour-slice, written in time order → the file
+    # stream (maxFilesPerTrigger=1) replays them as 12 micro-batches
+    # with a monotonically advancing watermark.
+    for s in range(n_slices):
+        ev.filter(
+            (F.col("event_id") >= s * 10_000)
+            & (F.col("event_id") < (s + 1) * 10_000)
+        ).coalesce(1).write.parquet(f"{src}/slice={s:02d}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    s1 = apply_watermark(stream.filter(F.col("event_type") == "purchase"))
+    s2 = apply_watermark(stream.filter(F.col("event_type") == "click"))
+    name = f"s_hotuser_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_attribution(s1, s2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    total_rows = len(rows)
+    # Eviction, not accumulation: final state is bounded by ~the last
+    # watermark horizon (clicks survive watermark + 30 min lookback ≈
+    # one slice), far below the 2.5k rows ingested. Without eviction the
+    # hot user alone would hold 2400 click rows at the end.
+    assert state_rows, "no stateOperators progress recorded"
+    assert state_rows[-1] < total_rows / 4, (state_rows[-1], total_rows)
+    # And the peak never approaches full accumulation either.
+    assert max(state_rows) < total_rows * 0.6, (max(state_rows), total_rows)
+    # Correctness: in-order arrival loses nothing vs the batch twin.
+    batch = click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    assert _rows(spark.sql(f"SELECT * FROM {name}")) == _rows(batch)

@@ -63,6 +63,45 @@ class TestRepeatedSubstringSpans:
         docs = _docs(spark, [(1, "a b"), (2, "c d e f")])
         assert repeated_substring_spans(docs, k=3).count() == 0
 
+    def test_hash_gram_key_value_equivalent(self, spark):
+        # The xxhash64-keyed exchange variant (round-12 A/B, collision
+        # bound in the operator docstring) must emit the identical span
+        # set on collision-free input — which is everything this side of
+        # G ~ 2^32 distinct grams.
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e f"),
+                (2, "x y a b c d z"),
+                (3, "q w e r t y"),
+                (7, "p p p p p"),
+            ],
+        )
+        text = {
+            tuple(r)
+            for r in repeated_substring_spans(docs, k=3).collect()
+        }
+        hashed = {
+            tuple(r)
+            for r in repeated_substring_spans(
+                docs, k=3, hash_gram_key=True
+            ).collect()
+        }
+        assert text == hashed and text
+
+    def test_hash_gram_key_fixture_equivalent(self, spark):
+        # Same check at fixture scale: whole sf0.001 documents table.
+        from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = repeated_substring_spans(docs, k=8).orderBy(
+            "doc_id", "span_start"
+        ).collect()
+        b = repeated_substring_spans(
+            docs, k=8, hash_gram_key=True
+        ).orderBy("doc_id", "span_start").collect()
+        assert a == b and len(a) > 0
+
 
 class TestPackSequences:
     def test_hand_computed_single_shard(self, spark):
