@@ -63,7 +63,7 @@ def repeated_substring_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_gram_key: bool = False,
+    hash_gram_key: bool | str = False,
 ) -> DataFrame:
     """Maximal repeated token spans per document.
 
@@ -76,16 +76,20 @@ def repeated_substring_spans(
     downstream cleaner drops or rewrites exactly these ranges.
 
     ``hash_gram_key`` replaces the count-window exchange key (raw k-gram
-    TEXT, tens of bytes per row) with ``xxhash64(gram)`` — the shuffle
-    then carries a fixed 8-byte key and the within-partition sort
-    compares int64s, not strings. The trade is exactness: a 64-bit
-    collision merges two distinct grams' counts and can flag a unique
-    window as repeated (never the reverse — a genuinely repeated window
-    keeps its count). Expected false windows ~ G^2/2^65 for G distinct
-    grams: ~2e-7 at the sf1 probe's G~2.4M, and ~1e7 out of ~2e13
-    windows (5e-7) at a 100 TB corpus — negligible for a hygiene pass,
-    but NOT exact, so the registered query keeps the text key unless the
-    probe shows a material win (BASELINE.md round-12 A/B).
+    TEXT, tens of bytes per row) with a hash — the shuffle then carries
+    a fixed-width key and the within-partition sort compares ints, not
+    strings. Measured round 12: under battery-JVM memory pressure the
+    string-keyed sort spilled to 79-214 s at sf1 while the hashed key
+    held 8.8 s; standalone the two tie (~8.8 s) — the hash buys
+    robustness exactly in the memory-pressure regime a shared 100 TB
+    executor actually runs in (BASELINE.md round-12 A/B). The trade is
+    exactness: a collision merges two distinct grams' counts and can
+    flag a unique window as repeated (never the reverse — a genuinely
+    repeated window keeps its count). Expected false windows ~ G^2/2^65
+    for G distinct grams with True/"hash64" (~2e-7 at the sf1 probe's
+    G~2.4M; ~1e7 of ~2e13 windows, 5e-7, at 100 TB), and ~G^2/2^129
+    with "hash128" (two independently seeded xxhash64 lanes; ~6e-13 even
+    at 100 TB — exact for all practical purposes).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-gram span is a stopword list), got {k}")
@@ -111,10 +115,24 @@ def repeated_substring_spans(
     # form's single sorted exchange is the cheaper plan at both scales.
     if hash_gram_key:
         # Hash BEFORE the exchange: the projection drops the gram string
-        # map-side, so the shuffle rows are three fixed-width ints.
-        pos_grams = pos_grams.select(
-            "doc_id", "pos", F.xxhash64("g").alias("g")
-        )
+        # map-side, so the shuffle rows are fixed-width ints. "hash128"
+        # pairs two independently-seeded xxhash64 values (xxhash64's
+        # variadic form folds the seed column into the state), squaring
+        # the collision exponent: G²/2¹²⁹ ≈ 6e-13 even at G ≈ 2e13
+        # (100 TB) — exact for all practical purposes.
+        if hash_gram_key == "hash128":
+            pos_grams = pos_grams.select(
+                "doc_id",
+                "pos",
+                F.struct(
+                    F.xxhash64("g").alias("h1"),
+                    F.xxhash64(F.lit(1), F.col("g")).alias("h2"),
+                ).alias("g"),
+            )
+        else:
+            pos_grams = pos_grams.select(
+                "doc_id", "pos", F.xxhash64("g").alias("g")
+            )
     dup_pos = (
         pos_grams.withColumn("_n", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_n") >= min_count)

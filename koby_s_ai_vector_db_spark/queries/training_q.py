@@ -44,10 +44,20 @@ FROM base
 @register("dedup_substring", _SUBSTR_ORACLE)
 def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal repeated >=8-token spans across `documents` — the
-    exact-substring dedup tier: one exchange on gram text (count-window,
-    no self-join), one on doc_id (island merge)."""
+    exact-substring dedup tier: one exchange on a 128-bit gram hash
+    (count-window, no self-join), one on doc_id (island merge).
+
+    hash_gram_key="hash128" adopted round 12 (BASELINE.md A/B): the
+    raw-gram-text exchange key ties standalone (~8.8 s sf1) but spilled
+    to 79-214 s under battery-JVM memory pressure, while the fixed-width
+    hashed key held 8.8 s — and a shared 100 TB executor lives in the
+    pressure regime. Collision bound G^2/2^129 ≈ 6e-13 at 100 TB
+    (operator docstring): exact for all practical purposes, value-equal
+    to the text key on every fixture (tests/test_training_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    out = repeated_substring_spans(docs, k=SUBSTR_K, min_count=2)
+    out = repeated_substring_spans(
+        docs, k=SUBSTR_K, min_count=2, hash_gram_key="hash128"
+    )
     return out.select(
         "doc_id",
         out.span_start.cast("long").alias("span_start"),

@@ -344,6 +344,19 @@ def _q3_shuffle(spark, sf_dir):
     return rel_shipping_priority_shuffle(spark, sf_dir)
 
 
+def _substring_hash128(spark, sf_dir):
+    # 128-bit lane of the round-12 A/B: struct<h1,h2> exchange key.
+    from koby_s_ai_vector_db_spark.operators.substrings import (
+        repeated_substring_spans,
+    )
+    from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(
+        docs, k=8, min_count=2, hash_gram_key="hash128"
+    )
+
+
 def _substring_hashkey(spark, sf_dir):
     # Round-12 A/B (VERDICT r11 item 5): the registered dedup_substring
     # with xxhash64(gram) as the count-window exchange key instead of the
@@ -364,6 +377,7 @@ EXTRA_PROBES = {
     "fuzzy_edit_exact": _exact_fuzzy,
     "rel_ship_prio_shuffle": _q3_shuffle,
     "dedup_substring_hashkey": _substring_hashkey,
+    "dedup_substring_hash128": _substring_hash128,
     # rel_returned_revenue / tok_fertility_report / rel_bloom_semijoin:
     # probed here as prebuilds while unregistered; all three are
     # registered now and resolve through the registry like any query.

@@ -119,8 +119,8 @@ def test_ivfpq_probe_and_encode_shapes(spark):
 def test_training_ops_exchange_budget(spark):
     """The new training-tier operators were designed to a fixed shuffle
     budget: dedup_substring spends exactly two exchanges (count-window on
-    gram text, island merge on doc_id — a groupBy+join-back rewrite would
-    show three), pack_sequences exactly one (the per-shard offset
+    the 128-bit gram hash, island merge on doc_id — a groupBy+join-back
+    rewrite would show three), pack_sequences exactly one (the per-shard offset
     window); everything else must stay map-side."""
     p = _plan(spark, "dedup_substring")
     assert p.count("Exchange hashpartitioning") == 2, p.splitlines()[0]

@@ -81,13 +81,14 @@ class TestRepeatedSubstringSpans:
             tuple(r)
             for r in repeated_substring_spans(docs, k=3).collect()
         }
-        hashed = {
-            tuple(r)
-            for r in repeated_substring_spans(
-                docs, k=3, hash_gram_key=True
-            ).collect()
-        }
-        assert text == hashed and text
+        for key in (True, "hash128"):
+            hashed = {
+                tuple(r)
+                for r in repeated_substring_spans(
+                    docs, k=3, hash_gram_key=key
+                ).collect()
+            }
+            assert text == hashed and text, key
 
     def test_hash_gram_key_fixture_equivalent(self, spark):
         # Same check at fixture scale: whole sf0.001 documents table.
@@ -97,10 +98,11 @@ class TestRepeatedSubstringSpans:
         a = repeated_substring_spans(docs, k=8).orderBy(
             "doc_id", "span_start"
         ).collect()
-        b = repeated_substring_spans(
-            docs, k=8, hash_gram_key=True
-        ).orderBy("doc_id", "span_start").collect()
-        assert a == b and len(a) > 0
+        for key in (True, "hash128"):
+            b = repeated_substring_spans(
+                docs, k=8, hash_gram_key=key
+            ).orderBy("doc_id", "span_start").collect()
+            assert a == b and len(a) > 0, key
 
 
 class TestPackSequences:
