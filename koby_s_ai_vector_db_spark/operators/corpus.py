@@ -334,16 +334,17 @@ def ngram_contamination_sliding(
         if words_col
         else shingles_expr(text_col, n)
     )
-    t_post = (
-        train.select(F.col(id_col).alias("_tid"), t_grams.alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("_tid", F.size("_g").alias("_n_g"), F.explode("_g").alias("g"))
-    )
-    b_post = (
-        benchmark.select(F.col(bench_id).alias("_bid"), b_grams.alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("_bid", F.explode("_g").alias("g"))
-    )
+    # array_rows_nonempty binds _g as a Generate output so the gram chain
+    # is built once per row — select+filter(size>0) would re-embed it into
+    # the Filter AND the size() projection (functions/exprs.py, round 12).
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
+    t_post = array_rows_nonempty(
+        train, [F.col(id_col).alias("_tid")], t_grams, "_g"
+    ).select("_tid", F.size("_g").alias("_n_g"), F.explode("_g").alias("g"))
+    b_post = array_rows_nonempty(
+        benchmark, [F.col(bench_id).alias("_bid")], b_grams, "_g"
+    ).select("_bid", F.explode("_g").alias("g"))
     return (
         t_post.join(F.broadcast(b_post), "g")
         .groupBy("_tid", "_bid", "_n_g")
@@ -387,16 +388,15 @@ def ngram_contamination(
         if words_col
         else shingles_expr(text_col, n)
     )
-    t_post = (
-        train.select(F.col(id_col).alias("_tid"), grams.alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("_tid", F.explode("_g").alias("g"))
-    )
-    b_post = (
-        benchmark.select(F.col(bench_id).alias("_bid"), grams.alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("_bid", F.explode("_g").alias("g"))
-    )
+    # One gram-chain evaluation per row (functions/exprs.py, round 12).
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
+    t_post = array_rows_nonempty(
+        train, [F.col(id_col).alias("_tid")], grams, "_g"
+    ).select("_tid", F.explode("_g").alias("g"))
+    b_post = array_rows_nonempty(
+        benchmark, [F.col(bench_id).alias("_bid")], grams, "_g"
+    ).select("_bid", F.explode("_g").alias("g"))
     return (
         t_post.join(F.broadcast(b_post), "g")
         .groupBy("_tid", "_bid")

@@ -247,10 +247,18 @@ def _shingle_table(
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
     def _build() -> DataFrame:
-        return (
-            _spread(docs)
-            .select(F.col(id_col).alias("_id"), shingles_expr(text_col).alias("g"))
-            .filter(F.size("g") > 0)
+        # array_rows_nonempty, not select+filter(size>0): the latter
+        # re-embeds the shingle chain into the Filter condition and the
+        # build evaluates it ~3x per row (functions/exprs.py, round 12).
+        from koby_s_ai_vector_db_spark.functions.exprs import (
+            array_rows_nonempty,
+        )
+
+        return array_rows_nonempty(
+            _spread(docs),
+            [F.col(id_col).alias("_id")],
+            shingles_expr(text_col),
+            "g",
         )
 
     if cache_key is not None:
@@ -592,9 +600,11 @@ def ngram_jaccard_join(
     c = _shingle_table(
         corpus, id_col, text_col, cache_key, persist_uncached=False
     ).select(F.col("_id").alias(id_col), F.col("g").alias("cg"))
-    q = queries.select(
-        F.col(id_col).alias(query_id), shingles_expr(text_col).alias("qg")
-    ).filter(F.size("qg") > 0)
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
+    q = array_rows_nonempty(
+        queries, [F.col(id_col).alias(query_id)], shingles_expr(text_col), "qg"
+    )
     c_post = c.select(id_col, F.size("cg").alias("c_n"), F.explode("cg").alias("s"))
     q_post = q.select(query_id, F.size("qg").alias("q_n"), F.explode("qg").alias("s"))
     inter = (

@@ -95,13 +95,25 @@ def repeated_substring_spans(
         raise ValueError(f"k must be >= 2 (a 1-gram span is a stopword list), got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # explode_OUTER + a null filter on the generator output, not a
+    # size()>0 pre-filter and not plain explode: both of those end with
+    # a Filter node BELOW the projection whose condition re-embeds the
+    # whole positional-grams expression (the explicit filter via
+    # CollapseProject pushdown; plain explode via Catalyst's
+    # InferFiltersFromGenerate, which infers `size(child)>0 AND
+    # isnotnull(child)` and inlines the child) — the plan then tokenizes
+    # and window-builds every doc ~3×. Inference does not apply to outer
+    # generates; short docs emit one NULL row each, dropped by a filter
+    # that references only the generator output. Same hazard family as
+    # the m11 bind_once lesson, but across plan nodes where bind_once
+    # can't reach (round-12 plan snapshot, PLANS_r12.md).
     pos_grams = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             positional_kgrams_expr(text_col, k).alias("_pg"),
         )
-        .filter(F.size("_pg") > 0)
-        .select("doc_id", F.explode("_pg").alias("_u"))
+        .select("doc_id", F.explode_outer("_pg").alias("_u"))
+        .filter(F.col("_u").isNotNull())
         .select("doc_id", F.col("_u.pos").alias("pos"), F.col("_u.g").alias("g"))
     )
     # One exchange on the gram text counts AND filters (vs groupBy + join
