@@ -987,12 +987,17 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only zip_with/aggregate integer math; the final per-label aggregate
     carries ~16 B/row. At 100 TB the exploded shuffle is 64× row count but
     fixed-width — bytes ≈ 24·64·N, all combinable map-side."""
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
     emb = load_table(spark, sf_dir, "embeddings")
     vq = F.transform(
         "embedding",
         lambda x: F.round(x.cast("double") * 1000000).cast("long"),
     )
-    base = emb.select("vec_id", "label", vq.alias("vq"))
+    # Bind vq as a Generate output: a plain projection would have the
+    # quantize transform re-inlined into InferFiltersFromGenerate's
+    # size/notnull filter under the posexplode below (round-12 audit).
+    base = array_rows_nonempty(emb, ["vec_id", "label"], vq, "vq")
     ex = base.select("vec_id", "label", F.posexplode("vq").alias("pos", "v"))
     cent = (
         ex.groupBy("label", "pos")
