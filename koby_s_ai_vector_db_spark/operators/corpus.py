@@ -49,11 +49,16 @@ def term_postings(
     """(id, term, tf) postings with per-document term frequency.
 
     explode + groupBy(id, term) — the groupBy is map-side combinable and
-    keyed by the same (id, term) pair every downstream join uses.
+    keyed by the same (id, term) pair every downstream join uses. The
+    words array is bound once via array_rows_nonempty — a plain explode
+    gets the tokenizer re-inlined into InferFiltersFromGenerate's
+    inferred filter (functions/exprs.py, round 12).
     """
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
     return (
-        docs.select(
-            F.col(id_col).alias("_id"), words_expr(text_col).alias("_w")
+        array_rows_nonempty(
+            docs, [F.col(id_col).alias("_id")], words_expr(text_col), "_w"
         )
         .select("_id", F.explode("_w").alias("term"))
         .groupBy("_id", "term")

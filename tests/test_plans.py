@@ -46,6 +46,30 @@ def test_no_cartesian_product_anywhere(spark):
     assert not offenders, f"unbroadcast all-pairs joins: {sorted(offenders)}"
 
 
+def test_no_expensive_expression_in_filter_nodes(spark):
+    """Round-12 regression guard for the duplicated-evaluation class:
+    a Filter node whose condition embeds an expensive array chain means
+    CollapseProject pushdown or InferFiltersFromGenerate re-inlined an
+    aliased expression — the map side then evaluates it ~3x per row
+    (dedup_substring 8.8 -> 5.7 s sf1 when fixed; BASELINE.md round-12).
+    Expensive-array projections must go through
+    functions/exprs.py::array_rows_nonempty. The 300-char bound skips
+    cheap attribute filters (size(ids) > 1 on aggregate outputs) and
+    FileScan descriptor lines."""
+    offenders = {}
+    for name in entry_mod.queries():
+        for line in _plan(spark, name).splitlines():
+            s = line.strip()
+            if "FileScan" in s or "Filter" not in s.split("(")[0]:
+                continue
+            if len(s) > 300 and ("split(lower(" in s or "lambdafunction" in s):
+                offenders.setdefault(name, s[:160])
+    assert not offenders, (
+        f"Filter nodes embedding expensive expressions (use "
+        f"array_rows_nonempty): {offenders}"
+    )
+
+
 def test_topk_rank_uses_window_group_limit(spark):
     for name in ("q1_topk_cosine", "knn_self_join", "q2_ann"):
         assert "WindowGroupLimit" in _plan(spark, name), name
