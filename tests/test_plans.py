@@ -55,7 +55,18 @@ def test_no_expensive_expression_in_filter_nodes(spark):
     Expensive-array projections must go through
     functions/exprs.py::array_rows_nonempty. The 300-char bound skips
     cheap attribute filters (size(ids) > 1 on aggregate outputs) and
-    FileScan descriptor lines."""
+    FileScan descriptor lines.
+
+    Memos are evicted first so every plan is the COLD build plan: with
+    suite-order-dependent memo state, an InMemoryRelation built earlier
+    through a different call path embeds ITS build plan into whatever
+    registered query reads it, and the scan flags (or misses) lines that
+    have nothing to do with the query's own source. The guard is about
+    package source hygiene — cold plans are the deterministic view of
+    exactly that. (Memos rebuild on demand for later tests.)"""
+    from koby_s_ai_vector_db_spark.functions.caching import evict_application
+
+    evict_application(spark)
     offenders = {}
     for name in entry_mod.queries():
         for line in _plan(spark, name).splitlines():
