@@ -394,10 +394,18 @@ def simhash_table(
     oracle both do)."""
     if bits % 4 or not 0 < bits <= 60:
         raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
-    toks = _spread(docs).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.expr(_WORDS.format(col=text_col))).alias("t"),
-    )
+    # Bind the token array once (round 12): a direct explode gets the
+    # tokenizer re-inlined into InferFiltersFromGenerate's inferred
+    # filter — the sketch build then tokenizes every doc ~3×
+    # (functions/exprs.py::array_rows_nonempty).
+    from koby_s_ai_vector_db_spark.functions.exprs import array_rows_nonempty
+
+    toks = array_rows_nonempty(
+        _spread(docs),
+        [F.col(id_col).alias("_id")],
+        F.expr(_WORDS.format(col=text_col)),
+        "_w",
+    ).select("_id", F.explode("_w").alias("t"))
     h = F.expr(f"CAST(conv(substr(md5(t), 1, {bits // 4}), 16, 10) AS BIGINT)")
     votes = (
         toks.select("_id", h.alias("h"))

@@ -272,11 +272,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-vocabulary fixture (the 32-bit answer at sf0.1 was ~106k
     mostly-incidental pairs). MinHash remains the Jaccard-threshold
     tier; SimHash is the sketch-distance tier."""
-    docs = _docs_dd(spark, sf_dir).filter(
-        F.size(F.expr("array_remove(split(lower(text), '\\\\s+'), '')")) > 0
-    )
+    # No empty-doc pre-filter (round 12): simhash_table emits no row for
+    # empty-token docs by construction since the r11 rework, so the old
+    # `filter(size(tokenize(text)) > 0)` only paid one extra full
+    # tokenize pass per row for semantics the sketch build already
+    # guarantees (the DuckDB oracle keeps its matching exclusion). The
+    # sigs memo content is unchanged — empty docs never had a row.
     return simhash_near_dup_pairs(
-        docs, max_hamming=3, cache_key=("docs_dd", sf_dir), bits=SIMHASH_BITS
+        _docs_dd(spark, sf_dir),
+        max_hamming=3,
+        cache_key=("docs_dd", sf_dir),
+        bits=SIMHASH_BITS,
     )
 
 

@@ -57,18 +57,20 @@ def test_no_expensive_expression_in_filter_nodes(spark):
     cheap attribute filters (size(ids) > 1 on aggregate outputs) and
     FileScan descriptor lines.
 
-    Memos are evicted first so every plan is the COLD build plan: with
-    suite-order-dependent memo state, an InMemoryRelation built earlier
-    through a different call path embeds ITS build plan into whatever
-    registered query reads it, and the scan flags (or misses) lines that
-    have nothing to do with the query's own source. The guard is about
-    package source hygiene — cold plans are the deterministic view of
-    exactly that. (Memos rebuild on demand for later tests.)"""
+    Memos are evicted before EVERY plan so each is the fully COLD build
+    plan: CacheManager substitution replaces a memoized subtree with an
+    InMemoryRelation in any later plan — set up either by earlier tests
+    or by earlier iterations of this very loop (memo_persist registers
+    the cache at build time, no execution needed) — and the substituted
+    plan hides the build subtree the guard exists to inspect. That is
+    exactly how simhash_table's triple-tokenize hid until round 12's
+    full-suite ordering exposed it. Eviction is unpersist-only (no
+    jobs); memos rebuild on demand for later tests."""
     from koby_s_ai_vector_db_spark.functions.caching import evict_application
 
-    evict_application(spark)
     offenders = {}
     for name in entry_mod.queries():
+        evict_application(spark)
         for line in _plan(spark, name).splitlines():
             s = line.strip()
             if "FileScan" in s or "Filter" not in s.split("(")[0]:
