@@ -38,6 +38,11 @@ CALIB_PASSES = 3
 # Quiet-host reference (round 12, 2026-08-16, local[32]): median of the
 # steady-state passes. Re-pin only with a BASELINE.md note.
 CALIB_REF_SEC = 1.22
+# The reference host the pin belongs to — emitted alongside ref_sec so a
+# JSON read on a DIFFERENT machine is self-describing: host_factor ≈ 1.0
+# only means "as fast as the reference run" when ref_host matches the
+# measuring host's shape (ADVICE r12).
+CALIB_REF_HOST = "local[32]/32-thread round-12 canonical host"
 
 
 def _one_pass(spark: SparkSession) -> float:
@@ -55,6 +60,8 @@ def calibrate(spark: SparkSession, passes: int = CALIB_PASSES) -> dict:
     first execution in a fresh JVM, which is exactly the kind of
     one-time state the calibration must NOT measure.
     """
+    import os
+
     _one_pass(spark)
     times = sorted(_one_pass(spark) for _ in range(passes))
     median = times[len(times) // 2]
@@ -62,5 +69,7 @@ def calibrate(spark: SparkSession, passes: int = CALIB_PASSES) -> dict:
         "passes": [round(t, 3) for t in times],
         "median_sec": round(median, 3),
         "ref_sec": CALIB_REF_SEC,
+        "ref_host": CALIB_REF_HOST,
+        "measured_cores": os.cpu_count(),
         "host_factor": round(median / CALIB_REF_SEC, 3),
     }

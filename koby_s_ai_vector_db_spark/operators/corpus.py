@@ -553,6 +553,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_key=None,
+    hash_gram_key: bool | str = False,
 ) -> DataFrame:
     """All unordered pairs with TF-IDF shingle cosine >= threshold.
     Returns (doc_id_a, doc_id_b, sim) ordered.
@@ -563,7 +564,18 @@ def tfidf_cosine_pairs(
     exchange (the g-key exchange is ReusedExchange-able, the id-key norm
     exchange is not). Pass ``cache_key`` to memo-persist it — the
     in-session analogue of writing the TF-IDF weight table once, which
-    is what a 100 TB pipeline does before the self-join."""
+    is what a 100 TB pipeline does before the self-join.
+
+    ``hash_gram_key`` replaces the postings self-join key (raw shingle
+    TEXT, tens of bytes per row) with a hash projected map-side AFTER
+    the persisted weight table — the self-join exchange then carries
+    fixed-width keys while the persisted artifact keeps raw grams for
+    other consumers. Same device as repeated_substring_spans' round-12
+    adoption (operators/substrings.py): "hash128" pairs two
+    independently-seeded xxhash64 lanes (collision bound G²/2¹²⁹ ≈ 6e-13
+    at G ≈ 2e13 grams / 100 TB — exact for all practical purposes; a
+    collision would MERGE two grams' postings and add false cross terms
+    to the pair dots, never drop true ones)."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     n_docs = d.select(F.count("*").alias("n"))
 
@@ -603,6 +615,19 @@ def tfidf_cosine_pairs(
     # drops the bulk of the shuffled postings volume losslessly; the
     # DuckDB oracle needs no mirror because the dot sums are unchanged.
     wj = w.where(F.col("df") >= 2)
+    if hash_gram_key:
+        # Hash BEFORE the self-join exchange: the projection drops the
+        # gram string map-side, so both shuffled sides carry fixed-width
+        # ints. Applied after the memo-persist — the persisted table
+        # keeps raw grams; re-hashing per side is a cheap codegen map.
+        if hash_gram_key == "hash128":
+            gk = F.struct(
+                F.xxhash64("g").alias("h1"),
+                F.xxhash64(F.lit(1), F.col("g")).alias("h2"),
+            )
+        else:
+            gk = F.xxhash64("g")
+        wj = wj.select("id", gk.alias("g"), "w")
     wa = wj.select(F.col("id").alias("ida"), "g", F.col("w").alias("wa"))
     wb = wj.select(F.col("id").alias("idb"), "g", F.col("w").alias("wb"))
     dots = (

@@ -863,6 +863,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     cache_key=None,
+    new_key=None,
 ) -> DataFrame:
     """Continuous-ingest dedup: a NEW batch checked against an EXISTING
     corpus — candidates are (new x base) band collisions only, never
@@ -881,8 +882,19 @@ def incremental_minhash_dedup(
     """
     from pyspark.sql import Window
 
+    if cache_key is not None and new_key is None:
+        # Loud, not silent (ADVICE r12): a memo keyed only by the BASE's
+        # cache_key would serve the FIRST batch's grams to every later
+        # batch in the session — later batches' true duplicates report
+        # 'novel'. Batch identity must ride in the key.
+        raise ValueError(
+            "incremental_minhash_dedup: cache_key (base identity) requires "
+            "new_key (batch identity) — the new batch's signature memo is "
+            "keyed by (cache_key, new_key); omitting new_key would silently "
+            "reuse a previous batch's grams for a different batch"
+        )
     bg = _shingle_table(base, id_col, text_col, cache_key)
-    # The new batch's grams memoize under a cache_key-derived key, NOT a
+    # The new batch's grams memoize under (cache_key, new_key), NOT a
     # per-call persist: persist_uncached created a fresh StorageLevel
     # entry on every call that nothing ever released — repeated calls
     # (bench passes, fused pipelines) accumulated abandoned cached
@@ -894,7 +906,7 @@ def incremental_minhash_dedup(
         new,
         id_col,
         text_col,
-        ("incremental_new", cache_key) if cache_key is not None else None,
+        ("incremental_new", cache_key, new_key) if cache_key is not None else None,
         persist_uncached=cache_key is None,
     )
 

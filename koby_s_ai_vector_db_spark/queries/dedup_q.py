@@ -657,8 +657,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql("SELECT doc_id, text FROM documents")
     new = spark.sql(NEW_BATCH_SQL)
+    # new_key identifies the BATCH: NEW_BATCH_SQL is deterministic given
+    # sf_dir, so the fixture batch's identity is (batch tag, sf_dir). A
+    # continuous-ingest caller would pass its batch id here instead
+    # (ADVICE r12 — the memo key must distinguish batches, not just bases).
     return incremental_minhash_dedup(
-        base, new, cache_key=("documents_raw", sf_dir)
+        base,
+        new,
+        cache_key=("documents_raw", sf_dir),
+        new_key=("fixture_new_batch", sf_dir),
     )
 
 

@@ -57,26 +57,27 @@ def register(name: str, oracle: str | None = None):
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Round-12 window: with CORRECTNESS_r11 landed (committed in eb506ed),
-    # the union checked this round is r10 ∪ r11 (100 distinct names),
-    # which displaces the entire r09 record at once. These 50 names are
-    # EXACTLY the CORRECTNESS_r09 record — all MANDATORY, zero free slots
-    # (SURVEY §9 enumerated them in advance; the round-11 rotation-test
+    # Round-13 window: with CORRECTNESS_r12 landed (committed in bfab8e2),
+    # the union checked this round is r11 ∪ r12 (100 distinct names),
+    # which displaces the entire r10 record at once. These 50 names are
+    # EXACTLY the CORRECTNESS_r10 record — all MANDATORY, zero free slots
+    # (SURVEY §9 enumerated them in advance; the round-12 rotation-test
     # failure message listed the same 50).
-    "a14_value_quantiles", "a15_funnel", "a16_retention", "a17_hll_distinct",
-    "a18_heavy_hitters", "a19_click_attribution", "a21_zorder_stats",
-    "a26_props_profile", "a27_value_mad", "asof_enrich_events", "bm25_rank",
-    "bm25_rank_idx", "bpe_audit", "bpe_encode", "bpe_train", "ccnet_ppl_buckets",
-    "curate_corpus_bm25", "dedup_incremental", "dedup_simhash", "dedup_sketch_stream",
-    "dedup_substring", "dedup_tfidf_cosine", "dsir_sample", "dsir_score",
-    "emb_label_centroids", "emb_pca_project", "hybrid_rrf", "m11_contamination_diff",
-    "m8_snapshot_diff", "m9_snapshot_drift", "ngram_contamination_both",
-    "pack_sequences", "q12_context_assembly", "q16_mmr_rerank", "q2_ann_ivf_idx",
-    "q2_ann_ivfpq_idx", "q2_ann_pq_idx", "range_session_assign",
-    "rel_shipping_priority", "sample_fixed_k", "sample_weighted_k",
-    "src_overlap_matrix", "stratified_sample", "t1_chunker", "ta_gopher_repetition",
-    "ta_pii_scrub", "tok_source_budget", "ts_gapfill", "vocab_stats",
-    "vocab_zipf",
+    "a13_corpus_summary", "a20_quantile_sketch", "a22_hll_daily_merge",
+    "a23_theta_overlap", "a24_skew_report", "curate_corpus_neardup",
+    "curate_pretrain_pipeline", "curate_training_mix", "curriculum_order",
+    "dedup_embedding_cosine", "dedup_embedding_ivf", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_exact_stream", "dedup_fuzzy_edit",
+    "dedup_fuzzy_groups", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_source_matrix", "emb_pca_audit", "graph_pagerank", "m10_read_asof",
+    "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
+    "mine_hard_negatives", "mix_temperature", "mix_token_budget",
+    "mm_binary_features", "mm_decode", "mm_frames", "mm_resize",
+    "pack_bestfit", "q10_prioritize", "q11_sources", "q14_fallback_routing",
+    "q17_filtered_ann", "q18_ann_recall", "q7_fusion",
+    "quality_percentile_gate", "rel_returned_revenue", "seq_len_histogram",
+    "shard_manifest", "softdedup_weights", "split_assign", "ta_boilerplate",
+    "ta_entropy", "ta_fingerprint", "ta_pmi_collocations", "ta_token_count",
 ]
 
 

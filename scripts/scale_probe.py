@@ -372,12 +372,29 @@ def _substring_hashkey(spark, sf_dir):
     return repeated_substring_spans(docs, k=8, min_count=2, hash_gram_key=True)
 
 
+def _tfidf_hash128(spark, sf_dir):
+    # Round-13 A/B (VERDICT r12 item 3): the registered dedup_tfidf_cosine
+    # with the postings self-join keyed on hash128(gram) instead of raw
+    # shingle text — the same payload class dedup_substring's round-12
+    # adoption shrank. Value-equivalence pinned in tests/test_dedup_ops.py;
+    # collision bound in the operator docstring.
+    from koby_s_ai_vector_db_spark.operators.corpus import tfidf_cosine_pairs
+    from koby_s_ai_vector_db_spark.queries.dedup_q import _docs_dd
+
+    return tfidf_cosine_pairs(
+        _docs_dd(spark, sf_dir),
+        cache_key=("docs_dd", sf_dir),
+        hash_gram_key="hash128",
+    )
+
+
 EXTRA_PROBES = {
     "fuzzy_edit_blocked": _blocked_fuzzy,  # round 8: BASELINE fuzzy watch item
     "fuzzy_edit_exact": _exact_fuzzy,
     "rel_ship_prio_shuffle": _q3_shuffle,
     "dedup_substring_hashkey": _substring_hashkey,
     "dedup_substring_hash128": _substring_hash128,
+    "dedup_tfidf_hash128": _tfidf_hash128,  # round 13: BASELINE tfidf A/B
     # rel_returned_revenue / tok_fertility_report / rel_bloom_semijoin:
     # probed here as prebuilds while unregistered; all three are
     # registered now and resolve through the registry like any query.
@@ -483,6 +500,15 @@ def _measure_standalone(name: str, sf_dir: str) -> dict | None:
             cmd, capture_output=True, text=True, timeout=900,
             env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
         )
+        if proc.returncode != 0:
+            # A subprocess that died AFTER emitting a JSON line must not
+            # be accepted as a valid measurement (ADVICE r12).
+            print(
+                f"[probe] standalone {name} exited {proc.returncode}; "
+                f"stderr tail: {proc.stderr.strip()[-500:]}",
+                file=sys.stderr,
+            )
+            return None
         line = proc.stdout.strip().splitlines()[-1]
         return json.loads(line)
     except Exception as exc:  # pragma: no cover - diagnostics only
@@ -523,6 +549,9 @@ def apply_remeasure(
             fresh01 = measure(n, sf01_dir)
             if fresh01 is not None:
                 row["sf0.1_in_harness_s"] = row["sf0.1_s"]
+                # keep the raw in-harness passes too, mirroring the sf1
+                # branch — cross-round comparisons read them (ADVICE r12)
+                row["sf0.1_in_harness_passes"] = row["sf0.1_passes"]
                 row["sf0.1_s"] = fresh01["min"]
                 row["sf0.1_passes"] = fresh01["passes"]
                 row["ratio"] = (

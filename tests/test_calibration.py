@@ -12,12 +12,20 @@ def test_calibrate_structure(spark, monkeypatch):
     # are what's under test, not the wall time.
     monkeypatch.setattr(calibration, "CALIB_N", 1_000_000)
     out = calibration.calibrate(spark, passes=3)
-    assert sorted(out) == ["host_factor", "median_sec", "passes", "ref_sec"]
+    assert sorted(out) == [
+        "host_factor", "measured_cores", "median_sec", "passes",
+        "ref_host", "ref_sec",
+    ]
     assert len(out["passes"]) == 3
     assert out["passes"] == sorted(out["passes"])
     assert out["median_sec"] == out["passes"][1]
     assert out["host_factor"] > 0
     assert out["ref_sec"] == calibration.CALIB_REF_SEC
+    # the pin is host-specific: the emitted JSON must say WHICH host the
+    # reference belongs to, so cross-machine reads of host_factor are
+    # self-describing (ADVICE r12)
+    assert out["ref_host"] == calibration.CALIB_REF_HOST
+    assert out["measured_cores"] >= 1
 
 
 def test_calibration_job_value_is_deterministic(spark):

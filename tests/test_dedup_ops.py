@@ -298,3 +298,49 @@ class TestIncrementalDedup:
         )
         got = {r.new_id: r.verdict for r in incremental_minhash_dedup(base, new).collect()}
         assert got == {100: "novel", 101: "novel"}
+
+    def test_second_batch_does_not_reuse_first_batch_memo(self, spark):
+        """ADVICE r12 regression: with a memoized base (cache_key set),
+        a SECOND batch in the same session must be signed itself — keyed
+        by its own new_key — not served the first batch's grams (which
+        reported later batches' true duplicates as 'novel')."""
+        from koby_s_ai_vector_db_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        t = "one two three four five six seven eight nine ten"
+        base = spark.createDataFrame([(7, t)], "doc_id long, text string")
+        ck = ("inc_batch_identity_test", id(base))
+        batch1 = spark.createDataFrame(
+            [(100, "totally novel words nothing shared with base at all")],
+            "doc_id long, text string",
+        )
+        got1 = {
+            r.new_id: r.verdict
+            for r in incremental_minhash_dedup(
+                base, batch1, cache_key=ck, new_key="b1"
+            ).collect()
+        }
+        assert got1 == {100: "novel"}
+        # batch 2 contains an exact copy of base doc 7 — a stale memo of
+        # batch 1's grams would call it novel
+        batch2 = spark.createDataFrame([(200, t)], "doc_id long, text string")
+        got2 = {
+            r.new_id: (r.verdict, r.base_id)
+            for r in incremental_minhash_dedup(
+                base, batch2, cache_key=ck, new_key="b2"
+            ).collect()
+        }
+        assert got2 == {200: ("duplicate", 7)}
+
+    def test_cache_key_without_new_key_is_loud(self, spark):
+        import pytest as _pytest
+
+        from koby_s_ai_vector_db_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        base = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        new = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="new_key"):
+            incremental_minhash_dedup(base, new, cache_key="k_only")

@@ -73,6 +73,38 @@ def test_every_query_checked_within_two_records():
     )
 
 
+def test_newest_round_artifacts_are_git_tracked():
+    """Round artifacts shipped uncommitted two rounds running (r11, r12
+    verdicts both flagged it). Make the discipline mechanical: the newest
+    CORRECTNESS_r*.json and BENCH_r*.json on disk must be git-tracked.
+    Like the rotation test above, this is a start-of-round forcing
+    function — the driver writes CORRECTNESS_r{N}.json at round end, so
+    the next session's first pytest run goes red until the artifact is
+    committed (alongside the window rotation it forces anyway)."""
+    import subprocess
+
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files"], cwd=_ROOT, capture_output=True, text=True,
+            timeout=30, check=True,
+        ).stdout.splitlines()
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("git unavailable")
+    tracked_set = set(tracked)
+    untracked = []
+    for pattern in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
+        paths = sorted(glob.glob(os.path.join(_ROOT, pattern)))
+        if paths:
+            newest = os.path.basename(paths[-1])
+            if newest not in tracked_set:
+                untracked.append(newest)
+    assert not untracked, (
+        f"newest round artifacts on disk are not git-tracked: {untracked} "
+        f"— commit them (VERDICT r12 item 4: artifacts shipped uncommitted "
+        f"two rounds running)"
+    )
+
+
 def test_last_recorded_row_was_green():
     """A query rotated OUT of the window must have left on a green row —
     rotating out a red query would hide a known regression. Queries

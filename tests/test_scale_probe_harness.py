@@ -71,6 +71,10 @@ def test_still_anomalous_triggers_sf01_remeasure():
     assert row["sf1_s"] == 12.0 and row["sf0.1_s"] == 1.5
     assert row["ratio"] == 8.0
     assert row["sf0.1_in_harness_s"] == 0.5
+    # raw in-harness passes must ride along on BOTH sides (ADVICE r12 —
+    # the sf0.1 branch used to drop them)
+    assert row["sf0.1_in_harness_passes"] == [0.5, 0.6]
+    assert row["sf0.1_passes"] == [1.5, 1.6, 1.7]
 
 
 def test_failed_remeasure_leaves_row_intact():
