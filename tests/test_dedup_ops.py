@@ -236,6 +236,34 @@ class TestTfidfCosine:
         got = tfidf_cosine_pairs(df, threshold=0.1).collect()
         assert got == []
 
+    def test_hash_gram_key_value_equivalent(self, spark):
+        """The hashed self-join key variants (round-13 A/B) must return
+        bit-identical pairs to the raw-text key on the fixture corpus —
+        the hash only changes the EXCHANGE payload; a divergence would
+        mean a collision (probability ~G²/2¹²⁹ for hash128) or a plan
+        bug. Runs on the sf0.001 documents table so real shingle
+        diversity is exercised, not a toy vocabulary."""
+        from koby_s_ai_vector_db_spark.operators.corpus import tfidf_cosine_pairs
+        from koby_s_ai_vector_db_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        base = sorted(
+            map(tuple, tfidf_cosine_pairs(docs, threshold=0.3).collect())
+        )
+        assert base, "fixture corpus must yield at least one pair"
+        for variant in (True, "hash128"):
+            got = sorted(
+                map(
+                    tuple,
+                    tfidf_cosine_pairs(
+                        docs, threshold=0.3, hash_gram_key=variant
+                    ).collect(),
+                )
+            )
+            assert got == base, f"hash_gram_key={variant!r} diverged"
+
 
 class TestIncrementalDedup:
     def test_verdicts(self, spark):

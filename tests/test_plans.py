@@ -19,6 +19,8 @@ driver-side.
 
 from __future__ import annotations
 
+import re
+
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIRS
 
@@ -46,6 +48,48 @@ def test_no_cartesian_product_anywhere(spark):
     assert not offenders, f"unbroadcast all-pairs joins: {sorted(offenders)}"
 
 
+# Function markers that make a LONG Filter condition "expensive": array/
+# string builders whose per-row cost is proportional to the value, not the
+# comparison. A Filter embedding one means CollapseProject pushdown or
+# InferFiltersFromGenerate re-inlined an aliased projection — the map side
+# then evaluates the chain ~3x per row. Round 12 shipped with only the
+# first two markers (the split-tokenize chains it had just fixed); round 13
+# generalized the list so a future expensive chain built from different
+# functions doesn't slip the net (VERDICT r12 item 8). The 300-char bound
+# skips cheap attribute filters (size(ids) > 1 on aggregate outputs).
+EXPENSIVE_FILTER_MARKERS = (
+    "split(lower(",        # tokenize chains (the round-12 class)
+    "lambdafunction",      # any higher-order function body
+    "regexp_extract_all(", # array-building regex scans
+    "regexp_replace(",     # string-rewriting scans
+    "sentences(",
+    "transform(",
+    "zip_with(",
+    "array_distinct(",
+    "array_sort(",
+    "sort_array(",
+    "flatten(",
+    "sequence(",
+)
+
+
+_NODE_HEAD = re.compile(r"^[:+\-\s|]*(?:\*\(\d+\)\s*)?")
+
+
+def _expensive_filter_line(s: str) -> bool:
+    """True when a physical-plan line is a Filter whose condition embeds
+    an expensive value-building chain (see EXPENSIVE_FILTER_MARKERS).
+    The node name is taken after stripping tree-drawing chars AND the
+    `*(n)` whole-stage-codegen marker — a codegen-compiled node prints
+    as `*(1) Filter (...)`, whose id paren truncated the round-12
+    `split("(")` head check and let compiled Filters slip the net."""
+    if "FileScan" in s:
+        return False
+    if not _NODE_HEAD.sub("", s).startswith("Filter"):
+        return False
+    return len(s) > 300 and any(m in s for m in EXPENSIVE_FILTER_MARKERS)
+
+
 def test_no_expensive_expression_in_filter_nodes(spark):
     """Round-12 regression guard for the duplicated-evaluation class:
     a Filter node whose condition embeds an expensive array chain means
@@ -53,9 +97,7 @@ def test_no_expensive_expression_in_filter_nodes(spark):
     aliased expression — the map side then evaluates it ~3x per row
     (dedup_substring 8.8 -> 5.7 s sf1 when fixed; BASELINE.md round-12).
     Expensive-array projections must go through
-    functions/exprs.py::array_rows_nonempty. The 300-char bound skips
-    cheap attribute filters (size(ids) > 1 on aggregate outputs) and
-    FileScan descriptor lines.
+    functions/exprs.py::array_rows_nonempty.
 
     Memos are evicted before EVERY plan so each is the fully COLD build
     plan: CacheManager substitution replaces a memoized subtree with an
@@ -73,13 +115,42 @@ def test_no_expensive_expression_in_filter_nodes(spark):
         evict_application(spark)
         for line in _plan(spark, name).splitlines():
             s = line.strip()
-            if "FileScan" in s or "Filter" not in s.split("(")[0]:
-                continue
-            if len(s) > 300 and ("split(lower(" in s or "lambdafunction" in s):
+            if _expensive_filter_line(s):
                 offenders.setdefault(name, s[:160])
     assert not offenders, (
         f"Filter nodes embedding expensive expressions (use "
         f"array_rows_nonempty): {offenders}"
+    )
+
+
+def test_guard_catches_synthetic_non_split_chain(spark):
+    """The detector must fire on an expensive chain built WITHOUT the
+    round-12 markers (no split(lower(, no lambda): an aliased
+    regexp_extract_all projection filtered by size() — CollapseProject
+    inlines the regex scan into the pushed-down Filter, exactly the
+    hazard shape, expressed with functions the old two-marker guard
+    would have missed (VERDICT r12 item 8)."""
+    from pyspark.sql import functions as F
+
+    # long pattern pushes the condition over the 300-char bound the way
+    # a real tokenizer chain's nested calls do
+    pat = "|".join(f"tok{i}[a-z]+" for i in range(20))
+    df = (
+        spark.range(10)
+        .select(F.col("id"), F.col("id").cast("string").alias("t"))
+        .select(
+            "id", F.regexp_extract_all("t", F.lit(pat), 0).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flagged = [
+        ln.strip() for ln in plan.splitlines()
+        if _expensive_filter_line(ln.strip())
+    ]
+    assert flagged, (
+        "detector missed the inlined regexp_extract_all Filter — "
+        f"plan was:\n{plan}"
     )
 
 
