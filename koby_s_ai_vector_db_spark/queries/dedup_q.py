@@ -558,9 +558,17 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (corpus-common shingles are down-weighted AND
     df-capped out of the postings self-join). Integer-quantized weights
     make the pair sums order-independent across engines
-    (operators/corpus.py::tfidf_cosine_pairs)."""
+    (operators/corpus.py::tfidf_cosine_pairs).
+
+    hash_gram_key="hash128" (adopted round 13, BASELINE.md A/B): the
+    postings self-join exchanges 16 fixed bytes instead of raw shingle
+    text — steady-state sf1 ~8-10 s vs the text key's 11-31 s with
+    91 s pressure spikes; collision bound G²/2¹²⁹, value-equal on every
+    fixture (tests/test_dedup_ops.py), DuckDB oracle unchanged."""
     return tfidf_cosine_pairs(
-        _docs_dd(spark, sf_dir), cache_key=("docs_dd", sf_dir)
+        _docs_dd(spark, sf_dir),
+        cache_key=("docs_dd", sf_dir),
+        hash_gram_key="hash128",
     )
 
 

@@ -402,7 +402,7 @@ EXTRA_PROBES = {
 
 
 def time_queries(
-    sf_dir: str, names: list[str] | None = None
+    sf_dir: str, names: list[str] | None = None, two_sweep: bool = False
 ) -> dict[str, float | list[float]]:
     # Values are the min-of-two float under `name`, plus the raw pass
     # list under `{name}__passes` (ADVICE r10/r11).
@@ -437,6 +437,39 @@ def time_queries(
                 file=sys.stderr,
             )
     out: dict[str, float] = {}
+    if two_sweep:
+        # Order-decorrelation lever (VERDICT r12 item 6): in the default
+        # mode both timed passes run back-to-back, so BOTH see the same
+        # neighbor history — a heavy predecessor's resident shuffle/GC
+        # state colors both passes and min() can't wash it out
+        # (dedup_incremental read 11.8 s in-battery vs 2-3 s standalone).
+        # Here the first timed pass runs in listed order and the second
+        # in REVERSED order, so each query's two passes see different
+        # neighbor histories and the min is far less correlated with any
+        # one neighbor. Same total executions as the default (warm + 2
+        # timed per query).
+        spark = _spark()
+        times_by_name: dict[str, list[float]] = {n: [] for n in names}
+        for sweep, order in (("fwd", names), ("rev", list(reversed(names)))):
+            for name in order:
+                fn = EXTRA_PROBES.get(name) or qs[name]
+                if sweep == "fwd":  # warm once, on first encounter
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times_by_name[name].append(time.perf_counter() - t0)
+                print(
+                    f"[probe] {sf_dir} {name} [{sweep}]: "
+                    f"{times_by_name[name][-1]:.3f}s",
+                    file=sys.stderr,
+                )
+        for name in names:
+            out[name] = round(min(times_by_name[name]), 3)
+            out[f"{name}__passes"] = [round(t, 3) for t in times_by_name[name]]
+        out["__battery_order__"] = "two_sweep_reversed"
+        return out
     for name in names:
         fn = EXTRA_PROBES.get(name) or qs[name]
         spark = _spark()
@@ -607,6 +640,12 @@ def main() -> int:
         action="store_true",
         help="skip the fresh-JVM re-measurement of over-ratio rows",
     )
+    ap.add_argument(
+        "--two-sweep",
+        action="store_true",
+        help="order-decorrelated battery: first timed pass in listed "
+        "order, second in reversed order (round-13 methodology probe)",
+    )
     args = ap.parse_args()
     if args.standalone:
         return _run_standalone(args.standalone, args.standalone_dir)
@@ -623,8 +662,8 @@ def main() -> int:
 
     calib_pre = calibrate(_spark())
     print(f"[probe] calib pre: {calib_pre}", file=sys.stderr)
-    t01 = time_queries(SF01, names)
-    t1 = time_queries(args.sf1_dir, names)
+    t01 = time_queries(SF01, names, two_sweep=args.two_sweep)
+    t1 = time_queries(args.sf1_dir, names, two_sweep=args.two_sweep)
     calib_post = calibrate(_spark())
     print(f"[probe] calib post: {calib_post}", file=sys.stderr)
     table = {
@@ -646,6 +685,9 @@ def main() -> int:
         "scale_probe": table,
         "data_ratio": 10.0,
         "timing": "min_of_2_passes",
+        "battery_order": (
+            "two_sweep_reversed" if args.two_sweep else "per_query_consecutive"
+        ),
         "calib": {"pre": calib_pre, "post": calib_post},
     }
 
