@@ -82,3 +82,18 @@ def test_failed_remeasure_leaves_row_intact():
     scale_probe.apply_remeasure(table, "/sf1", measure=lambda n, d: None)
     assert table["q"]["sf1_s"] == 22.0
     assert "remeasured_fresh_jvm" not in table["q"]
+
+
+def test_two_sweep_battery_structure(spark):
+    """Two-sweep mode (round-13 order-decorrelation lever): same output
+    contract as the default battery — min-of-two headline + both raw
+    passes — plus the order marker, with pass 1 from the forward sweep
+    and pass 2 from the reversed sweep."""
+    names = ["dedup_exact", "ta_token_count"]
+    out = scale_probe.time_queries(
+        "/root/testdata/sf0.001", names=names, two_sweep=True
+    )
+    assert out["__battery_order__"] == "two_sweep_reversed"
+    for n in names:
+        assert len(out[f"{n}__passes"]) == 2
+        assert out[n] == min(out[f"{n}__passes"])
