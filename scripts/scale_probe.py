@@ -643,8 +643,20 @@ def main() -> int:
     ap.add_argument(
         "--two-sweep",
         action="store_true",
+        default=True,
         help="order-decorrelated battery: first timed pass in listed "
-        "order, second in reversed order (round-13 methodology probe)",
+        "order, second in reversed order (ADOPTED round 13: in the "
+        "consecutive mode both passes share one neighbor state, so min() "
+        "can't wash a bad neighborhood out — dedup_tfidf_cosine read "
+        "75.7 s in BOTH consecutive passes vs 13.0 s two-sweep / 8.2 s "
+        "standalone; BASELINE.md round-13 methodology note)",
+    )
+    ap.add_argument(
+        "--consecutive",
+        dest="two_sweep",
+        action="store_false",
+        help="pre-round-13 battery order: both timed passes back-to-back "
+        "per query (kept for cross-round comparisons)",
     )
     args = ap.parse_args()
     if args.standalone:
