@@ -50,4 +50,8 @@ def test_repeated_query_calls_do_not_accumulate_cache_entries(spark):
     for _ in range(3):
         fn(spark, sf_dir).count()
     assert len(caching._CACHE) == n_memo_before
-    assert jsc.getPersistentRDDs().size() == n_rdds_before
+    # One-sided: GROWTH is the leak signal. In a full-suite run the JVM's
+    # ContextCleaner asynchronously unpersists RDDs abandoned by EARLIER
+    # tests, so the absolute count can legitimately SHRINK mid-test — an
+    # equality assert flakes on that (round-13 full-suite run).
+    assert jsc.getPersistentRDDs().size() <= n_rdds_before
