@@ -250,3 +250,60 @@ def test_norm_text_expr_idempotent(spark, texts_):
     )
     for r in rows:
         assert r.once == r.twice, repr((r.once, r.twice))
+
+
+# --- simhash blocking completeness --------------------------------------------
+# The claim simhash_near_dup_pairs rests on (operators/dedup.py): splitting a
+# ``bits``-bit signature into (max_hamming + 1) equal blocks loses NOTHING —
+# any pair within Hamming distance max_hamming agrees on at least one whole
+# block (pigeonhole), so the blocked output must EQUAL the all-pairs brute
+# force over the same signature table, not merely approximate it. Random
+# corpora alone almost never produce near-dups, so the strategy plants
+# exact copies and small token edits on top of random narrow-vocab docs;
+# the equality is asserted either way (empty result sets must also agree).
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    n_docs=st.integers(2, 10),
+    max_hamming=st.sampled_from([1, 2, 3]),
+)
+def test_simhash_blocked_pairs_equal_bruteforce(spark, data, n_docs, max_hamming):
+    from koby_s_ai_vector_db_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_table,
+    )
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    base = data.draw(
+        st.lists(st.lists(word, min_size=0, max_size=12), min_size=1, max_size=4)
+    )
+    docs = []
+    for i in range(n_docs):
+        toks = list(base[data.draw(st.integers(0, len(base) - 1))])
+        # Small edit with probability ~1/2: append or drop one token, the
+        # perturbation most likely to land within a few Hamming bits.
+        if toks and data.draw(st.booleans()):
+            if data.draw(st.booleans()):
+                toks.append(data.draw(word))
+            else:
+                toks.pop(data.draw(st.integers(0, len(toks) - 1)))
+        docs.append((i, " ".join(toks)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {
+        r._id: r.sh
+        for r in simhash_table(df, "doc_id", "text", bits=60).collect()
+    }
+    expected = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    )
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", "text", max_hamming=max_hamming, bits=60
+        ).collect()
+    )
+    assert got == expected
