@@ -53,6 +53,42 @@ def _one_pass(spark: SparkSession) -> float:
     return time.perf_counter() - t0
 
 
+def _read_steal_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line, or
+    None off-Linux. Steal is column 8 (0-indexed field 8 after 'cpu')."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def _mem_bandwidth_gibps(passes: int = 3) -> float | None:
+    """Single-thread streaming-read bandwidth: median of `passes` sums
+    over a 256 MiB float64 array (numpy, C-contiguous). The CPU job above
+    is ALU/hash-bound and blind to memory-subsystem differences between
+    VM generations; round 13 measured a quiet-host bench total 1.25×
+    round-12's at cpu host_factor ≈ 1.0 — this diagnostic exists so that
+    class of drift is attributable by number next time."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked into the env
+        return None
+    a = np.ones(33_554_432, dtype=np.float64)  # 256 MiB
+    a.sum()  # touch pages once, untimed
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        a.sum()
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    return round(0.25 / med, 2) if med > 0 else None
+
+
 def calibrate(spark: SparkSession, passes: int = CALIB_PASSES) -> dict:
     """Time the pinned job; returns {passes, median_sec, host_factor}.
 
@@ -62,10 +98,11 @@ def calibrate(spark: SparkSession, passes: int = CALIB_PASSES) -> dict:
     """
     import os
 
+    steal0 = _read_steal_jiffies()
     _one_pass(spark)
     times = sorted(_one_pass(spark) for _ in range(passes))
     median = times[len(times) // 2]
-    return {
+    out = {
         "passes": [round(t, 3) for t in times],
         "median_sec": round(median, 3),
         "ref_sec": CALIB_REF_SEC,
@@ -73,3 +110,14 @@ def calibrate(spark: SparkSession, passes: int = CALIB_PASSES) -> dict:
         "measured_cores": os.cpu_count(),
         "host_factor": round(median / CALIB_REF_SEC, 3),
     }
+    # Diagnostics (round 13): host_factor stays CPU-defined for
+    # cross-round continuity; these extra keys attribute drift the CPU
+    # job cannot see (VM memory subsystem, hypervisor steal).
+    mem = _mem_bandwidth_gibps()
+    if mem is not None:
+        out["mem_gibps"] = mem
+    steal1 = _read_steal_jiffies()
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        dsteal, dtotal = steal1[0] - steal0[0], steal1[1] - steal0[1]
+        out["cpu_steal_pct"] = round(100.0 * dsteal / dtotal, 2)
+    return out
