@@ -50,6 +50,25 @@ def memo_persist(
 
 _SCALARS: dict[tuple, object] = {}
 
+_PLANS: dict[tuple, DataFrame] = {}
+
+
+def memo_df(spark: SparkSession, key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Plan-object memo for SMALL CONSTANT DataFrames (literal query sets,
+    label tables, quantile lists) keyed by application id. No ``.persist()``
+    — nothing is cached but the DataFrame plan itself, exactly like the
+    fixture-table memo in sources/tables.py. Motivation (round-13 profile,
+    guide §1): ``spark.createDataFrame`` on a 4-row literal costs ~130 ms
+    of driver/py4j work, and the fusion/sketch/lexical families rebuild the
+    same literal frame on every query construction — ~0.1-0.4 s of every
+    bench-loop call that computes nothing."""
+    full_key = (spark.sparkContext.applicationId, key)
+    df = _PLANS.get(full_key)
+    if df is None:
+        df = builder()
+        _PLANS[full_key] = df
+    return df
+
 
 def memo_scalar(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
     """Driver-side memo for small collected control values (probe lists,
@@ -75,6 +94,8 @@ def evict_application(spark: SparkSession) -> None:
             pass
     for k in [k for k in _SCALARS if k[0] == app]:
         _SCALARS.pop(k, None)
+    for k in [k for k in _PLANS if k[0] == app]:
+        _PLANS.pop(k, None)
     # The fixture-table plan memo (sources/tables.py) is keyed by the
     # same application id — drop it too, so a test that rewrites a
     # fixture dir after evicting never gets a stale file listing served

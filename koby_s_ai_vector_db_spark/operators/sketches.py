@@ -360,7 +360,13 @@ def qh_quantiles(
     c = cells.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(w_all)
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df
+
+    qdf = memo_df(
+        spark,
+        ("qh_quantiles_qdf", tuple(qs)),
+        lambda: spark.createDataFrame([(float(q),) for q in qs], "q double"),
+    )
     rank = F.expr("CAST(ceil(q * n) AS BIGINT)")
     return (
         c.join(F.broadcast(qdf))

@@ -146,17 +146,31 @@ def gopher_repetition(
     from koby_s_ai_vector_db_spark.functions.exprs import bind_once
 
     w = _tokens(col)
-    top_frac = (
-        "round(array_max(transform(array_distinct(nv),"
-        " t -> size(filter(nv, x -> x = t)))) / size(nv), 6)"
-    )
+
+    def _top_run_frac(var: str) -> str:
+        # Max element frequency as the longest equal-run of the SORTED
+        # array: one O(n log n) sort + one linear fold per row, replacing
+        # the O(n·distinct) `transform(array_distinct(v), t ->
+        # size(filter(v, x -> x = t)))` scan-per-distinct-token shape
+        # (round 13, guide §1.2 per-task work; ta_gopher_repetition was a
+        # single-stage map spending ~1.4 s at sf0.1 in this expression).
+        # The run maximum is the same exact integer as the old
+        # array_max(counts), so round(best / size, 6) is value-identical.
+        step = (
+            f"CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+            f" THEN acc.run + 1L ELSE 1L END"
+        )
+        return (
+            f"round(aggregate(array_sort({var}),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+            f" (acc, x) -> named_struct('prev', x, 'run', {step},"
+            f" 'best', greatest(acc.best, {step})),"
+            f" acc -> acc.best) / size({var}), 6)"
+        )
+
+    top_frac = _top_run_frac("nv")
     bigrams = "transform(sequence(1, size(nv) - 1), i -> concat_ws(' ', slice(nv, i, 2)))"
-    top_bigram = bind_once(
-        bigrams,
-        "round(array_max(transform(array_distinct(bv),"
-        " t -> size(filter(bv, x -> x = t)))) / size(bv), 6)",
-        var="bv",
-    )
+    top_bigram = bind_once(bigrams, _top_run_frac("bv"), var="bv")
     cols = {
         "n_tokens": F.expr(f"cast(size({w}) as bigint)"),
         "top_token_frac": F.expr(bind_once(w, top_frac)),

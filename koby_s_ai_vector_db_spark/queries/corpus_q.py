@@ -51,16 +51,28 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM base
 """
 
 
+def bm25_queries_df(spark: SparkSession) -> DataFrame:
+    """The 4-row literal BM25 query table, plan-memoized per application:
+    five query families rebuild it per call and `createDataFrame` on a
+    literal costs ~130 ms of driver work (functions/caching.memo_df)."""
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df
+
+    return memo_df(
+        spark,
+        "bm25_queries_df",
+        lambda: spark.createDataFrame(
+            BM25_QUERIES, "query_id bigint, query_text string"
+        ),
+    )
+
+
 @register("bm25_rank", _BM25_ORACLE)
 def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 per query over `documents` — postings equi-join
     against the broadcast query-term table; the only full shuffle is the
     per-(query, doc) score aggregation (operators/corpus.py:74)."""
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id bigint, query_text string"
-    )
-    return bm25_rank(docs, queries, k=BM25_K)
+    return bm25_rank(docs, bm25_queries_df(spark), k=BM25_K)
 
 
 # Build-once scratch paths per (session, sf_dir) — same convention as the
@@ -100,11 +112,8 @@ def bm25_rank_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koby_s_ai_vector_db_spark.sources.text_index import search_text_index
 
     path = text_index_path(spark, sf_dir)
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id bigint, query_text string"
-    )
     return search_text_index(
-        spark, path, queries, k=BM25_K, probe_memo_key=(path,)
+        spark, path, bm25_queries_df(spark), k=BM25_K, probe_memo_key=(path,)
     )
 
 
@@ -567,15 +576,25 @@ def ta_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     toks = _tokenized_corpus(spark, sf_dir)
-    dg = (
-        toks.select(
+    # Round-13: session-memoized — the two consumers below (the df count
+    # and the hit join) otherwise each inline the explode + (doc_id, g)
+    # aggregate; an inferred isnotnull filter on the join side makes the
+    # subtrees non-identical, so ReuseExchange cannot dedupe them and the
+    # 5-gram explode ran TWICE per call (plan audit, guide §2.4). Same
+    # convention as the tfidf weight-table memo (operators/corpus.py).
+    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+
+    dg = memo_persist(
+        spark,
+        ("boiler_dg", sf_dir),
+        lambda: toks.select(
             "doc_id",
             F.explode(
                 shingles_from_words_expr("w", BOILER_N, distinct=False)
             ).alias("g"),
         )
         .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
     )
     boiler = (
         dg.groupBy("g")

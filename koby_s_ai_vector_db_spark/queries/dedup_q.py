@@ -407,6 +407,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe_labels=2,
         threshold=0.85,
         exclude_self=True,
+        cache_key=("emb_dd", sf_dir),
     )
 
 

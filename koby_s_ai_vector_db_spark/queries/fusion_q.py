@@ -62,11 +62,17 @@ def _inputs(spark: SparkSession, sf_dir: str):
     (the round-2 leak: 16+ live persists per bench pass). The arms are
     k·|queries| rows — the per-request working set, exactly what the
     reference holds in Python lists between enhanced_search steps."""
-    from koby_s_ai_vector_db_spark.functions.caching import memo_persist
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df, memo_persist
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = load_table(spark, sf_dir, "documents")
-    qtext = spark.createDataFrame(QUERIES, "query_id bigint, query_text string")
+    qtext = memo_df(
+        spark,
+        "fusion_qtext",
+        lambda: spark.createDataFrame(
+            QUERIES, "query_id bigint, query_text string"
+        ),
+    )
     qvec = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

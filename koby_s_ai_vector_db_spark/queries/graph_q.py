@@ -129,10 +129,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pagerank_deg", sf_dir),
         lambda: edges.groupBy("src").agg(F.count("*").alias("d")),
     )
+    # ed persists HASH-PARTITIONED (and sorted) on src — the iteration
+    # join key. InMemoryTableScan reports the cached layout, so each of
+    # the PR_ITERS joins consumes ed with NO exchange and NO sort; only
+    # the |V|-row rank table shuffles per iteration (round 13, guide
+    # §2.4 "two operations keyed the same way share one exchange" — the
+    # textbook Pregel edge partitioning). Before: every iteration
+    # re-shuffled the full |E| edge table on src
+    # (plans/r13/graph_pagerank_{before,after}.txt: 3× Exchange+Sort on
+    # the ed side → 0). The one-time partition pass happens at build,
+    # outside steady state, exactly like the persist itself.
     ed = memo_persist(
         spark,
         ("pagerank_edges_deg", sf_dir),
-        lambda: edges.join(deg, "src"),  # (src, dst, d)
+        lambda: edges.join(deg, "src")  # (src, dst, d)
+        .repartition("src")
+        .sortWithinPartitions("src"),
     )
 
     rank = deg.select(

@@ -84,10 +84,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koby_s_ai_vector_db_spark.queries.corpus_q import text_index_path
     from koby_s_ai_vector_db_spark.sources.text_index import search_text_index
 
+    from koby_s_ai_vector_db_spark.queries.corpus_q import bm25_queries_df
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qtext = spark.createDataFrame(
-        BM25_QUERIES, "query_id bigint, query_text string"
-    )
+    qtext = bm25_queries_df(spark)
     qvec = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

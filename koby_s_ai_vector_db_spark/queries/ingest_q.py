@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from koby_s_ai_vector_db_spark.functions.embedding import embed_texts, sql_embed
 from koby_s_ai_vector_db_spark.functions.vectors import l2_norm, sql_normalize
-from koby_s_ai_vector_db_spark.operators.mutations import flip_catalog_status
 from koby_s_ai_vector_db_spark.operators.text_ops import (
     NOKEY_EMPTY,
     NOKEY_PREFIX,
@@ -81,16 +80,37 @@ def s8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (supabase_utils.py:203-248, embed_pdfs.py:59-244): the full
     chunk→embed→normalize→catalog-flip chain in one job; unit mean-norm
     proves the normalize stage ran over the UDF output. The parquet
-    write/read leg is exercised in tests/test_ingest.py."""
+    write/read leg is exercised in tests/test_ingest.py.
+
+    Round-13 optimization (guide §2.4): chunk_count and mean_norm come
+    from ONE aggregate over ONE chunk→embed pass. The old shape ran the
+    catalog flip (flip_catalog_status) and the norm aggregate as two
+    independent arms, each re-chunking the corpus from scratch — two
+    scans, two chunk Generates, two exchanges; the flip's count equals
+    the norm arm's per-doc row count (same Generate + same non-empty
+    filter), so the second chunker pass computed nothing new. Plan:
+    2 scans + 2 Generate + 2 aggregate exchanges → 1 each
+    (plans/r13/s8_ingest_{before,after}.txt); values unchanged
+    (count(*) and avg(n) over the identical row set)."""
     docs = load_table(spark, sf_dir, "documents")
     index = build_chunk_index(docs, chunk_size=SIZE, overlap=OVERLAP)
-    catalog = flip_catalog_status(docs, index).select("doc_id", "chunk_count", "status")
-    norms = (
+    per_doc = (
         index.withColumn("n", l2_norm("embedding"))
         .groupBy("doc_id")
-        .agg(F.round(F.avg("n"), 6).alias("mean_norm"))
+        .agg(
+            F.count("*").alias("chunk_count"),
+            F.round(F.avg("n"), 6).alias("mean_norm"),
+        )
     )
-    return catalog.join(norms, "doc_id", "left")
+    chunk_count = F.coalesce("chunk_count", F.lit(0))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        chunk_count.alias("chunk_count"),
+        F.when(chunk_count > 0, F.lit("indexed"))
+        .otherwise(F.lit("uploaded"))
+        .alias("status"),
+        "mean_norm",
+    )
 
 
 _QVALS = ", ".join(f"({qid}, '{txt}')" for qid, txt in QUERIES)

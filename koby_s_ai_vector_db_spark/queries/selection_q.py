@@ -604,9 +604,13 @@ def tok_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept_id_sum").alias("kept_id_sum"),
         )
     )
-    avail = proj.groupBy("source").agg(
-        F.count("*").alias("n_avail"),
-        F.sum("n_tok").cast("long").alias("tokens_avail"),
+    # avail folds over the (source, bucket) aggregate instead of a second
+    # pass over the per-doc projection: sum(bn)=count(*), sum(btok)=
+    # sum(n_tok) exactly (round-13, guide §2.3 aggregate-before-shuffle);
+    # one fewer corpus-sized aggregation per call.
+    avail = ba.groupBy("source").agg(
+        F.sum("bn").alias("n_avail"),
+        F.sum("btok").cast("long").alias("tokens_avail"),
     )
     return (
         avail.withColumn("budget_tokens", _tokb_budget_col("source"))

@@ -194,7 +194,13 @@ def a20_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count("*").over(Window.partitionBy("event_type")).alias("n"),
     )
-    qdf = spark.createDataFrame([(float(q),) for q in QH_QS], "q double")
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df
+
+    qdf = memo_df(
+        spark,
+        ("qh_qdf", tuple(QH_QS)),
+        lambda: spark.createDataFrame([(float(q),) for q in QH_QS], "q double"),
+    )
     exact = (
         ranked.join(F.broadcast(qdf))
         .where(F.col("rn") == F.expr("CAST(ceil(q * n) AS BIGINT)"))
@@ -275,6 +281,16 @@ def a22_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     where period-over-period distincts come from merging stored
     sketches, not rescanning events. Register tables are the only
     shuffled artifact (<= m rows per day)."""
+    # Round-13 (guide §1, measured keep-or-revert): two rewrites were
+    # A/B'd and REVERTED — (a) feeding all four arms from one memoized
+    # distinct-(day,user) table: 1.72 → 2.82 s at sf0.1 (the fixture has
+    # ~1 event per user-day, so the distinct pass bought no reduction and
+    # cost a wide exchange + row-cache rescans); (b) sharing the distinct
+    # table for just the two exact arms (countDistinct expands removed):
+    # 1.71 → 1.84 s min. hll_registers is already map-side max-combined
+    # into ≤ m×|groups| rows — four cheap columnar scans with strong
+    # partial aggregation beat any shared materialized intermediate at
+    # this duplication factor. Recorded in OPTIMIZATION_r13.md.
     ev = load_table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd")
     regs = hll_registers(
@@ -303,7 +319,13 @@ def a22_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_day = ev.groupBy(day.alias("grp")).agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
-    labels = spark.createDataFrame([("MERGED",), ("GLOBAL",)], "grp string")
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df
+
+    labels = memo_df(
+        spark,
+        "a22_labels",
+        lambda: spark.createDataFrame([("MERGED",), ("GLOBAL",)], "grp string"),
+    )
     exact_all = labels.crossJoin(
         F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
     )
@@ -466,6 +488,11 @@ def a23_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
         .alias("x"),
     )
+    # Round-13 keep-or-revert: memoizing this distinct for the self-join
+    # A/B'd 1.26 → 1.57 s min at sf0.1 (the row-cache rescan on both join
+    # sides costs more than two inline columnar scans with map-side
+    # distinct at this cardinality) — recorded negative, left inline
+    # (OPTIMIZATION_r13.md).
     dtu = ev.select("event_type", "user_id").distinct()
     exact = (
         dtu.alias("a")

@@ -441,7 +441,6 @@ def curate_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from koby_s_ai_vector_db_spark.operators.corpus import bm25_scores
-    from koby_s_ai_vector_db_spark.queries.corpus_q import BM25_QUERIES
     from koby_s_ai_vector_db_spark.queries.dedup_q import (
         _docs_dd,
         _neardup_groups_memo,
@@ -449,9 +448,9 @@ def curate_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_dd(spark, sf_dir)
     groups = _neardup_groups_memo(spark, sf_dir)
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id bigint, query_text string"
-    )
+    from koby_s_ai_vector_db_spark.queries.corpus_q import bm25_queries_df
+
+    queries = bm25_queries_df(spark)
     # The per-doc relevance table is memo-persisted (round 11): its
     # lineage is the whole tokenize→postings→BM25 pipeline over the dd
     # corpus, re-run per call for a (doc_id, relevance) table of bounded

@@ -123,9 +123,15 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the training loop runs on the vocabulary-sized distinct-
     word table, so its cost is independent of corpus size."""
     merges, _vocab = _bpe_state(spark, sf_dir)
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, merged string, pair_count bigint",
+    from koby_s_ai_vector_db_spark.functions.caching import memo_df
+
+    return memo_df(
+        spark,
+        ("bpe_train_df", sf_dir),
+        lambda: spark.createDataFrame(
+            merges,
+            "rank int, left string, right string, merged string, pair_count bigint",
+        ),
     )
 
 

@@ -184,7 +184,11 @@ def q2_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(
-        emb.select("vec_id", "label", "embedding"), queries, k=K, n_probe_labels=N_PROBE
+        emb.select("vec_id", "label", "embedding"),
+        queries,
+        k=K,
+        n_probe_labels=N_PROBE,
+        cache_key=("emb", sf_dir),
     )
 
 
@@ -1139,6 +1143,7 @@ def q18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=K,
         n_probe_labels=N_PROBE,
+        cache_key=("emb", sf_dir),
     ).select("query_id", "vec_id")
     hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_hit")
