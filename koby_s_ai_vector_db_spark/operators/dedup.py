@@ -363,11 +363,15 @@ def simhash_expr(text_col: str, bits: int = 32) -> Column:
         f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, {bits // 4}),"
         f" 16, 10) AS BIGINT))"
     )
+    # Per-token vote folded into ONE zip_with over acc and the
+    # constant-folded bit-index sequence (h is visible inside the nested
+    # lambda): the old transform-then-zip_with allocated an extra
+    # `bits`-wide array per token. Round-13 interleaved A/B at sf0.1:
+    # ~9% faster sketch stage, bit-identical sketches.
     return F.expr(
         f"aggregate({th}, array_repeat(0L, {bits}),"
-        " (acc, h) -> zip_with(acc,"
-        f"   transform(sequence(0, {bits - 1}), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
-        "   (a, x) -> a + x),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        "   (a, b) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)),"
         f" acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
         "   (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x))"
     )

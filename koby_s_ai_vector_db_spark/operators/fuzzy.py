@@ -308,11 +308,12 @@ def char_simhash_expr(text_col: str, bits: int = 60, n: int = 4) -> F.Column:
         f"transform({grams}, t -> CAST(conv(substr(md5(t), 1, {bits // 4}),"
         f" 16, 10) AS BIGINT))"
     )
+    # Fused per-gram vote (one zip_with, no per-gram temp array) — same
+    # round-13 rewrite as operators/dedup.simhash_expr; bit-identical.
     return F.expr(
         f"aggregate({th}, array_repeat(0L, {bits}),"
-        " (acc, h) -> zip_with(acc,"
-        f"   transform(sequence(0, {bits - 1}), b -> IF(((h >> b) & 1) = 1, 1L, -1L)),"
-        "   (a, x) -> a + x),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        "   (a, b) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)),"
         f" acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
         "   (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x))"
     )
