@@ -57,27 +57,27 @@ def register(name: str, oracle: str | None = None):
 WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Round-13 window: with CORRECTNESS_r12 landed (committed in bfab8e2),
-    # the union checked this round is r11 ∪ r12 (100 distinct names),
-    # which displaces the entire r10 record at once. These 50 names are
-    # EXACTLY the CORRECTNESS_r10 record — all MANDATORY, zero free slots
-    # (SURVEY §9 enumerated them in advance; the round-12 rotation-test
-    # failure message listed the same 50).
-    "a13_corpus_summary", "a20_quantile_sketch", "a22_hll_daily_merge",
-    "a23_theta_overlap", "a24_skew_report", "curate_corpus_neardup",
-    "curate_pretrain_pipeline", "curate_training_mix", "curriculum_order",
-    "dedup_embedding_cosine", "dedup_embedding_ivf", "dedup_embedding_lsh",
-    "dedup_exact", "dedup_exact_stream", "dedup_fuzzy_edit",
-    "dedup_fuzzy_groups", "dedup_ngram_jaccard", "dedup_normalized",
-    "dedup_source_matrix", "emb_pca_audit", "graph_pagerank", "m10_read_asof",
-    "m1_update_status", "m2_bulk_update_status", "m3_approve_all_pending",
-    "mine_hard_negatives", "mix_temperature", "mix_token_budget",
-    "mm_binary_features", "mm_decode", "mm_frames", "mm_resize",
-    "pack_bestfit", "q10_prioritize", "q11_sources", "q14_fallback_routing",
-    "q17_filtered_ann", "q18_ann_recall", "q7_fusion",
-    "quality_percentile_gate", "rel_returned_revenue", "seq_len_histogram",
-    "shard_manifest", "softdedup_weights", "split_assign", "ta_boilerplate",
-    "ta_entropy", "ta_fingerprint", "ta_pmi_collocations", "ta_token_count",
+    # Round-14 window: with CORRECTNESS_r13 landed (committed in 3f6858f),
+    # the union checked this round is r12 ∪ r13 (100 distinct names),
+    # which displaces the entire r11 record at once. These 50 names are
+    # EXACTLY the CORRECTNESS_r11 record — all MANDATORY, zero free slots
+    # (the round-13 rotation forcing function listed the same 50; VERDICT
+    # r13 item 10 ordered this exact rotation).
+    "a10_recent_users", "a11_active_sessions", "a1_doc_summary",
+    "a25_kmv_synopsis", "a2_contribution_analytics", "a3_top_rated",
+    "a4_recent_qa", "a5_sliding_live_users", "a6_session_stats",
+    "a6_session_windows", "a9_pending_count", "curate_corpus",
+    "dedup_groups", "dedup_minhash_lsh", "emb_decontaminate",
+    "emb_quality_report", "knn_self_join", "m4_terminate_session",
+    "m5_gc_sessions", "m6_flip_catalog_status", "m7_sessions_from_events",
+    "pack_bestfit_audit", "q15_image_search", "q1_topk_cosine", "q2_ann",
+    "q3_contribution_search", "q4_keyword_search", "q5_ilike_pagination",
+    "q6_session_search", "rel_bloom_semijoin", "rel_pricing_summary",
+    "rel_revenue_by_nation", "rel_top_parts_by_brand", "rollup_events",
+    "s1_scan", "s2_extract_join", "s3_extract_pages", "s6_upload_catalog",
+    "s8_ingest", "s9_upsert_users", "t2_embed", "t3_normalize", "t5_preview",
+    "t6_validate", "t7_sanitize", "ta_lang_id", "ta_quality_score",
+    "tok_fertility_report", "u2_nokey_answer", "u4_image_answer",
 ]
 
 
