@@ -104,3 +104,12 @@ def evict_application(spark: SparkSession) -> None:
 
     for k in [k for k in _tables._TABLE_MEMO if k[0] == app]:
         _tables._TABLE_MEMO.pop(k, None)
+    # And the spread() width-probe memo (functions/partitioning.py) — a
+    # stale width after a fixture rewrite would mis-decide repartition
+    # (perf, not values), and entries otherwise accumulate for the life
+    # of the process (ADVICE r13).
+    from koby_s_ai_vector_db_spark.functions.partitioning import (
+        evict_width_memo,
+    )
+
+    evict_width_memo(app)

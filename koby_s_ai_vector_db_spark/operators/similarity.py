@@ -234,8 +234,15 @@ def ivf_topk(
     if cache_key is not None:
         from koby_s_ai_vector_db_spark.functions.caching import memo_persist
 
+        # dim/vec_col/label_col ride in the memo key (ADVICE r13): two
+        # callers sharing a cache_key but differing in any centroid
+        # parameter must never share a centroid table — today's sharers
+        # (q2_ann / q18_ann_recall on ("emb", sf_dir)) pass identical
+        # corpora and defaults, which this key makes structural.
         centroids = memo_persist(
-            corpus.sparkSession, ("ivf_centroids", cache_key), _centroids
+            corpus.sparkSession,
+            ("ivf_centroids", cache_key, dim, vec_col, label_col),
+            _centroids,
         )
     else:
         centroids = _centroids()

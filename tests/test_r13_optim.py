@@ -35,11 +35,43 @@ def test_spread_width_memo_consistent_and_cached(spark):
     before = dict(_WIDTH_MEMO)
     s1 = spread(df)
     key_added = [k for k in _WIDTH_MEMO if k not in before]
-    s2 = spread(spark.range(0, 1000))  # semantically identical plan
-    # Same decision on both calls, and the probe result was memoized
-    # (semantically equal plans share one entry).
-    assert s1.rdd.getNumPartitions() == s2.rdd.getNumPartitions()
-    assert len(key_added) <= 1
+    # The probe result must actually be STORED under the plan's key
+    # (ADVICE r13: the old <=1 assertion also held with memoization
+    # completely broken).
+    assert len(key_added) == 1, "first spread() must add exactly one entry"
+    # Poison the memo: if the second call re-probed instead of hitting
+    # the memo, it would see the true width and make the true decision —
+    # with the poisoned width >= defaultParallelism it must NOT
+    # repartition, proving the stored value was read, not recomputed.
+    sc = df.sparkSession.sparkContext
+    _WIDTH_MEMO[key_added[0]] = sc.defaultParallelism + 1000
+    try:
+        s2 = spread(spark.range(0, 1000))  # semantically identical plan
+        assert s2.rdd.getNumPartitions() == df.rdd.getNumPartitions(), (
+            "second spread() must consume the memoized width (no re-probe)"
+        )
+    finally:
+        _WIDTH_MEMO.pop(key_added[0], None)
+    # Restore the honest entry and confirm the decision is consistent.
+    s1b = spread(spark.range(0, 1000))
+    assert s1.rdd.getNumPartitions() == s1b.rdd.getNumPartitions()
+
+
+def test_evict_application_clears_width_memo(spark):
+    """evict_application must drop this app's width entries alongside
+    _PLANS/_SCALARS/_TABLE_MEMO (ADVICE r13) — and only this app's."""
+    from koby_s_ai_vector_db_spark.functions.caching import evict_application
+
+    spread(spark.range(0, 2000))  # ensure at least one entry for this app
+    app = spark.sparkContext.applicationId
+    _WIDTH_MEMO[("other-app", 12345)] = 7
+    try:
+        assert any(k[0] == app for k in _WIDTH_MEMO)
+        evict_application(spark)
+        assert not any(k[0] == app for k in _WIDTH_MEMO)
+        assert ("other-app", 12345) in _WIDTH_MEMO  # foreign apps untouched
+    finally:
+        _WIDTH_MEMO.pop(("other-app", 12345), None)
 
 
 def test_gopher_top_frac_fold_equals_brute(spark):
