@@ -59,10 +59,20 @@ def main() -> int:
     # steady state). The reference pays its warm-up per query by re-reading
     # the FAISS index per request (core/utils.py:203-204); like any
     # long-lived engine we exclude one-time warm-up from steady-state timing.
+    # The warm-up pass is now also TIMED per query (round 14, VERDICT r13
+    # item 2): a query's first call is where session memos (memo_persist
+    # index/signature tables) are built, so `first_call` is the honest
+    # cold-memo cost of every memo-backed query. It rides in
+    # BENCH_FULL.json only (the stdout line budget is for the steady-state
+    # contract numbers); methodology, headline timings and the timed loop
+    # are unchanged — this is an addition to what gets recorded.
+    first_call: dict[str, float] = {}
     warm0 = time.perf_counter()
     for name, fn in entry_mod.queries().items():
+        w0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            first_call[name] = round(time.perf_counter() - w0, 3)
         except Exception as exc:  # pragma: no cover - warmup is best-effort
             print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
     print(f"[bench] warmup pass done in {time.perf_counter() - warm0:.1f}s",
@@ -126,6 +136,10 @@ def main() -> int:
         result["repeat"] = repeat
     if sweep_raw:
         result["sweep_raw"] = sweep_raw
+    if first_call:
+        # Cold-memo (first ever call per query, inside the warm-up pass):
+        # BENCH_FULL.json-only — slim_line drops it up front.
+        result["first_call"] = first_call
     if failures:
         result["failures"] = failures
 
@@ -171,6 +185,9 @@ def slim_line(
     budget: int = BUDGET,
 ) -> dict:
     slim = dict(result)
+    # first_call is a BENCH_FULL.json-only record (cold-memo costs) — it
+    # never competes for line budget.
+    slim.pop("first_call", None)
     slim["queries"] = {k: round(v, 2) for k, v in per_query.items()}
     if "calib" in result:
         # Compact form on the line (full passes stay in BENCH_FULL.json):
@@ -180,9 +197,7 @@ def slim_line(
             "post_hf": result["calib"]["post"]["host_factor"],
         }
     if "repeat" in result:
-        # The noise-check repeats ride along (small, heavy-query-only);
-        # under budget pressure the query-timing fill below adapts around
-        # them — repeat deltas outrank timings of the fastest queries.
+        # The noise-check repeats ride along when the line has room.
         slim["repeat"] = {k: round(v, 2) for k, v in result["repeat"].items()}
     if "sweep_raw" in result:
         # Raw in-sweep timings for queries whose headline number was
@@ -193,6 +208,13 @@ def slim_line(
         }
     if len(encoded(slim)) > budget and "sweep_raw" in slim:
         slim.pop("sweep_raw")
+    if len(encoded(slim)) > budget and "repeat" in slim:
+        # Round 14 (VERDICT r13 item 8): under budget pressure the repeat
+        # dict yields its ~400 chars to per-query coverage — the driver's
+        # round-over-round PERF comparison reads the `queries` map, and
+        # only ~45/150 were comparable when repeats outranked timings.
+        # The repeat pass itself is unchanged; BENCH_FULL.json keeps it.
+        slim.pop("repeat")
     if failures:
         slim["failures"] = {k: v[:60] for k, v in failures.items()}
 
