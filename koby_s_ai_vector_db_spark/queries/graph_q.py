@@ -123,11 +123,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   joins against; persisting only edges left each iteration
     #   re-running the deg aggregate + edges⋈deg join inside one plan,
     #   3.5 s at sf0.1 → 2.3 s when ed was first persisted).
+    from koby_s_ai_vector_db_spark.functions.partitioning import (
+        input_sized_partitions,
+    )
+
+    ed_width = input_sized_partitions(
+        [f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"]
+    )
     edges = memo_persist(spark, ("pagerank_edges", sf_dir), build_edges)
+    # deg gets the same size-aware src layout as ed below: the |V|-row
+    # table is read twice per call (rank seed + final decorate join), and
+    # its groupBy otherwise bakes a shuffle.partitions-wide cache layout
+    # that AQE cannot coalesce — 2×32 near-empty task launches per call
+    # at fixture scale (round 14; same mechanism as ed).
     deg = memo_persist(
         spark,
         ("pagerank_deg", sf_dir),
-        lambda: edges.groupBy("src").agg(F.count("*").alias("d")),
+        lambda: edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .repartition(ed_width, "src"),
     )
     # ed persists HASH-PARTITIONED (and sorted) on src — the iteration
     # join key. InMemoryTableScan reports the cached layout, so each of
@@ -139,11 +153,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plans/r13/graph_pagerank_{before,after}.txt: 3× Exchange+Sort on
     # the ed side → 0). The one-time partition pass happens at build,
     # outside steady state, exactly like the persist itself.
+    #
+    # Round 14 (VERDICT r13 item 1): the width is SIZE-AWARE, not
+    # shuffle.partitions. The bare repartition("src") baked a 32-wide
+    # layout into the cache that AQE can never coalesce, so at fixture
+    # scale every iteration paid 32 task launches to scan a table the
+    # planner broadcasts anyway — a measured 2.5× regression (driver
+    # 0.83 → 2.06 s, anti-scaling 0.70 at 8-vs-32 cores). Deriving the
+    # count from the edge inputs' on-disk bytes keeps 1 partition at
+    # fixture scale (broadcast path intact, tasks ∝ data) and grows into
+    # the full co-partitioning guarantee at 100 TB.
     ed = memo_persist(
         spark,
         ("pagerank_edges_deg", sf_dir),
         lambda: edges.join(deg, "src")  # (src, dst, d)
-        .repartition("src")
+        .repartition(ed_width, "src")
         .sortWithinPartitions("src"),
     )
 
