@@ -57,6 +57,45 @@ def positional_kgrams_expr(col: str, k: int) -> Column:
     return F.expr(bind_once(w, body))
 
 
+def positional_kgram_hash_expr(col: str, k: int, lanes: int = 2) -> Column:
+    """Hashed positional k-gram windows WITHOUT building gram strings:
+    array<struct<pos:int, h1:long[, h2:long]>>.
+
+    The text-gram form above materializes a ~k·8-char string per token
+    position (concat_ws over a slice) only for the caller to immediately
+    hash it — at the sf1 probe that string building was 3.8 s of
+    dedup_substring's 5.7 s (2.4M windows). Here each token is hashed
+    ONCE per lane (xxhash64 over the token; lane 2 independently seeded),
+    and every window key is the variadic xxhash64 over its k token
+    hashes — fixed-width arithmetic per position, no string allocation.
+
+    Key-collision class is unchanged from hashing the gram text: two
+    equal windows always collide (equal token sequences → equal hash
+    sequences), and for distinct windows each 64-bit lane collides with
+    ~2^-64 probability. Both lanes hash the RAW tokens under different
+    seeds (never lane 2 over lane 1's hashes — that would make a lane-1
+    token collision propagate into lane 2), so the 2-lane bound stays
+    G²/2¹²⁹ — the repeated_substring_spans docstring's bound."""
+    w = _WORDS.format(col=col)
+    idx = ", ".join(f"nv[i + {d - 1}]" for d in range(k))
+    fields = f"i AS pos, xxhash64({idx}) AS h1"
+    if lanes == 2:
+        idx2 = ", ".join(f"nw[i + {d - 1}]" for d in range(k))
+        fields += f", xxhash64(1L, {idx2}) AS h2"
+    body = (
+        f"CASE WHEN size(nv) >= {k} THEN"
+        f" transform(sequence(1, size(nv) - {k - 1}),"
+        f" i -> struct({fields}))"
+        f" ELSE array() END"
+    )
+    if lanes == 2:
+        body = bind_once("transform(tk, t -> xxhash64(2L, t))", body, var="nw")
+    body = bind_once("transform(tk, t -> xxhash64(t))", body, var="nv")
+    # Tokens bound once as `tk`; each hash-array lane bound once over it
+    # (nested lambdas read outer variables as values — evaluated once).
+    return F.expr(bind_once(w, body, var="tk"))
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     k: int = 8,
@@ -107,15 +146,39 @@ def repeated_substring_spans(
     # that references only the generator output. Same hazard family as
     # the m11 bind_once lesson, but across plan nodes where bind_once
     # can't reach (round-12 plan snapshot, PLANS_r12.md).
-    pos_grams = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            positional_kgrams_expr(text_col, k).alias("_pg"),
+    if hash_gram_key:
+        # Hashed keys never materialize the gram STRING at all (round
+        # 14): the windows derive from per-token hash lanes, saving the
+        # concat_ws allocation per position that dominated the map stage
+        # (3.8 s of 5.7 s at the sf1 probe — positional_kgram_hash_expr
+        # docstring). Same collision class as hashing the gram text.
+        lanes = 2 if hash_gram_key == "hash128" else 1
+        gk = (
+            F.struct(F.col("_u.h1").alias("h1"), F.col("_u.h2").alias("h2"))
+            if lanes == 2
+            else F.col("_u.h1")
         )
-        .select("doc_id", F.explode_outer("_pg").alias("_u"))
-        .filter(F.col("_u").isNotNull())
-        .select("doc_id", F.col("_u.pos").alias("pos"), F.col("_u.g").alias("g"))
-    )
+        pos_grams = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                positional_kgram_hash_expr(text_col, k, lanes).alias("_pg"),
+            )
+            .select("doc_id", F.explode_outer("_pg").alias("_u"))
+            .filter(F.col("_u").isNotNull())
+            .select("doc_id", F.col("_u.pos").alias("pos"), gk.alias("g"))
+        )
+    else:
+        pos_grams = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                positional_kgrams_expr(text_col, k).alias("_pg"),
+            )
+            .select("doc_id", F.explode_outer("_pg").alias("_u"))
+            .filter(F.col("_u").isNotNull())
+            .select(
+                "doc_id", F.col("_u.pos").alias("pos"), F.col("_u.g").alias("g")
+            )
+        )
     # One exchange on the gram text counts AND filters (vs groupBy + join
     # back = two scans of the postings through the same shuffle key).
     # MEASURED, round 11: the groupBy + AQE-broadcast-join-back variant
@@ -125,26 +188,6 @@ def repeated_substring_spans(
     # shuffles the full string-keyed positions anyway, and the probe
     # side re-derives the positional-gram map a second time. The window
     # form's single sorted exchange is the cheaper plan at both scales.
-    if hash_gram_key:
-        # Hash BEFORE the exchange: the projection drops the gram string
-        # map-side, so the shuffle rows are fixed-width ints. "hash128"
-        # pairs two independently-seeded xxhash64 values (xxhash64's
-        # variadic form folds the seed column into the state), squaring
-        # the collision exponent: G²/2¹²⁹ ≈ 6e-13 even at G ≈ 2e13
-        # (100 TB) — exact for all practical purposes.
-        if hash_gram_key == "hash128":
-            pos_grams = pos_grams.select(
-                "doc_id",
-                "pos",
-                F.struct(
-                    F.xxhash64("g").alias("h1"),
-                    F.xxhash64(F.lit(1), F.col("g")).alias("h2"),
-                ).alias("g"),
-            )
-        else:
-            pos_grams = pos_grams.select(
-                "doc_id", "pos", F.xxhash64("g").alias("g")
-            )
     dup_pos = (
         pos_grams.withColumn("_n", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_n") >= min_count)
